@@ -1,0 +1,162 @@
+"""Deduplication queries over the `documents` corpus (LLM-data-pipeline
+extension; BASELINE.json north star).
+
+Tiering (see operators/dedup.py for the engine API and scale notes):
+- exact content dedup: linear, hash-groupBy — always safe at 100 TB
+- n-gram Jaccard all-pairs: quadratic in shingle-bucket size — bounded here
+  to a doc subset; correctness oracle for the LSH tier
+- MinHash-LSH: linear candidate generation over the FULL corpus — the
+  100 TB path
+- SimHash: per-doc 16-bit signature, near-dups = signature collisions
+
+Everything uses Spark's built-in md5 (portable to the DuckDB oracle) and
+stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from .helpers import T
+from .registry import query
+
+# Shared SQL fragments for the oracle side (DuckDB).
+_SQL_SHINGLES = """
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents {where}
+),
+sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)
+"""
+
+
+@query(
+    "exact_dedup_documents",
+    oracle="""
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY digest
+""",
+    tags=("dedup", "exact"),
+)
+def exact_dedup_documents(spark, sf_dir):
+    """Exact dedup: md5-digest groupBy, min-id survivor (deterministic, not
+    dropDuplicates). One shuffle on digest, partial-aggregated map-side.
+    """
+    return D.exact_dedup(T(spark, sf_dir, "documents")).orderBy("digest")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="WHERE doc_id < 200")},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS n_common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.n_common, sa.n_shingles AS na, sb.n_shingles AS nb,
+       round(i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE round(i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common), 6) >= 0.5
+ORDER BY a, b
+""",
+    tags=("dedup", "jaccard", "ngram"),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Character-5-gram Jaccard similarity pairs (threshold 0.5) over a
+    bounded doc subset. The shingle self-join is quadratic in bucket size —
+    this query is the exact-correctness oracle; `minhash_lsh_candidates`
+    below is the linear approximation used at scale.
+    """
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = D.shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        D.jaccard_pairs(sh, sizes, threshold=0.5)
+        .select("a", "b", "n_common", "na", "nb", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+)
+SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+FROM banded b1 JOIN banded b2
+  ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+ORDER BY a, b
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_candidates(spark, sf_dir):
+    """MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup candidates over
+    the FULL corpus — the 100 TB dedup path: signature cost is linear in
+    total shingles, candidate generation shuffles on (band, band_hash) so
+    no all-pairs join ever materializes. Permutations are keyed md5s and
+    the signature element is the lexicographic-min digest (engine-portable,
+    no RNG).
+    """
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    return D.lsh_candidates(sig, bands=4, rows_per_band=4).orderBy("a", "b")
+
+
+def _simhash_bits_sql(src: str, nbits: int = 16) -> str:
+    """Generate the 16-bit simhash expression (portable SQL): bit j is the
+    sign of the sum over shingles of ±1 by the j-th hex nibble's high bit
+    of md5(shingle)."""
+    bits = []
+    for j in range(nbits):
+        bits.append(
+            f"CASE WHEN sum(CASE WHEN substr(md5(shingle), {j + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+sigs AS (
+  SELECT doc_id, {_simhash_bits_sql('sh')} AS simhash
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size
+FROM sigs
+ORDER BY doc_id
+""",
+    tags=("dedup", "simhash"),
+)
+def simhash_signatures(spark, sf_dir):
+    """SimHash: 16-bit per-doc signature from shingle md5 nibbles; docs
+    sharing a signature (bucket_size > 1) are near-dup candidates. Linear
+    cost, one groupBy(doc_id) + one window on the 16-bit signature.
+    """
+    docs = T(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    sigs = sh.groupBy("doc_id").agg(F.expr(_simhash_bits_sql("sh")).alias("simhash"))
+    from pyspark.sql import Window as W
+
+    return (
+        sigs.withColumn("bucket_size", F.count("*").over(W.partitionBy("simhash")))
+        .select("doc_id", "simhash", "bucket_size")
+        .orderBy("doc_id")
+    )

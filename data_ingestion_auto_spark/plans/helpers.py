@@ -1,0 +1,64 @@
+"""Shared helpers for registered queries.
+
+Determinism convention (SURVEY §7.4 "order-insensitive hashing vs floats"):
+double summation is order-dependent in floating point, and Spark/DuckDB
+aggregate in different orders — and even `round()` on identical doubles can
+disagree between engines at exact half boundaries (Spark rounds the exact
+decimal expansion HALF_UP; other engines may round the scaled double).
+Therefore every float aggregate here:
+
+- SUM: sums in exact DECIMAL(38,6) (order-independent), rounds the DECIMAL
+  (well-defined half-up in both engines), casts to DOUBLE;
+- AVG: converts the exact decimal sum to integer micro-units and performs
+  round-half-up with pure integer arithmetic, then one exact double divide.
+
+Both engines then produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _sum_sql(expr: str, alias: str, scale: int) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(38,6))), {scale}) AS DOUBLE) AS {alias}"
+
+
+def _avg_sql(expr: str, alias: str, scale: int, intdiv: str) -> str:
+    # Exact integer round-half-up of (sum / n) at `scale` decimals:
+    # work in micro-units (10^-6), round to multiples of m = 10^(6-scale).
+    m = 10 ** (6 - scale)
+    s = f"CAST(sum(CAST({expr} AS DECIMAL(38,6))) * 1000000 AS BIGINT)"
+    n = f"count({expr})"
+    return (
+        f"CAST((((2 * {s} + {n} * {m}) {intdiv} (2 * {n} * {m})) * {m}) AS DOUBLE)"
+        f" / 1000000.0 AS {alias}"
+    )
+
+
+def dec_sum(expr: str, alias: str, scale: int = 2):
+    """Exact, order-independent SUM of a double expression → rounded DOUBLE."""
+    return F.expr(_sum_sql(expr, alias, scale).rsplit(" AS ", 1)[0]).alias(alias)
+
+
+def dec_avg(expr: str, alias: str, scale: int = 6):
+    """Portable AVG: exact decimal sum, integer half-up rounding, DOUBLE."""
+    return F.expr(_avg_sql(expr, alias, scale, "div").rsplit(" AS ", 1)[0]).alias(alias)
+
+
+def sql_dec_sum(expr: str, alias: str, scale: int = 2) -> str:
+    return _sum_sql(expr, alias, scale)
+
+
+def sql_dec_avg(expr: str, alias: str, scale: int = 6) -> str:
+    return _avg_sql(expr, alias, scale, "//")
+
+
+REVENUE = "l_extendedprice * (1 - l_discount)"

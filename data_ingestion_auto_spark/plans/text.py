@@ -1,0 +1,165 @@
+"""Text-analysis queries over `documents` (LLM-data-pipeline extension):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure built-in string functions — at 100 TB these are embarrassingly
+parallel projections with zero shuffle (except the final aggregates), and
+they stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+       CAST(length(text) = n_chars AS BOOLEAN) AS n_chars_consistent
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + character-class counts; also
+    cross-checks the fixture's n_chars metadata column against the data.
+    """
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_consistent"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_clean,
+         (length(text) - length(replace(text, ' the ', ''))) // 5 AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_clean AS DOUBLE) / n AS clean_ratio,
+       CAST(n AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CASE WHEN n_tokens >= 20 AND CAST(n_clean AS DOUBLE) / n > 0.8 THEN 'keep'
+            WHEN n_tokens >= 5 THEN 'review' ELSE 'drop' END AS quality_bucket
+FROM m
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length / punctuation / stopword ratios feeding a
+    keep/review/drop bucket — the classic pre-training filter shape. All
+    ratios are integer-count divisions (bit-identical across engines).
+    """
+    d = T(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_tokens = F.size(F.split("text", " "))
+    n_clean = F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    n_stop = ((F.length("text") - F.length(F.expr("replace(text, ' the ', '')"))) / 5).cast("long")
+    m = d.select(
+        "doc_id",
+        n.alias("n"),
+        n_tokens.alias("n_tokens"),
+        n_clean.alias("n_clean"),
+        n_stop.alias("n_stop"),
+    )
+    clean_ratio = F.col("n_clean").cast("double") / F.col("n")
+    return m.select(
+        "doc_id",
+        clean_ratio.alias("clean_ratio"),
+        (F.col("n").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        F.when((F.col("n_tokens") >= 20) & (clean_ratio > 0.8), "keep")
+        .when(F.col("n_tokens") >= 5, "review")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    ).orderBy("doc_id")
+
+
+def _occurrences(term: str) -> str:
+    """SQL fragment: occurrence count of `term` in text (portable:
+    length-difference // term length)."""
+    return f"(length(text) - length(replace(text, '{term}', ''))) // {len(term)}"
+
+
+_LANG_VOTES = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+def _lang_id_sql() -> str:
+    votes = {
+        lang: " + ".join(_occurrences(t) for t in terms) for lang, terms in _LANG_VOTES.items()
+    }
+    return f"""
+SELECT doc_id, lang,
+       CAST({votes['en']} AS BIGINT) AS votes_en,
+       CAST({votes['es']} AS BIGINT) AS votes_es,
+       CAST({votes['de']} AS BIGINT) AS votes_de,
+       CASE
+         WHEN {votes['en']} > {votes['es']} AND {votes['en']} > {votes['de']} THEN 'en'
+         WHEN {votes['es']} > {votes['en']} AND {votes['es']} > {votes['de']} THEN 'es'
+         WHEN {votes['de']} > {votes['en']} AND {votes['de']} > {votes['es']} THEN 'de'
+         ELSE 'und'
+       END AS predicted_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("lang_id_heuristic", oracle=_lang_id_sql(), tags=("text", "langid"))
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID by stopword-vote heuristic (n-gram occurrence counting
+    via length-difference — no regex in the hot path, no UDF). Emits the
+    per-language votes and an argmax with 'und' on ties.
+    """
+    d = T(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    # DuckDB `//` is integer division; Spark's is `div`.
+    return spark.sql(_lang_id_sql().replace("//", "div"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       substr(md5(lower(text)), 1, 16) AS fingerprint,
+       md5(substr(text, 1, 64)) AS head_hash,
+       md5(substr(text, greatest(length(text) - 63, 1), 64)) AS tail_hash
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: normalized-content digest prefix plus
+    head/tail block hashes (the cheap rolling-hash stand-in for chunk-level
+    identity at scale)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.col("text"))), 1, 16).alias("fingerprint"),
+        F.md5(F.substring("text", 1, 64)).alias("head_hash"),
+        F.md5(F.expr("substr(text, greatest(length(text) - 63, 1), 64)")).alias("tail_hash"),
+    ).orderBy("doc_id")

@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` (one JVM); the configs below are the ones
+that matter at cluster scale too: AQE for runtime re-planning (join strategy
+switch, shuffle-partition coalescing, skew-join splitting), Arrow for any
+pandas-UDF exchange, UTC session timezone (oracle comparability), and
+dynamic partition overwrite for idempotent per-partition sinks (the Spark
+analogue of the reference's delete-then-insert upsert,
+reference raster_vector.py:146-164).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "data_ingestion_auto_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Scale notes: every setting here is declarative and survives a move from
+    ``local[32]`` to a 1000-executor cluster — nothing pins data to the
+    driver. ``spark.sql.shuffle.partitions`` is only the pre-AQE upper
+    bound; AQE coalesces to the real parallelism at runtime.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Stragglers: re-launch slow tasks (this host shows intermittent
+        # multi-second thread stalls; on a real cluster this guards against
+        # slow nodes).
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "1s")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.5")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Re-apply runtime SQL confs in case getOrCreate() reused a session.
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no
+        # nanos timestamp type — read as long, normalized in sources.tables.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }.items():
+        spark.conf.set(k, v)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
