@@ -1,0 +1,105 @@
+"""Contour extraction: the engine's canonical grouped-map UDTF (SURVEY U2).
+
+The reference shells out to `gdal_contour -i <interval>` per raster
+(utils.py:178-192, wrapped at ingest/__init__.py:116-136) — one grid in,
+many iso-line features out. Spark-first restatement: group the long grid by
+(variable, time), hand each group to a pandas function (Arrow-batched), and
+flatMap line-segment features back out — `applyInPandas` is exactly the
+one-grid-in/many-features-out shape.
+
+The contour tracer here is a small numpy marching-squares (segment
+emission per cell edge, no external deps). At 100 TB each (variable, time)
+grid is one task — parallelism = number of grids, the same unit the
+reference loops over serially.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+CONTOUR_SCHEMA = (
+    "variable string, time timestamp, level_value double, "
+    "geom_type string, geom_wkt string, n_segments bigint"
+)
+
+
+def _segments_for_level(z: np.ndarray, ys: np.ndarray, xs: np.ndarray, level: float) -> list[tuple]:
+    """Marching squares: emit one line segment per crossed cell edge pair.
+
+    Linear interpolation along edges; NaN cells are skipped (nodata
+    propagation — the reference's masked cells produce no contours).
+    """
+    segs = []
+    ny, nx = z.shape
+    for iy in range(ny - 1):
+        for ix in range(nx - 1):
+            corners = z[iy, ix], z[iy, ix + 1], z[iy + 1, ix + 1], z[iy + 1, ix]
+            if any(np.isnan(c) for c in corners):
+                continue
+            above = [c >= level for c in corners]
+            if all(above) or not any(above):
+                continue
+            # edge endpoints: (y, x) pairs of the cell corners
+            pts = [
+                (ys[iy], xs[ix]),
+                (ys[iy], xs[ix + 1]),
+                (ys[iy + 1], xs[ix + 1]),
+                (ys[iy + 1], xs[ix]),
+            ]
+            crossings = []
+            for e in range(4):
+                a, b = e, (e + 1) % 4
+                va, vb = corners[a], corners[b]
+                if (va >= level) != (vb >= level):
+                    t = (level - va) / (vb - va)
+                    y = pts[a][0] + t * (pts[b][0] - pts[a][0])
+                    x = pts[a][1] + t * (pts[b][1] - pts[a][1])
+                    crossings.append((x, y))
+            # 2 crossings → one segment; 4 (saddle) → two segments paired in order
+            for i in range(0, len(crossings) - 1, 2):
+                segs.append((crossings[i], crossings[i + 1]))
+    return segs
+
+
+def _contour_group(pdf: pd.DataFrame, interval: float) -> pd.DataFrame:
+    """One (variable, time) grid → contour segment features."""
+    variable = pdf["variable"].iloc[0]
+    time = pdf["time"].iloc[0]
+    ys = np.sort(pdf["y"].unique())
+    xs = np.sort(pdf["x"].unique())
+    z = np.full((len(ys), len(xs)), np.nan)
+    yi = {v: i for i, v in enumerate(ys)}
+    xi = {v: i for i, v in enumerate(xs)}
+    for _, r in pdf.iterrows():
+        if pd.notna(r["value"]):
+            z[yi[r["y"]], xi[r["x"]]] = r["value"]
+    out = []
+    finite = z[~np.isnan(z)]
+    if finite.size:
+        lo = np.floor(finite.min() / interval) * interval
+        hi = finite.max()
+        level = lo + interval
+        while level < hi:
+            segs = _segments_for_level(z, ys, xs, float(level))
+            if segs:
+                wkts = [
+                    f"LINESTRING ({a[0]:.6f} {a[1]:.6f}, {b[0]:.6f} {b[1]:.6f})" for a, b in segs
+                ]
+                for wkt in wkts:
+                    out.append((variable, time, float(level), "LineString", wkt, len(segs)))
+            level += interval
+    return pd.DataFrame(
+        out, columns=["variable", "time", "level_value", "geom_type", "geom_wkt", "n_segments"]
+    )
+
+
+def contour_features(grid: DataFrame, interval: float = 5.0) -> DataFrame:
+    """U2: grouped-map contour extraction. The configured interval matches
+    the reference's `-i 5` (ecmwf_opendata/__init__.py:48-52)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _contour_group(pdf, interval)
+
+    return grid.groupBy("variable", "time").applyInPandas(fn, CONTOUR_SCHEMA)

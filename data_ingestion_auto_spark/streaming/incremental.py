@@ -1,0 +1,111 @@
+"""Structured Streaming recompositions of the reference's incremental
+semantics (SURVEY §2.9 W1-W10).
+
+Mapping:
+- W1 fixed-interval trigger  → trigger(processingTime=...) / availableNow
+  for catch-up backfill (W4: the reference advances one period per tick
+  from 1981; availableNow processes all pending input with per-batch
+  commit atomicity, resuming correctly mid-backfill)
+- W2 single-flight           → one query per checkpoint (inherent)
+- W3 watermark/offset        → checkpointed source offsets; event-time
+  lateness via withWatermark
+- W6 tumbling windows        → window(ts, ...); calendar months via
+  date_trunc (pentads need the when-chain — functions.pentad_of_day)
+- W9 idempotent re-publication → foreachBatch + dynamic partition
+  overwrite (sinks.overwrite_partitions)
+- W10 session grouping       → session_window (native)
+
+All functions take/return DataFrames so batch tests can drive them with
+`availableNow` + memory sink and `processAllAvailable()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def file_stream(spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
+    """Incremental file source: new files in `path` are the micro-batches —
+    the engine's analogue of the reference's per-tick catalog poll (S4/W1).
+    maxFilesPerTrigger bounds batch size during backfill (W4)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 10)
+        .parquet(path)
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """W6: tumbling event-time window aggregate with late-data bound (W5:
+    data later than the watermark is dropped rather than retried — the
+    streaming statement of 404-retry-next-tick)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """W10: native session windows (absent in the reference; SURVEY lists
+    it as the engine's extra)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def start_windowed_aggregate(
+    agg: DataFrame,
+    query_name: str,
+    checkpoint: str,
+    available_now: bool = True,
+    output_mode: str = "append",
+):
+    """Run a streaming aggregate to a memory sink. availableNow=True is the
+    catch-up trigger (W4): process everything pending, commit per batch,
+    stop — exactly the reference's backfill loop collapsed into one call.
+
+    output_mode: "append" emits only watermark-closed windows (exactly-once
+    downstream); "update" emits in-progress windows each batch (needed to
+    observe sessions that the final watermark hasn't passed yet).
+    """
+    writer = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,101 @@
+"""Structured Streaming recompositions (SURVEY §2.9): incremental file
+source, availableNow catch-up, tumbling windows, session windows,
+checkpoint-resume (W1/W4/W6/W10)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from data_ingestion_auto_spark.streaming import (
+    file_stream,
+    sessionized_stream,
+    start_windowed_aggregate,
+    windowed_counts,
+)
+
+
+def _write_events(spark, path, day, n=20, start_hour=0):
+    base = dt.datetime(2024, 1, day)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(hours=start_hour, minutes=7 * i),
+            i % 3,
+            "click" if i % 2 else "view",
+            float(i),
+            "{}",
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_available_now_catchup_and_incremental_resume(spark, tmp_path):
+    """W4: availableNow drains pending files and stops; a later run with
+    the same checkpoint processes ONLY new files (checkpointed offsets =
+    the reference's state watermark, W3). Parquet sink — the memory sink
+    doesn't support checkpoint recovery."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    _write_events(spark, src, day=1)
+
+    def run():
+        q = (
+            file_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(sink).count() == 20
+
+    # new file arrives; resume from the same checkpoint → only the new
+    # file is processed (no re-ingestion of day 1)
+    _write_events(spark, src, day=2)
+    run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 40
+    assert out.filter("day(ts) = 1").count() == 20
+    assert out.filter("day(ts) = 2").count() == 20
+
+
+def test_windowed_counts_shape(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(spark, src, day=1)
+    q = start_windowed_aggregate(
+        windowed_counts(file_stream(spark, src), window="1 hour", watermark="0 seconds"),
+        "aggshape",
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM aggshape").collect()
+    assert {c for c in rows[0].asDict()} == {"window_start", "window_end", "event_type", "n", "total_value"}
+    # 20 events, 7-min spacing → spans 3 hours; at least 2 closed windows emitted
+    assert len(rows) >= 2
+
+
+def test_session_window_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(spark, src, day=1, n=10)  # 7-min gaps < 30-min session gap
+    # complete mode: append withholds sessions until a later batch's
+    # watermark passes their end (never happens with one availableNow
+    # batch), and session windows reject update mode.
+    q = start_windowed_aggregate(
+        sessionized_stream(file_stream(spark, src), gap="30 minutes", watermark="0 seconds"),
+        "sess",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess").collect()
+    assert rows
+    # 10 events over 3 users, all within one session per user
+    assert sum(r.n_events for r in rows) == 10
+    assert len(rows) == 3
