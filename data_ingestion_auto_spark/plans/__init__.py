@@ -4,5 +4,16 @@ Modules register via the ``@query`` decorator in ``registry``; add new
 operator modules to the import list below.
 """
 
-from . import core, dedup, scalars, setops, similarity, text, windows  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    core,
+    dedup,
+    joins2,
+    multimodal,
+    scalars,
+    setops,
+    similarity,
+    text,
+    windows,
+)
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401

@@ -1,0 +1,277 @@
+"""Multi-dimensional and analytic aggregates (SURVEY §2.5's "new engine
+exposes" list): rollup, cube, grouping sets, pivot, exact/approximate
+distinct, percentiles, histograms, ordered string aggregation.
+
+The reference has no distinct/rollup/approx aggregates (SURVEY §2.5) —
+these are the native-Spark surface the engine ships on top of the
+reference's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .helpers import REVENUE, T, dec_sum, sql_dec_sum
+from .registry import query
+
+
+@query(
+    "rollup_revenue",
+    oracle=f"""
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       {sql_dec_sum(REVENUE, 'revenue')},
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY region, nation
+""",
+    tags=("agg", "rollup"),
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP (region → nation) with subtotal and grand-total rows; NULL
+    grouping markers coalesced to 'ALL' so the hierarchy is explicit in the
+    output (and hashable by the oracle). Rollup costs ONE shuffle — Spark
+    expands grouping sets map-side.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dec_sum(REVENUE, "revenue"), F.count("*").alias("n_items"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "cube_order_counts",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    tags=("agg", "cube"),
+)
+def cube_order_counts(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping sets in one pass."""
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "grouping_sets_shipmode",
+    oracle=f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {sql_dec_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY returnflag, linestatus
+""",
+    tags=("agg", "grouping_sets"),
+)
+def grouping_sets_shipmode(spark, sf_dir):
+    """Explicit GROUPING SETS (a set the rollup/cube shorthands don't
+    cover). Written in SQL — Catalyst plans it identically to the
+    DataFrame form."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               {sql_dec_sum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+@query(
+    "pivot_segment_status",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY segment
+""",
+    tags=("agg", "pivot"),
+)
+def pivot_segment_status(spark, sf_dir):
+    """Pivot orderstatus into columns per segment — conditional aggregation
+    (count FILTER), the portable form of `.pivot()`."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+ORDER BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+)
+def distinct_counts(spark, sf_dir):
+    """Exact multi-distinct aggregation (Spark expands to one Expand +
+    two-phase aggregate). The approximate HLL variant is
+    `approx_distinct_counts` (rows-only — sketches aren't
+    oracle-comparable across engines)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "approx_distinct_counts",
+    oracle=None,  # HLL sketches differ across engines: rows-only check
+    tags=("agg", "approx"),
+)
+def approx_distinct_counts(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
+    fixed-size sketch per group, no distinct expansion. Non-oracle: sketch
+    estimates are engine-specific (exact twin: `distinct_counts`)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "quantity_histogram",
+    oracle="""
+SELECT CAST(floor(l_quantity / 10.0) AS INTEGER) AS bucket,
+       count(*) AS n,
+       CAST(min(l_quantity) AS DOUBLE) AS lo,
+       CAST(max(l_quantity) AS DOUBLE) AS hi
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
+""",
+    tags=("agg", "histogram"),
+)
+def quantity_histogram(spark, sf_dir):
+    """Fixed-width histogram via floor-bucket groupBy — the scalable
+    histogram shape (single shuffle on bucket id; min/max are exact
+    order-independent aggregates)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_quantity") / 10.0).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").cast("double").alias("lo"),
+            F.max("l_quantity").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "median_quantity_per_flag",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
+FROM lineitem
+GROUP BY 1
+ORDER BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def median_quantity_per_flag(spark, sf_dir):
+    """Exact interpolated percentiles (median, p90). Spark `percentile` and
+    DuckDB `quantile_cont` both use linear interpolation on the sorted
+    values — deterministic given identical inputs. (The scale path is
+    `approx_percentile`; exact percentile shuffles the group's values.)"""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "ordered_string_agg",
+    oracle="""
+SELECT n_regionkey AS regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY 1
+ORDER BY regionkey
+""",
+    tags=("agg", "string_agg"),
+)
+def ordered_string_agg(spark, sf_dir):
+    """Ordered string aggregation: deterministic (explicitly sorted)
+    collect — never rely on collect_list's arrival order."""
+    na = T(spark, sf_dir, "nation")
+    return (
+        na.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("regionkey")
+    )

@@ -1,0 +1,91 @@
+"""Multimodal-column queries (rows-only where Python UDF paths are
+involved; the pure-plumbing aggregates get oracles via portable
+derivations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from .helpers import T
+from .registry import query
+
+
+@query(
+    "media_metadata_stats",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         length(text) AS payload_bytes,
+         CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+         CAST(n_chars % 32 + 1 AS INTEGER) AS n_frames
+  FROM documents
+)
+SELECT media_type, count(*) AS n, CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+       min(width) AS min_width, max(width) AS max_width, CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM media GROUP BY 1 ORDER BY media_type
+""",
+    tags=("multimodal", "metadata"),
+)
+def media_metadata_stats(spark, sf_dir):
+    """Typed-metadata aggregation over the media table (binary payload
+    untouched — column pruning drops it at the scan; at 100 TB this query
+    never reads the heavy bytes)."""
+    media = M.media_from_documents(T(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "media_type",
+            F.length("payload").alias("payload_bytes"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.n_frames").alias("n_frames"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query(
+    "media_feature_extraction",
+    oracle=None,  # Python mapInPandas path: rows-only check
+    tags=("multimodal", "mapInPandas"),
+)
+def media_feature_extraction(spark, sf_dir):
+    """Arrow-batched mapInPandas decode/feature plumbing (deterministic
+    fake decoder; real codecs are a one-function swap). Binary column dies
+    at extraction — only small typed features flow on."""
+    media = M.media_from_documents(T(spark, sf_dir, "documents"))
+    return M.extract_features(media).orderBy("media_id")
+
+
+@query(
+    "video_frame_sampling",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(n_chars % 32 + 1 AS INTEGER) AS n_frames
+  FROM documents
+)
+SELECT media_id, frame_idx FROM (
+  SELECT media_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+  FROM media WHERE media_type = 'video'
+) t
+WHERE frame_idx % 4 = 0
+ORDER BY media_id, frame_idx
+""",
+    tags=("multimodal", "frames"),
+)
+def video_frame_sampling(spark, sf_dir):
+    """Frame-sampling plan: explode metadata frame indices, keep every 4th
+    (seek-and-decode happens per selected frame in the real sampler).
+    Oracle checks the plan's row space exactly."""
+    media = M.media_from_documents(T(spark, sf_dir, "documents"))
+    return M.frame_sample_plan(media, every_n=4).orderBy("media_id", "frame_idx")
