@@ -48,15 +48,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
     """Distinct k-character shingles per document (positional substrings).
 
     posexplode over a sequence of start offsets — stays JVM-side; the
     distinct collapses repeated shingles before any join.
     """
     n = f"greatest(length({text_col}) - {k - 1}, 1)"
+    # Documents often arrive as few large files (locally: one) — spread
+    # docs across partitions BEFORE the ~300× explode so shingling, hashing
+    # and partial aggregation parallelize. The partition count is explicit:
+    # AQE would coalesce this shuffle to 1 based on its tiny PRE-explode
+    # byte size, serializing all post-explode work. Hash-partitioning on id
+    # also co-locates each doc's shingles for the per-doc groupBys.
+    nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(
+        df.repartition(nparts, F.col(id_col))
+        .select(
             F.col(id_col),
             F.explode(F.expr(f"transform(sequence(1, {n}), i -> substring({text_col}, i, {k}))")).alias(
                 "shingle"
@@ -100,37 +114,48 @@ def minhash_signature(sh: DataFrame, id_col: str = "doc_id", num_perm: int = 16)
     signature element is the lexicographic MIN digest — a pure-string
     minhash that is identical in any engine with md5.
 
-    Output: (id, perm, minhash) long form — one shuffle on id.
+    WIDE single-pass form: all `num_perm` mins as parallel aggregates in
+    ONE groupBy(id) — no perm explode. The naive long form (explode ×
+    num_perm → shuffle num_perm× the shingle rows) benched 31 s at sf0.1;
+    this shuffles the shingle rows once with map-side partial mins
+    (~6× faster). Output: (id, mh0..mh{n-1}).
     """
-    perms = F.explode(F.expr(f"sequence(0, {num_perm - 1})")).alias("perm")
-    return (
-        sh.select(F.col(id_col), F.col("shingle"), perms)
-        .withColumn("h", F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle"))))
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(i), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(
     sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature and emit candidate pairs sharing any band bucket.
-
-    band_hash = md5 of the band's minhashes in perm order (deterministic
-    string agg). The pair join is per (band, band_hash) bucket — linear
-    candidate generation, the LSH scale path.
+    """Band the wide signature and emit candidate pairs sharing any band
+    bucket. band_hash = md5 of the band's minhashes in perm order —
+    computed as a plain projection over the wide columns (no collect_list).
+    The pair join is per (band, band_hash) bucket — linear candidate
+    generation, the LSH scale path.
     """
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # Explicit partitioning on the bucket key: the banded table is small in
+    # BYTES (AQE would coalesce it to ~1 partition) but the bucket
+    # self-join is quadratic in bucket size — near-dup corpora have hot
+    # buckets, and the pair expansion must parallelize across them.
+    nparts = sig.sparkSession.sparkContext.defaultParallelism
     banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.expr("transform(array_sort(collect_list(struct(perm, minhash))), s -> s.minhash)"),
-                    "|",
-                )
-            ).alias("band_hash")
-        )
+        sig.select(F.col(id_col), F.explode(band_cols).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+        .repartition(nparts, "band", "band_hash")
     )
     a = banded.select(F.col(id_col).alias("a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("b"), "band", "band_hash")

@@ -13,6 +13,8 @@ from . import (  # noqa: F401
     scalars,
     setops,
     similarity,
+    similarity_lsh,
+    sources_ops,
     text,
     windows,
 )

@@ -1,0 +1,156 @@
+"""LSH-bucketed approximate nearest neighbors — the similarity-search
+scale path (operators/similarity.py documents the tiering).
+
+Sign-LSH: 8 fixed hyperplanes whose ±1 components come from md5 digests of
+(plane, dim) — deterministic, engine-independent, precomputed here and
+embedded as literals in BOTH the Spark expression and the DuckDB oracle.
+Bucket key = 8 sign bits. Candidates = corpus vectors sharing the query's
+bucket; exact quantized cosine ranks within the bucket.
+
+At 100 TB: bucket assignment is a map-only projection; the candidate join
+is an equi-join on the bucket key (shuffle ∝ corpus, never all-pairs);
+brute force runs only inside buckets (~corpus/2^bits each). Recall grows
+with multi-probe (flip one bit) — same plan shape, more bucket keys per
+query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+
+_DIM = 64
+_PLANES = 8
+_N_QUERIES = 8
+
+
+def _sign(plane: int, dim: int) -> int:
+    h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()
+    return 1 if h[0] in "89abcdef" else -1
+
+
+_SIGNS = [[_sign(j, i) for i in range(_DIM)] for j in range(_PLANES)]
+
+
+def _q(rel: str, i: int, spark: bool = False) -> str:
+    # integer-quantized component. NB: Spark bracket indexing is 0-based,
+    # DuckDB's is 1-based — use element_at (1-based) on the Spark side.
+    acc = f"element_at({rel}, {i + 1})" if spark else f"{rel}[{i + 1}]"
+    return f"CAST(round(CAST({acc} AS DOUBLE) * 10000.0) AS BIGINT)"
+
+
+def _bucket_sql(rel: str, spark: bool = False) -> str:
+    bits = []
+    for j in range(_PLANES):
+        terms = " + ".join(
+            f"{'' if _SIGNS[j][i] > 0 else '-'}{_q(rel, i, spark)}" for i in range(_DIM)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _dot_sql(a: str, b: str, spark: bool = False) -> str:
+    return " + ".join(f"{_q(a, i, spark)} * {_q(b, i, spark)}" for i in range(_DIM))
+
+
+def _norm_sql(a: str, spark: bool = False) -> str:
+    return " + ".join(f"{_q(a, i, spark)} * {_q(a, i, spark)}" for i in range(_DIM))
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM base WHERE vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT q.query_id, b.vec_id AS cand_id,
+         round(({_dot_sql('qe', 'b.embedding')})
+               / (sqrt({_norm_sql('qe')}) * sqrt({_norm_sql('b.embedding')})), 6) AS cosine
+  FROM q JOIN base b ON q.bucket = b.bucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM cand
+) t WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-LSH bucketed ANN: top-3 within the query's bucket. The bucket
+    equi-join replaces the brute-force cross product (exact twin:
+    `embedding_cosine_topk`)."""
+    emb = T(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding", F.expr(_bucket_sql("embedding", spark=True)).alias("bucket")
+    )
+    q = (
+        base.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("bucket"),
+        )
+    )
+    cand = (
+        base.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                F.expr(_dot_sql("qe", "embedding", spark=True))
+                / (F.sqrt(F.expr(_norm_sql("qe", spark=True))) * F.sqrt(F.expr(_norm_sql("embedding", spark=True)))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "tumbling_window_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+""",
+    tags=("window", "W6", "streaming-batch"),
+)
+def tumbling_window_hourly(spark, sf_dir):
+    """W6 tumbling event-time window as a batch query (the oracle-checkable
+    twin of streaming/incremental.windowed_counts): date_trunc grouping —
+    calendar windows, matching the reference's monthly/pentad periods
+    rather than uniform durations."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("hour_start", "event_type")
+    )

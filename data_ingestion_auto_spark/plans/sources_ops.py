@@ -1,0 +1,179 @@
+"""Source-side operators as relational queries (SURVEY §2.1):
+S2 URL generation (cartesian product of request dims → deduped URL set),
+S3/J5 index-based byte-range matching (semi-join pushdown), P6/P7 listing
+filters (date-dir regex, tile/product filename predicates).
+
+The reference does all of this driver-side in Python loops
+(ecmwf_opendata/client.py:59-160, modis/pymodis.py:43-102); at 100 TB the
+request space and file listings are themselves tables, and these become
+distributed plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+
+
+@query(
+    "ecmwf_url_generation",
+    oracle="""
+WITH streams AS (SELECT unnest(['oper', 'enfo']) AS stream),
+     types AS (SELECT unnest(['fc']) AS type),
+     steps AS (SELECT unnest(generate_series(0, 144, 24)) AS step),
+     dates AS (SELECT DISTINCT strftime(o_orderdate, '%Y%m%d') AS date8
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'),
+     urls AS (
+       SELECT DISTINCT
+         printf('https://data.ecmwf.int/forecasts/%s/00z/%s/%s/h%03d.grib2',
+                date8, stream, type, CAST(step AS INTEGER)) AS url
+       FROM streams, types, steps, dates
+     )
+SELECT url FROM urls ORDER BY url
+""",
+    tags=("source", "S2", "O4"),
+)
+def ecmwf_url_generation(spark, sf_dir):
+    """S2: the request-dict cartesian product (stream × type × step × date
+    → URL) with dedup — the reference's itertools.product + seen-set
+    (client.py:59-109) as a cross join + dropDuplicates. The dims are tiny
+    literal tables; the date dim comes from data. Cross joins of broadcast
+    literals are safe at any scale — the output is the work list itself.
+    """
+    od = T(spark, sf_dir, "orders")
+    streams = spark.createDataFrame([("oper",), ("enfo",)], "stream string")
+    types = spark.createDataFrame([("fc",)], "type string")
+    steps = spark.range(0, 145, 24).select(F.col("id").cast("int").alias("step"))
+    dates = (
+        od.filter(F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"))
+        .select(F.date_format("o_orderdate", "yyyyMMdd").alias("date8"))
+        .distinct()
+    )
+    return (
+        dates.crossJoin(F.broadcast(streams))
+        .crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(steps))
+        .select(
+            F.format_string(
+                "https://data.ecmwf.int/forecasts/%s/00z/%s/%s/h%03d.grib2",
+                "date8",
+                "stream",
+                "type",
+                "step",
+            ).alias("url")
+        )
+        .distinct()
+        .orderBy("url")
+    )
+
+
+@query(
+    "byte_range_index_match",
+    oracle="""
+WITH index_lines AS (
+  SELECT l_orderkey AS line_no,
+         CASE CAST(l_partkey % 4 AS INTEGER) WHEN 0 THEN '2t' WHEN 1 THEN 'tp' WHEN 2 THEN 'u' ELSE 'v' END AS param,
+         CAST(l_suppkey % 3 AS INTEGER) * 250 + 250 AS level,
+         CAST(l_linenumber % 5 AS INTEGER) * 24 AS step,
+         l_orderkey * 512 AS offset,
+         CAST(l_quantity * 100 AS BIGINT) AS length
+  FROM lineitem
+),
+requested AS (
+  SELECT '2t' AS param, 500 AS level, 0 AS step UNION ALL
+  SELECT 'u', 250, 24 UNION ALL
+  SELECT 'v', 750, 48
+)
+SELECT i.param, i.level, i.step, i.offset, i.length
+FROM index_lines i
+WHERE EXISTS (SELECT 1 FROM requested r
+              WHERE r.param = i.param AND r.level = i.level AND r.step = i.step)
+ORDER BY i.offset
+""",
+    tags=("source", "S3", "J5", "semi"),
+)
+def byte_range_index_match(spark, sf_dir):
+    """S3/J5: predicate pushdown to the source — match requested
+    (param, level, step) tuples against the .index sidecar and keep only
+    those byte ranges (client.py:111-160). A left-semi join against the
+    broadcast request spec: the index scans once, only matching ranges
+    survive, sorted by offset for coalesced range reads (O2).
+    """
+    li = T(spark, sf_dir, "lineitem")
+    index_lines = li.select(
+        F.col("l_orderkey").alias("line_no"),
+        F.element_at(
+            F.array(F.lit("2t"), F.lit("tp"), F.lit("u"), F.lit("v")),
+            (F.col("l_partkey") % 4 + 1).cast("int"),
+        ).alias("param"),
+        ((F.col("l_suppkey") % 3).cast("int") * 250 + 250).alias("level"),
+        ((F.col("l_linenumber") % 5).cast("int") * 24).alias("step"),
+        (F.col("l_orderkey") * 512).alias("offset"),
+        (F.col("l_quantity") * 100).cast("bigint").alias("length"),
+    )
+    requested = spark.createDataFrame(
+        [("2t", 500, 0), ("u", 250, 24), ("v", 750, 48)], "param string, level int, step int"
+    )
+    return (
+        index_lines.join(F.broadcast(requested), ["param", "level", "step"], "left_semi")
+        .select("param", "level", "step", "offset", "length")
+        .orderBy("offset")
+    )
+
+
+@query(
+    "tile_listing_filter",
+    oracle="""
+WITH listing AS (
+  SELECT printf('MOD13Q1.A%04d%03d.h%02dv%02d.061.%s',
+                CAST(year(o_orderdate) AS INTEGER),
+                CAST(dayofyear(o_orderdate) AS INTEGER),
+                CAST(o_orderkey % 6 AS INTEGER),
+                CAST(o_custkey % 6 AS INTEGER),
+                CASE CAST(o_orderkey % 4 AS INTEGER)
+                  WHEN 0 THEN 'hdf' WHEN 1 THEN 'hdf.xml' WHEN 2 THEN 'jpg' ELSE 'hdf' END) AS fname
+  FROM orders
+)
+SELECT DISTINCT fname FROM listing
+WHERE len(string_split(fname, '.')) = 5
+  AND string_split(fname, '.')[1] = 'MOD13Q1'
+  AND string_split(fname, '.')[5] = 'hdf'
+  AND string_split(fname, '.')[3] = 'h05v03'
+ORDER BY fname
+""",
+    tags=("source", "P6", "P7", "filter"),
+)
+def tile_listing_filter(spark, sf_dir):
+    """P7: MODIS tile-file filtering — split filename on '.', require the
+    product code, the target tile id, and the data extension (excluding
+    .xml/.jpg sidecars), dedup (pymodis.py:69-102). Listing synthesized
+    deterministically from orders on both sides.
+    """
+    od = T(spark, sf_dir, "orders")
+    listing = od.select(
+        F.format_string(
+            "MOD13Q1.A%04d%03d.h%02dv%02d.061.%s",
+            F.year("o_orderdate"),
+            F.dayofyear("o_orderdate"),
+            (F.col("o_orderkey") % 6).cast("int"),
+            (F.col("o_custkey") % 6).cast("int"),
+            F.element_at(
+                F.array(F.lit("hdf"), F.lit("hdf.xml"), F.lit("jpg"), F.lit("hdf")),
+                (F.col("o_orderkey") % 4 + 1).cast("int"),
+            ),
+        ).alias("fname")
+    )
+    parts = F.split("fname", "\\.")
+    return (
+        listing.filter(
+            (F.size(parts) == 5)
+            & (F.element_at(parts, 1) == "MOD13Q1")
+            & (F.element_at(parts, 5) == "hdf")
+            & (F.element_at(parts, 3) == "h05v03")
+        )
+        .select("fname")
+        .distinct()
+        .orderBy("fname")
+    )
