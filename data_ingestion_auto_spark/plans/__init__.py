@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     similarity,
     similarity_lsh,
     sources_ops,
+    spatial,
     text,
     windows,
 )
