@@ -48,7 +48,7 @@ def main() -> None:
 
     # Best-of-N: this host shows intermittent ~10-90 s thread stalls
     # unrelated to the plan; the minimum measures the engine.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     timings: dict[str, float] = {}
     for name in names:
         q = plans.REGISTRY[name]

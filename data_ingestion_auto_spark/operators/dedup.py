@@ -67,7 +67,7 @@ def shingles(
     # AQE would coalesce this shuffle to 1 based on its tiny PRE-explode
     # byte size, serializing all post-explode work. Hash-partitioning on id
     # also co-locates each doc's shingles for the per-doc groupBys.
-    nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    nparts = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         df.repartition(nparts, F.col(id_col))
         .select(
@@ -147,21 +147,27 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    # Explicit partitioning on the bucket key: the banded table is small in
-    # BYTES (AQE would coalesce it to ~1 partition) but the bucket
-    # self-join is quadratic in bucket size — near-dup corpora have hot
-    # buckets, and the pair expansion must parallelize across them.
-    nparts = sig.sparkSession.sparkContext.defaultParallelism
-    banded = (
-        sig.select(F.col(id_col), F.explode(band_cols).alias("bb"))
-        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-        .repartition(nparts, "band", "band_hash")
+    banded = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
-    a = banded.select(F.col(id_col).alias("a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("b"), "band", "band_hash")
-    return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    # Pairs via per-bucket array combinations, NOT a self-join: a self-join
+    # re-executes the whole signature DAG for both sides and adds a
+    # shuffle; collect_list computes it once and the pair expansion is a
+    # projection. Bucket sizes are bounded by LSH design (band collisions),
+    # so the per-row combination array stays small; a hot-bucket guard
+    # (size cap + salting) is the documented escape hatch for adversarial
+    # corpora.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.distinct()

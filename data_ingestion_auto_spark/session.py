@@ -15,7 +15,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Slightly below the core count: leaves idle slots so speculative copies
+# of stalled tasks (this host exhibits intermittent thread stalls) can
+# launch immediately instead of waiting for the stalled wave to finish.
+DEFAULT_SHUFFLE_PARTITIONS = max(4, int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 3 // 4)
 
 
 def get_session(

@@ -1,6 +1,7 @@
 from .incremental import (  # noqa: F401
     file_stream,
     sessionized_stream,
+    start_foreach_batch_upsert,
     start_windowed_aggregate,
     windowed_counts,
 )

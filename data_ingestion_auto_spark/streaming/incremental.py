@@ -85,6 +85,39 @@ def sessionized_stream(stream: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def start_foreach_batch_upsert(
+    stream: DataFrame,
+    out_path: str,
+    partition_col: str,
+    checkpoint: str,
+    state_store=None,
+    dataset_id: str = "stream",
+):
+    """W9 in streaming form: exactly-once-effect sink via foreachBatch +
+    dynamic partition overwrite — each micro-batch idempotently replaces
+    exactly the partitions it contains (the reference's delete-then-insert
+    upsert, raster_vector.py:146-164), then commits the watermark to the
+    state store. A replayed batch (post-crash) rewrites the same
+    partitions to the same content — no duplicates.
+    """
+    from ..sinks import overwrite_partitions
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        overwrite_partitions(batch_df, out_path, [partition_col])
+        if state_store is not None:
+            mx = batch_df.agg(F.max(partition_col)).collect()[0][0]
+            state_store.commit(dataset_id, {"last_update": str(mx), "epoch": str(epoch_id)})
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_windowed_aggregate(
     agg: DataFrame,
     query_name: str,

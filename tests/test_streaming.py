@@ -9,6 +9,7 @@ import datetime as dt
 from data_ingestion_auto_spark.streaming import (
     file_stream,
     sessionized_stream,
+    start_foreach_batch_upsert,
     start_windowed_aggregate,
     windowed_counts,
 )
@@ -99,3 +100,36 @@ def test_session_window_stream(spark, tmp_path):
     # 10 events over 3 users, all within one session per user
     assert sum(r.n_events for r in rows) == 10
     assert len(rows) == 3
+
+
+def test_foreach_batch_upsert_idempotent_with_state(spark, tmp_path):
+    """W9 streaming: foreachBatch + dynamic partition overwrite + state
+    commit — rerunning the stream over the same input (fresh checkpoint,
+    same sink) does not duplicate rows, and the watermark lands in the
+    state store."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.state import StateStore
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    _write_events(spark, src, day=1)
+    state = StateStore(str(tmp_path / "state.json"))
+
+    def run(ckpt):
+        stream = file_stream(spark, src).withColumn(
+            "day_key", F.date_format("ts", "yyyy-MM-dd")
+        )
+        q = start_foreach_batch_upsert(
+            stream, sink, "day_key", str(tmp_path / ckpt), state_store=state, dataset_id="ev"
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 20
+    assert state.get("ev", "last_update") == "2024-01-01"
+    # replay from scratch (fresh checkpoint): same partitions overwritten,
+    # not appended — exactly-once EFFECT
+    run("ckpt2")
+    assert spark.read.parquet(sink).count() == n1
