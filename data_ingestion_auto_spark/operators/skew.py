@@ -18,6 +18,9 @@ These are the two manual levers beyond AQE:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +31,14 @@ def write_bucketed(
     """Persist as a bucketed (and optionally sorted) managed table. Joins
     and aggregations on `key` between tables bucketed the same way run
     without an Exchange."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A fresh session's catalog may not know the table while its warehouse
+    # dir still exists on disk (LOCATION_ALREADY_EXISTS) — clear it.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace("file:", "")
+    loc = os.path.join(warehouse, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
         w = w.sortBy(sort_by)

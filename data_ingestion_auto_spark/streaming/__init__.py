@@ -1,3 +1,4 @@
+from .stateful import dedup_stream, running_anomaly_stream  # noqa: F401
 from .incremental import (  # noqa: F401
     file_stream,
     sessionized_stream,
