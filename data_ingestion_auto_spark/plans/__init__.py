@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     sources_ops,
     spatial,
     text,
+    tpch_more,
     windows,
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
