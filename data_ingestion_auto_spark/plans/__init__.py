@@ -19,5 +19,6 @@ from . import (  # noqa: F401
     text,
     tpch_more,
     windows,
+    windows2,
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401

@@ -4,5 +4,6 @@ from .incremental import (  # noqa: F401
     sessionized_stream,
     start_foreach_batch_upsert,
     start_windowed_aggregate,
+    stream_static_anomaly,
     windowed_counts,
 )

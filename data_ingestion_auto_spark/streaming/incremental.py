@@ -85,6 +85,26 @@ def sessionized_stream(stream: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def stream_static_anomaly(stream: DataFrame, normals: DataFrame) -> DataFrame:
+    """W7 as a stream-static join: each micro-batch of events joins the
+    materialized per-user normals table (the broadcastable "climatology")
+    and scores an anomaly — the streaming form of the CHIRPS
+    current-vs-normal join (J1) with the normal precomputed once
+    (chirps_rainfall :229-234) instead of recomputed per batch.
+
+    The static side re-reads per micro-batch (picking up normals
+    refreshes); Spark broadcasts it when small.
+    """
+    return stream.join(F.broadcast(normals), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "normal_value",
+        F.round(F.col("value") - F.col("normal_value"), 6).alias("anomaly"),
+    )
+
+
 def start_foreach_batch_upsert(
     stream: DataFrame,
     out_path: str,

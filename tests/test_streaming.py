@@ -133,3 +133,46 @@ def test_foreach_batch_upsert_idempotent_with_state(spark, tmp_path):
     # not appended — exactly-once EFFECT
     run("ckpt2")
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_stream_static_anomaly_join(spark, tmp_path):
+    """W7 stream-static join: micro-batches score against the
+    materialized normals table; a normals refresh between runs is picked
+    up by the next batch."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.streaming import stream_static_anomaly
+
+    src, sink = str(tmp_path / "src"), str(tmp_path / "sink")
+    _write_events(spark, src, day=1, n=6)  # users 0,1,2; values 0..5
+    normals_path = str(tmp_path / "normals")
+    spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "user_id long, normal_value double"
+    ).write.mode("overwrite").parquet(normals_path)
+
+    def run(ckpt):
+        normals = spark.read.parquet(normals_path)
+        q = (
+            stream_static_anomaly(file_stream(spark, src), normals)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.event_id): r for r in spark.read.parquet(sink).collect()}
+
+    out = run("c1")
+    assert len(out) == 6
+    # event 3 → user 0 (3 % 3), value 3.0, normal 1.0 → anomaly 2.0
+    assert out[3].normal_value == 1.0 and out[3].anomaly == 2.0
+    # refresh normals, new batch uses the new static side
+    spark.createDataFrame(
+        [(0, 10.0), (1, 20.0), (2, 30.0)], "user_id long, normal_value double"
+    ).write.mode("overwrite").parquet(normals_path)
+    _write_events(spark, src, day=2, n=3)
+    out2 = run("c1")
+    day2 = [r for r in out2.values() if r.ts.day == 2]
+    assert day2 and all(r.normal_value in (10.0, 20.0, 30.0) for r in day2)
