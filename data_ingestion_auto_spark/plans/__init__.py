@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     spatial,
     text,
     tpch_more,
+    udaf,
     windows,
     windows2,
 )
