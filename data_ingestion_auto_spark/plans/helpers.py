@@ -32,15 +32,18 @@ def _sum_sql(expr: str, alias: str, scale: int) -> str:
 
 
 def _avg_sql(expr: str, alias: str, scale: int, intdiv: str) -> str:
-    # Exact integer round-half-up of (sum / n) at `scale` decimals:
-    # work in micro-units (10^-6), round to multiples of m = 10^(6-scale).
+    # Exact integer round-half-away-from-zero of (sum / n) at `scale`
+    # decimals: work in micro-units (10^-6), round to multiples of
+    # m = 10^(6-scale). The division runs on |s| so Spark's `div`
+    # (truncate toward zero) and DuckDB's `//` (floor) agree even for
+    # negative sums (e.g. c_acctbal); the sign is reapplied in integer
+    # space afterwards.
     m = 10 ** (6 - scale)
     s = f"CAST(sum(CAST({expr} AS DECIMAL(38,6))) * 1000000 AS BIGINT)"
     n = f"count({expr})"
-    return (
-        f"CAST((((2 * {s} + {n} * {m}) {intdiv} (2 * {n} * {m})) * {m}) AS DOUBLE)"
-        f" / 1000000.0 AS {alias}"
-    )
+    sgn = f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
+    mag = f"((2 * abs({s}) + {n} * {m}) {intdiv} (2 * {n} * {m}))"
+    return f"CAST(({sgn} * {mag} * {m}) AS DOUBLE) / 1000000.0 AS {alias}"
 
 
 def dec_sum(expr: str, alias: str, scale: int = 2):

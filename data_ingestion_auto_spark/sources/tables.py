@@ -36,6 +36,10 @@ BROADCAST_TABLES = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver passes a vanilla session: every timezone-sensitive expression
+    # (timestamp_micros casts, unix_micros epochs, date_format over LTZ) must
+    # see UTC or the DuckDB hash comparison shifts on a non-UTC JVM default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The caller may hand us a vanilla session (the driver does); the
         # nanos-timestamp parquet type needs this runtime conf to scan.
