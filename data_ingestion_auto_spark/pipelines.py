@@ -120,6 +120,30 @@ def apply_params(grid: DataFrame, spec: PipelineSpec) -> DataFrame:
     return result
 
 
+def run_download_batch(
+    spark,
+    store,
+    urls: list[str],
+    landing_dir: str,
+    schema: str,
+) -> DataFrame:
+    """The ingest front door (S1/S4/S8): probe each URL for availability
+    (the reference's walk-back HEAD, client.py:25-57), stream-download the
+    available ones into the landing dir with gunzip-on-land
+    (utils.py:121-136, chirps :332-340), and open the landed files as a
+    DataFrame. Catalogs are small → probed driver-side like the reference
+    scheduler; payload bytes never transit the driver (the scan reads the
+    landed files executor-side).
+    """
+    from .sources.http_connector import land_files
+
+    available = [u for u in urls if store.head(u) is not None]
+    if not available:
+        return spark.createDataFrame([], schema)
+    paths = land_files(store, available, landing_dir, decompress=True)
+    return spark.read.schema(schema).csv(paths, header=True)
+
+
 def run_forecast_batch(
     grid: DataFrame,
     catalog: DataFrame,

@@ -177,3 +177,102 @@ def tile_listing_filter(spark, sf_dir):
         .distinct()
         .orderBy("fname")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1/S4/S8: the HTTP ingest front door, end-to-end at the query surface.
+
+
+def _ensure_remote_corpus(spark, sf_dir: str) -> str:
+    """Materialize a deterministic local "origin server" for the connector
+    round-trip query: the documents table exported as 4 gzipped CSV shards
+    under {base}/remote/data.example.com/corpus/. Built once per sf (atomic
+    rename, _SUCCESS marker) so bench repeats don't re-export."""
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_http_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(base, "remote", "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = (
+            T(spark, sf_dir, "documents")
+            .select("doc_id", F.length("text").alias("text_len"), F.md5("text").alias("digest"))
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        corpus = os.path.join(tmp, "remote", "data.example.com", "corpus")
+        os.makedirs(corpus)
+        for shard in range(4):
+            part = docs[docs.doc_id % 4 == shard]
+            body = "doc_id,text_len,digest\n" + "".join(
+                f"{r.doc_id},{r.text_len},{r.digest}\n" for r in part.itertuples()
+            )
+            with gzip.open(os.path.join(corpus, f"shard-{shard}.csv.gz"), "wb") as f:
+                f.write(body.encode())
+        open(os.path.join(tmp, "remote", "_SUCCESS"), "w").close()
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a concurrent-build race; the winner's copy is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+@query(
+    "http_landing_roundtrip",
+    oracle="""
+SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_digests,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("S1", "S4", "S8", "connector"),
+)
+def http_landing_roundtrip(spark, sf_dir):
+    """S1/S4/S8 end-to-end: a deterministic export of the documents table
+    is served from a local origin as gzipped CSV shards
+    (reference download path: ingest/utils.py:121-136 + gunzip
+    chirps_rainfall/__init__.py:332-340). The connector HEAD-probes five
+    candidate URLs (one 404s and is skipped — the walk-back probe,
+    client.py:25-57), stream-downloads + gunzips the four real shards into
+    the landing dir, scans them back, and re-aggregates. The oracle computes
+    the same statistics straight from the source table, so the hash match
+    proves download -> decompress -> scan is lossless."""
+    import os
+
+    from ..pipelines import run_download_batch
+    from ..sources.http_connector import LocalHttpStore
+
+    base = _ensure_remote_corpus(spark, sf_dir)
+    store = LocalHttpStore(os.path.join(base, "remote"))
+    urls = [f"http://data.example.com/corpus/shard-{i}.csv.gz" for i in range(5)]
+    landed = run_download_batch(
+        spark,
+        store,
+        urls,
+        os.path.join(base, "landing"),
+        "doc_id BIGINT, text_len BIGINT, digest STRING",
+    )
+    return (
+        landed.groupBy((F.col("doc_id") % 4).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("text_len").cast("bigint").alias("total_chars"),
+            F.countDistinct("digest").alias("n_distinct_digests"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )

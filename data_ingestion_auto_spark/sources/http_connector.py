@@ -1,0 +1,157 @@
+"""Local-filesystem simulation of the reference's HTTP ingest boundary
+(SURVEY S1 streaming download, S4 availability probe, S8 gzip decompress,
+S3 byte-range reads).
+
+The reference's front door is `requests.get(stream=True)` chunk-copied to a
+file (reference ingest/utils.py:121-136) with gzip decompression at the
+landing step (reference ingest/chirps_rainfall/__init__.py:332-340) and a
+walk-back HEAD probe for availability (reference
+ingest/ecmwf_opendata/client.py:25-57). The sandbox has no network, so the
+"origin server" here is a local directory tree keyed by URL host+path —
+every connector semantic (status probe, ranged GET, streamed chunks,
+gunzip-on-land, idempotent re-download) is real; only the socket is
+simulated. Swapping `LocalHttpStore` for a `requests`-backed store is a
+one-class change at this boundary and nothing in the data plane moves.
+
+Scale note: catalogs (file listings) are small and probed driver-side,
+exactly like the reference's scheduler. The *payload* fan-out is the
+distributed path: `fetch_bytes` downloads N urls inside `mapInPandas`, so
+1000 executors pull 1000 files concurrently and the bytes are born
+partitioned — the driver never holds file contents. Scan-time gzip needs no
+code at all: Spark's text/CSV/JSON readers decompress `.gz` natively (the
+codec is inferred from the extension), so landed `.csv.gz` files are
+directly queryable without an explicit decompress pass.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tempfile
+from collections.abc import Iterable, Iterator
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+
+class LocalHttpStore:
+    """A URL-addressed byte store over a local directory tree.
+
+    ``http://host/a/b.gz`` maps to ``{base_dir}/host/a/b.gz``. GET on a
+    missing path raises ``FileNotFoundError`` — the moral equivalent of
+    ``raise_for_status()`` on a 404 (reference ingest/utils.py:123-124).
+    """
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+
+    def path_for(self, url: str) -> str:
+        u = urlparse(url)
+        return os.path.join(self.base_dir, u.netloc, u.path.lstrip("/"))
+
+    def head(self, url: str) -> int | None:
+        """Availability probe (S4): content length, or None for a 404."""
+        p = self.path_for(url)
+        return os.path.getsize(p) if os.path.isfile(p) else None
+
+    def get(self, url: str, start: int | None = None, length: int | None = None) -> bytes:
+        """GET, optionally ranged (S3: the reference reads GRIB message
+        byte ranges out of .index files rather than whole files)."""
+        with open(self.path_for(url), "rb") as f:
+            if start:
+                f.seek(start)
+            return f.read(length) if length is not None else f.read()
+
+    def download_to_file(self, url: str, out_file: str, chunk_size: int = 8192) -> str:
+        """Streamed chunk copy (reference ingest/utils.py:129-136): constant
+        memory regardless of payload size."""
+        os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+        tmp = out_file + ".part"
+        with open(self.path_for(url), "rb") as src, open(tmp, "wb") as out:
+            while True:
+                chunk = src.read(chunk_size)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, out_file)  # atomic publish: no torn files on crash
+        return out_file
+
+    def download_file_temp(self, url: str, suffix: str | None = None) -> str:
+        """reference ingest/utils.py:121-127."""
+        tmp = tempfile.NamedTemporaryFile(delete=False, suffix=suffix)
+        tmp.close()
+        return self.download_to_file(url, tmp.name)
+
+
+def gunzip_file(gz_file: str, out_file: str) -> str:
+    """S8: decompress a landed .gz (reference
+    ingest/chirps_rainfall/__init__.py:336-340's gzip.open + copyfileobj)."""
+    tmp = out_file + ".part"
+    with gzip.open(gz_file, "rb") as src, open(tmp, "wb") as out:
+        shutil.copyfileobj(src, out)
+    os.replace(tmp, out_file)
+    return out_file
+
+
+def download_and_decompress(store: LocalHttpStore, url: str, out_file: str) -> str:
+    """Download; gunzip when the URL names a .gz (the CHIRPS tif.gz path,
+    reference ingest/chirps_rainfall/__init__.py:332-340)."""
+    if url.endswith(".gz"):
+        gz = store.download_file_temp(url, suffix=".gz")
+        try:
+            return gunzip_file(gz, out_file)
+        finally:
+            os.unlink(gz)
+    return store.download_to_file(url, out_file)
+
+
+def land_files(
+    store: LocalHttpStore,
+    urls: Iterable[str],
+    landing_dir: str,
+    decompress: bool = True,
+) -> list[str]:
+    """Idempotently land a small catalog of URLs (skip files already
+    present — the reference's skip-when-downloaded state gate, P11, at the
+    file granularity). Returns landed paths in url order."""
+    os.makedirs(landing_dir, exist_ok=True)
+    out: list[str] = []
+    for url in urls:
+        name = os.path.basename(urlparse(url).path)
+        if decompress and name.endswith(".gz"):
+            name = name[: -len(".gz")]
+        dest = os.path.join(landing_dir, name)
+        if not os.path.exists(dest):
+            if decompress:
+                download_and_decompress(store, url, dest)
+            else:
+                store.download_to_file(url, dest)
+        out.append(dest)
+    return out
+
+
+def fetch_bytes(urls_df: DataFrame, base_dir: str) -> DataFrame:
+    """Distributed download (the 100 TB path): each partition of URLs is
+    fetched by its own executor via Arrow-batched ``mapInPandas``; contents
+    are born distributed as a binary column and the driver never sees
+    payload bytes. Input: a DataFrame with a `url` string column.
+    Output: (url, status, content_length, content binary).
+    """
+    import pandas as pd
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        store = LocalHttpStore(base_dir)
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                try:
+                    body = store.get(url)
+                    rows.append((url, 200, len(body), body))
+                except FileNotFoundError:
+                    rows.append((url, 404, 0, None))
+            yield pd.DataFrame(rows, columns=["url", "status", "content_length", "content"])
+
+    return urls_df.select("url").mapInPandas(
+        fetch, "url string, status int, content_length bigint, content binary"
+    )
