@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     text,
     tpch_more,
     udaf,
+    warp,
     windows,
     windows2,
 )
