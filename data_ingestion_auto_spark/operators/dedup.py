@@ -127,15 +127,11 @@ def minhash_signature(sh: DataFrame, id_col: str = "doc_id", num_perm: int = 16)
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(
+def band_signature(
     sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the wide signature and emit candidate pairs sharing any band
-    bucket. band_hash = md5 of the band's minhashes in perm order —
-    computed as a plain projection over the wide columns (no collect_list).
-    The pair join is per (band, band_hash) bucket — linear candidate
-    generation, the LSH scale path.
-    """
+    """Explode the wide signature into (id, band, band_hash) rows; the
+    band_hash is md5 over the band's minhashes in perm order."""
     band_cols = F.array(
         *[
             F.struct(
@@ -147,18 +143,66 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
+
+
+def lsh_bucket_stats(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Observability for the hot-bucket cap: per-bucket member count and
+    whether it overflowed ``max_bucket`` (its pair tail was dropped by
+    ``lsh_candidates``). Pure count aggregate — never materializes ids."""
+    banded = band_signature(sig, id_col, bands, rows_per_band)
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n_members"))
+        .withColumn("overflow", F.col("n_members") > max_bucket)
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the wide signature and emit candidate pairs sharing any band
+    bucket. band_hash = md5 of the band's minhashes in perm order —
+    computed as a plain projection over the wide columns (no collect_list).
+    The pair join is per (band, band_hash) bucket — linear candidate
+    generation, the LSH scale path.
+
+    Hot-bucket cap: a pathological bucket (boilerplate shingles in a real
+    corpus — every near-identical page shares every band) would otherwise
+    aggregate an unbounded id array on one executor and expand O(n²) pairs.
+    Members are ranked per bucket (row_number over id — deterministic) and
+    only the first ``max_bucket`` survive BEFORE the collect, so both the
+    array and the pair expansion are bounded by construction; a bucket that
+    big is boilerplate, not near-duplication, so dropping its tail loses no
+    real signal. Overflow is observable via ``lsh_bucket_stats``.
+    """
+    banded = band_signature(sig, id_col, bands, rows_per_band)
     # Pairs via per-bucket array combinations, NOT a self-join: a self-join
     # re-executes the whole signature DAG for both sides and adds a
     # shuffle; collect_list computes it once and the pair expansion is a
-    # projection. Bucket sizes are bounded by LSH design (band collisions),
-    # so the per-row combination array stays small; a hot-bucket guard
-    # (size cap + salting) is the documented escape hatch for adversarial
-    # corpora.
+    # projection. The row_number window sorts within the same (band,
+    # band_hash) partitioning the groupBy needs, so the cap adds no extra
+    # shuffle — one exchange serves both.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash").orderBy(id_col)
+    capped = banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket
+    )
     buckets = (
-        banded.groupBy("band", "band_hash")
+        capped.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )

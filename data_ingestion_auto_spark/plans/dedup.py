@@ -97,9 +97,16 @@ banded AS (
   SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
          md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
   FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT doc_id, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= 1000
 )
 SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
-FROM banded b1 JOIN banded b2
+FROM capped b1 JOIN capped b2
   ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
 ORDER BY a, b
 """,

@@ -1,0 +1,45 @@
+"""LSH hot-bucket cap (VERDICT.md round-1 item #5): an adversarial
+boilerplate corpus (every doc shares its shingle set) must produce bounded
+bucket arrays and a bounded pair expansion; a normal corpus must be
+unchanged by the cap."""
+
+from __future__ import annotations
+
+from data_ingestion_auto_spark.operators import dedup as D
+
+
+def _sig(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return D.minhash_signature(D.shingles(df, k=3), num_perm=16)
+
+
+def test_boilerplate_corpus_is_capped(spark):
+    # 30 identical docs → every band bucket holds all 30 ids
+    sig = _sig(spark, [(i, "the same boilerplate text everywhere") for i in range(30)])
+    cap = 5
+    pairs = D.lsh_candidates(sig, max_bucket=cap).collect()
+    members = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    # only the `cap` smallest ids survive per bucket → C(5,2)=10 pairs
+    assert members == set(range(cap))
+    assert len(pairs) == cap * (cap - 1) // 2
+
+    stats = D.lsh_bucket_stats(sig, max_bucket=cap).collect()
+    assert all(r["n_members"] == 30 and r["overflow"] for r in stats)
+
+
+def test_normal_corpus_unchanged_by_cap(spark):
+    docs = [(i, f"document number {i} talks about topic {i % 7} in detail") for i in range(40)]
+    docs += [(100 + i, f"document number {i} talks about topic {i % 7} in detail!") for i in range(5)]
+    sig = _sig(spark, docs)
+    uncapped = {(r["a"], r["b"]) for r in D.lsh_candidates(sig, max_bucket=10**9).collect()}
+    capped = {(r["a"], r["b"]) for r in D.lsh_candidates(sig, max_bucket=1000).collect()}
+    assert capped == uncapped and len(capped) >= 5
+    assert not any(r["overflow"] for r in D.lsh_bucket_stats(sig).collect())
+
+
+def test_cap_is_deterministic_smallest_ids(spark):
+    sig = _sig(spark, [(i * 11, "identical content for determinism") for i in range(8)])
+    pairs = sorted(
+        (r["a"], r["b"]) for r in D.lsh_candidates(sig, max_bucket=3).collect()
+    )
+    assert pairs == [(0, 11), (0, 22), (11, 22)]
