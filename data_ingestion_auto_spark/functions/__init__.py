@@ -1,6 +1,7 @@
 from .scalars import (  # noqa: F401
     UnknownDataConvertOperation,
     clamp,
+    hmac_sha256,
     convert_data,
     next_month_start,
     pentad_of_day,

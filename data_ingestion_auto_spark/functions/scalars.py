@@ -42,6 +42,33 @@ def wind_speed(u: Column, v: Column) -> Column:
     return F.sqrt(u * u + v * v)
 
 
+def hmac_sha256(key: str | bytes, payload: Column) -> Column:
+    """F10: true HMAC-SHA256 over a string payload column — the reference
+    signs webhook POST bodies with ``hmac.new(secret, body, sha256)``
+    (reference ingest/__init__.py:98-101).
+
+    RFC 2104 ipad/opad construction as pure built-ins: the key is padded
+    (or pre-hashed when >64 bytes) driver-side into two literal 64-byte
+    XOR'd blocks, and the two SHA-256 passes run JVM-side on binary concat
+    — whole-stage codegen, no UDF, constant per-row cost at any scale.
+    Returns the lowercase hex digest (matching ``hexdigest()``).
+
+    Oracle note: not DuckDB-checkable — its ``sha256`` only accepts
+    VARCHAR and the inner digest is raw bytes; correctness is pinned by
+    the RFC 4231 / stdlib-hmac vectors in tests/test_functions.py.
+    """
+    import hashlib
+
+    kb = key.encode() if isinstance(key, str) else bytes(key)
+    if len(kb) > 64:  # RFC 2104: long keys are hashed first
+        kb = hashlib.sha256(kb).digest()
+    kb = kb.ljust(64, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in kb).hex()
+    opad = bytes(b ^ 0x5C for b in kb).hex()
+    inner_hex = F.sha2(F.concat(F.unhex(F.lit(ipad)), payload.cast("binary")), 256)
+    return F.lower(F.sha2(F.concat(F.unhex(F.lit(opad)), F.unhex(inner_hex)), 256))
+
+
 def clamp(col: Column, lo: float, hi: float) -> Column:
     """F8: coordinate clamp — reference raster_vector.py:15-23 clamps
     lon to [−180,180], lat to [−90,90]."""

@@ -152,10 +152,13 @@ ORDER BY o_orderkey
 )
 def webhook_payload_signatures(spark, sf_dir):
     """F10: webhook notification payloads with keyed digests (the
-    reference HMAC-SHA256-signs the POST body, ingest/__init__.py:98-101;
-    here a keyed sha256 over secret|body — the full HMAC ipad/opad dance
-    is a sink-side detail, not a data-plane op). Computed per partition at
-    the sink boundary; no shuffle."""
+    reference HMAC-SHA256-signs the POST body, ingest/__init__.py:98-101).
+    The real ipad/opad HMAC exists as ``functions.hmac_sha256`` (codegen,
+    stdlib-verified in tests/test_functions.py); THIS query's signature
+    column stays a keyed sha256 because DuckDB's sha256 is VARCHAR-only
+    and cannot hash the raw inner digest — the oracle checks the payload
+    shape + keyed-digest plumbing, the pytest vectors check true HMAC.
+    Computed per partition at the sink boundary; no shuffle."""
     od = T(spark, sf_dir, "orders")
     payload = F.format_string(
         '{"namespace":"ecmwf_forecast","date":"%s","key":%d}',

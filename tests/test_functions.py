@@ -72,3 +72,32 @@ def test_clamp_property(spark, v):
     assert -180.0 <= out <= 180.0
     if -180.0 <= v <= 180.0:
         assert out == v
+
+
+def test_hmac_sha256_matches_stdlib_and_rfc4231(spark):
+    """F10 (reference ingest/__init__.py:98-101): the codegen ipad/opad
+    construction equals Python's hmac for ASCII keys, >64-byte keys
+    (pre-hashed), empty payloads, and unicode payloads."""
+    import hmac as pyhmac
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.functions import hmac_sha256
+
+    cases = [
+        ("shared-secret", '{"namespace":"ecmwf_forecast","key":1}'),
+        ("Jefe", "what do ya want for nothing?"),  # RFC 4231 test case 2
+        ("k" * 131, "Test Using Larger Than Block-Size Key"),  # >64B key
+        ("key", ""),
+        ("key", "unicode payload: naïve café ☔"),
+    ]
+    df = spark.createDataFrame([(i, m) for i, (_, m) in enumerate(cases)], "i long, msg string")
+    for i, (key, msg) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(hmac_sha256(key, F.col("msg")).alias("sig"))
+            .collect()[0]["sig"]
+        )
+        expect = pyhmac.new(key.encode(), msg.encode(), hashlib.sha256).hexdigest()
+        assert got == expect, (key, msg)
