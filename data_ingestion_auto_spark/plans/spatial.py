@@ -207,3 +207,49 @@ def late_data_accounting(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "simplify_linestrings_fix",
+    oracle=None,  # Douglas-Peucker is iterative: not SQL-expressible; rows-only
+    tags=("U3", "geometry", "mapInPandas"),
+)
+def simplify_linestrings_fix(spark, sf_dir):
+    """U3 (reference raster_vector.py:25-38): per-user event tracks become
+    WKT linestrings (first 40 points in event order — bounded per-key
+    state); each is validated (is_simple) and, only when self-intersecting,
+    Douglas-Peucker-simplified at tolerance 0.001, then coordinate-clamped
+    — the reference's exact fix_geometry rule. Geometry stays a string
+    column; only per-line stats are returned. Correctness is pinned by the
+    property tests in tests/test_geometry.py (endpoint preservation,
+    tolerance band, simplicity detection)."""
+    from ..operators.geometry import simplify_linestrings
+
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (((F.col("value") * 7.3) % 360.0) - 180.0).alias("lon"),
+        (((F.col("value") * 3.7) % 180.0) - 90.0).alias("lat"),
+    )
+    lines = (
+        pts.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("event_id", "lon", "lat"))), 1, 40
+            ).alias("pts")
+        )
+        .filter(F.size("pts") >= 2)
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("LINESTRING ("),
+                F.expr("array_join(transform(pts, p -> format_string('%.6f %.6f', p.lon, p.lat)), ', ')"),
+                F.lit(")"),
+            ).alias("wkt"),
+        )
+    )
+    fixed = simplify_linestrings(lines, "wkt", tolerance=0.001)
+    return fixed.select("user_id", "was_simple", "n_points_in", "n_points_out").orderBy(
+        "user_id"
+    )
