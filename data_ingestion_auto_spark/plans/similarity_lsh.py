@@ -122,6 +122,97 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def _probe_union_sql() -> str:
+    """The query bucket plus its 8 Hamming-distance-1 neighbours, as a
+    UNION ALL (shared shape between DuckDB oracle and Spark SQL)."""
+    parts = ["SELECT query_id, qe, bucket AS probe FROM q"]
+    for j in range(_PLANES):
+        flip = (
+            f"substring(bucket, 1, {j}) || "
+            f"(CASE WHEN substring(bucket, {j + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substring(bucket, {j + 2})"
+        )
+        parts.append(f"SELECT query_id, qe, {flip} AS probe FROM q")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "ann_multiprobe_lsh",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM base WHERE vec_id < {_N_QUERIES}),
+probes AS ({_probe_union_sql()}),
+cand AS (
+  SELECT p.query_id, b.vec_id AS cand_id,
+         round(({_dot_sql('qe', 'b.embedding')})
+               / (sqrt({_norm_sql('qe')}) * sqrt({_norm_sql('b.embedding')})), 6) AS cosine
+  FROM probes p JOIN base b ON p.probe = b.bucket AND b.vec_id <> p.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM cand
+) t WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_multiprobe_lsh(spark, sf_dir):
+    """Multi-probe sign-LSH ANN (VERDICT round-1 item #8): each query
+    probes its own bucket PLUS the 8 buckets at Hamming distance 1 — the
+    classic multi-probe recall lever (Lv et al., VLDB'07) with the same
+    plan shape as single-probe: the probe set is a 9-row explode of the
+    (tiny, broadcast) query side, candidates remain one equi-join on the
+    bucket key, never all-pairs. Probe buckets are distinct, so no
+    candidate dedup is needed. Recall vs the brute-force ground truth is
+    asserted in tests/test_multiprobe_recall.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding", F.expr(_bucket_sql("embedding", spark=True)).alias("bucket")
+    )
+    q = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket"),
+    )
+    probe_cols = [F.col("bucket")] + [
+        F.concat(
+            F.expr(f"substring(bucket, 1, {j})"),
+            F.when(F.expr(f"substring(bucket, {j + 1}, 1)") == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.expr(f"substring(bucket, {j + 2})"),
+        )
+        for j in range(_PLANES)
+    ]
+    probes = q.select("query_id", "qe", F.explode(F.array(*probe_cols)).alias("probe"))
+    cand = (
+        base.join(F.broadcast(probes), base.bucket == probes.probe)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                F.expr(_dot_sql("qe", "embedding", spark=True))
+                / (
+                    F.sqrt(F.expr(_norm_sql("qe", spark=True)))
+                    * F.sqrt(F.expr(_norm_sql("embedding", spark=True)))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "tumbling_window_hourly",
     oracle="""
