@@ -68,3 +68,80 @@ def time_range_frame_rolling_count(spark, sf_dir):
         ev.select("event_id", "user_id", F.count("*").over(w).alias("n_last_hour"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "scd2_priority_history",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority, o_orderdate AS odate, o_orderkey,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+changes AS (
+  SELECT custkey, priority, odate, o_orderkey
+  FROM ordered WHERE prev IS NULL OR priority <> prev
+),
+versions AS (
+  SELECT custkey, priority,
+         strftime(odate, '%Y-%m-%d') AS valid_from,
+         strftime(lead(odate) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey),
+                  '%Y-%m-%d') AS valid_to,
+         (lead(odate) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey) IS NULL)
+           AS is_current
+  FROM changes
+),
+no_orders AS (
+  SELECT c_custkey AS custkey, 'NONE' AS priority, '1992-01-01' AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT * FROM versions
+UNION ALL
+SELECT * FROM no_orders
+ORDER BY custkey, valid_from, priority
+""",
+    tags=("scd2", "window", "anti-join", "union", "W9"),
+)
+def scd2_priority_history(spark, sf_dir):
+    """SCD2 slowly-changing-dimension build (VERDICT round-1 item #9, the
+    W9 incremental-upsert generalization): each customer's order-priority
+    timeline becomes type-2 version rows — consecutive duplicates dropped
+    via lag (change detection), validity intervals closed via lead
+    (valid_from/valid_to/is_current), and never-ordered customers get a
+    default current row via anti-join + union. The pattern composes only
+    shuffle-on-custkey windows and one broadcast-able anti-join — at scale
+    this is the standard Delta-less SCD2 merge shape.
+    """
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("custkey").orderBy("odate", "o_orderkey")
+    ordered = od.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("odate"),
+        "o_orderkey",
+    ).withColumn("prev", F.lag("priority").over(w))
+    changes = ordered.filter(F.col("prev").isNull() | (F.col("priority") != F.col("prev")))
+    lead_date = F.lead("odate").over(w)
+    versions = changes.select(
+        "custkey",
+        "priority",
+        F.date_format("odate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(lead_date, "yyyy-MM-dd").alias("valid_to"),
+        lead_date.isNull().alias("is_current"),
+    )
+    no_orders = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit("NONE").alias("priority"),
+            F.lit("1992-01-01").alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return versions.unionByName(no_orders).orderBy("custkey", "valid_from", "priority")
