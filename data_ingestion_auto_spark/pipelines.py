@@ -191,20 +191,38 @@ def run_anomaly_batch(
     """One CHIRPS-style anomaly batch (SURVEY §3.2): memoized climatology
     (W7: normals parquet written once, path committed under
     `monthly_normals.<MM>`), then broadcast anomaly join (J1).
+
+    The normal is built from HISTORY ONLY — periods strictly before the
+    scored month (the reference computes normals from past years'
+    rasters, chirps :239-275); including the scored month would bias the
+    anomaly toward zero. The memoized parquet carries a history-watermark
+    (max historical time at build); when new history arrives the watermark
+    moves and the normal is rebuilt instead of staying frozen forever.
     """
     spark = grid.sparkSession
     variable = spec.params[0].variable
     moy = int(month.split("-")[1])
     normals_key = f"monthly_normals.{moy:02d}"
+    watermark_key = f"{normals_key}.history_watermark"
+
+    history = grid.filter(
+        (F.col("variable") == variable) & (F.date_format("time", "yyyy-MM") < month)
+    )
+    # 1-row watermark read (driver-side by design, like the state gate)
+    hist_max = history.agg(F.max("time").alias("m")).collect()[0]["m"]
+    hist_wm = hist_max.strftime("%Y-%m-%dT%H:%M:%S") if hist_max else ""
+
     memoized = state.get(spec.dataset_id, normals_key)
-    if memoized:
+    if memoized and state.get(spec.dataset_id, watermark_key) == hist_wm:
         normal = spark.read.parquet(memoized)
     else:
-        normal = climatology_normal(normalize_nodata(grid), variable).filter(F.col("moy") == moy)
+        normal = climatology_normal(normalize_nodata(history), variable).filter(
+            F.col("moy") == moy
+        )
         path = f"{normals_path}/moy={moy:02d}"
         normal.write.mode("overwrite").parquet(path)
         normal = spark.read.parquet(path)
-        state.commit(spec.dataset_id, {normals_key: path})
+        state.commit(spec.dataset_id, {normals_key: path, watermark_key: hist_wm})
 
     current = normalize_nodata(
         grid.filter((F.col("variable") == variable) & (F.date_format("time", "yyyy-MM") == month))

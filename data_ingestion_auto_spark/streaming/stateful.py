@@ -27,33 +27,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DEDUP_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, first_seen boolean"
-DEDUP_STATE_SCHEMA = "seen array<bigint>"
+DEDUP_STATE_SCHEMA = "floor bigint, seen array<bigint>"
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
-    for pdf in pdfs:
-        for eid in pdf["event_id"]:
-            eid = int(eid)
-            out.append((key[0], eid, eid not in seen))
-            seen.add(eid)
-    state.update((list(seen),))
-    yield pd.DataFrame(out, columns=["user_id", "event_id", "first_seen"])
-
-
-def dedup_stream(events: DataFrame) -> DataFrame:
+def dedup_stream(
+    events: DataFrame, retention_ids: int = 100_000, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Stateful exactly-once-per-key marker: first_seen=False for event ids
     already processed in ANY earlier micro-batch (P11's incremental skip,
-    as per-record state)."""
+    as per-record state).
+
+    BOUNDED state (the round-1 advisor's unbounded-growth fix): per key the
+    state is (floor, seen) where ``seen`` holds at most ``retention_ids``
+    of the LARGEST ids observed and ``floor`` is the largest id ever
+    evicted — any id ≤ floor is treated as already-seen. That is exactly
+    watermark semantics (a replay older than the retention window counts
+    as a duplicate, the same verdict a watermark-dropping aggregate would
+    give it), keeps each micro-batch's state rewrite O(retention) instead
+    of O(history) for hot keys, and makes total state ∝ keys × retention,
+    not stream length. ``idle_timeout_ms`` additionally drops state for
+    keys silent that long (their next id — in a monotonic-id stream —
+    will be fresh anyway)."""
+
+    def _dedup_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["user_id", "event_id", "first_seen"])
+            return
+        floor, seen = (int(state.get[0]), set(state.get[1])) if state.exists else (-1, set())
+        out = []
+        for pdf in pdfs:
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                out.append((key[0], eid, eid > floor and eid not in seen))
+                if eid > floor:
+                    seen.add(eid)
+        if len(seen) > retention_ids:
+            ordered = sorted(seen)
+            floor = max(floor, ordered[-retention_ids - 1])
+            seen = set(ordered[-retention_ids:])
+        state.update((floor, sorted(seen)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "first_seen"])
+
     return events.groupBy("user_id").applyInPandasWithState(
         _dedup_fn,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

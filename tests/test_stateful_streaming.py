@@ -64,3 +64,26 @@ def test_running_anomaly_incremental_state(spark, tmp_path):
     out2 = _run(spark, running_anomaly_stream(file_stream(spark, src)), sink, ckpt)
     r3 = {r.event_id: r for r in out2}[3]
     assert r3.running_mean == 15.0 and r3.anomaly == 15.0
+
+
+def test_stateful_dedup_bounded_retention(spark, tmp_path):
+    """Advisor fix: state holds at most retention_ids of the largest seen
+    ids; an id at or below the eviction floor counts as a duplicate
+    (watermark semantics), a fresh id is still first_seen."""
+    src, ckpt, sink = str(tmp_path / "s2"), str(tmp_path / "c2"), str(tmp_path / "k2")
+    _write(spark, src, [(i, i) for i in range(10)])
+    stream = dedup_stream(file_stream(spark, src), retention_ids=4)
+    out1 = _run(spark, stream, sink, ckpt)
+    assert all(r.first_seen for r in out1) and len(out1) == 10
+
+    # retention=4 → floor=5 after batch 1: ids ≤ 5 are "seen" even though
+    # their exact membership was evicted; 7 is retained; 100 is fresh.
+    _write(spark, src, [(0, 0), (5, 5), (7, 7), (100, 100)])
+    out2 = _run(spark, dedup_stream(file_stream(spark, src), retention_ids=4), sink, ckpt)
+    by = {}
+    for r in out2:
+        by.setdefault(r.event_id, []).append(r.first_seen)
+    assert by[0] == [True, False]
+    assert by[5] == [True, False]
+    assert by[7] == [True, False]
+    assert by[100] == [True]
