@@ -245,3 +245,86 @@ def tumbling_window_hourly(spark, sf_dir):
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+_NEARDUP_T = 0.99
+
+
+@query(
+    "embedding_neardup_dedup",
+    oracle=f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000,
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.02], CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id < 20
+),
+base AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM aug),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(({_dot_sql('a.embedding', 'b.embedding')})
+              / (sqrt({_norm_sql('a.embedding')}) * sqrt({_norm_sql('b.embedding')})), 6)
+        >= {_NEARDUP_T}
+)
+SELECT m.vec_id,
+       coalesce(min(p.a), m.vec_id) AS keep_id,
+       (coalesce(min(p.a), m.vec_id) <> m.vec_id) AS is_dup
+FROM aug m LEFT JOIN pairs p ON p.b = m.vec_id
+GROUP BY m.vec_id
+ORDER BY m.vec_id
+""",
+    tags=("dedup", "similarity", "ann", "embedding"),
+)
+def embedding_neardup_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup — the vector-space tier of the
+    dedup ladder (exact → MinHash-LSH → SimHash → embedding cosine).
+    The corpus is augmented with 20 deterministic 2%-perturbed copies
+    (cosine ≈ 0.9998 to their originals — the fixture embeddings are
+    random, max natural cosine ≈ 0.51), candidate pairs come from the
+    sign-LSH bucket equi-join (linear, never all-pairs), survivors pass
+    the exact quantized-cosine ≥ 0.99 gate, and each vector's canonical is
+    its smallest near-dup neighbour (single-pass min-neighbour — the
+    standard one-round approximation of connected components; full CC is
+    iterative and out of SQL's reach). keep_id < vec_id marks the dup."""
+    emb = T(spark, sf_dir, "embeddings")
+    orig = emb.select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(element_at(embedding, 1) AS DOUBLE) * 1.02), "
+            "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
+        ).alias("embedding"),
+    )
+    aug = orig.unionByName(pert)
+    base = aug.select(
+        "vec_id", "embedding", F.expr(_bucket_sql("embedding", spark=True)).alias("bucket")
+    )
+    a = base.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket")
+    b = base.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.round(
+                F.expr(_dot_sql("ea", "eb", spark=True))
+                / (
+                    F.sqrt(F.expr(_norm_sql("ea", spark=True)))
+                    * F.sqrt(F.expr(_norm_sql("eb", spark=True)))
+                ),
+                6,
+            )
+            >= _NEARDUP_T
+        )
+        .select("a", "b")
+    )
+    return (
+        aug.join(F.broadcast(pairs), aug.vec_id == pairs.b, "left")
+        .groupBy("vec_id")
+        .agg(F.coalesce(F.min("a"), F.col("vec_id")).alias("keep_id"))
+        .select(
+            "vec_id", "keep_id", (F.col("keep_id") != F.col("vec_id")).alias("is_dup")
+        )
+        .orderBy("vec_id")
+    )
