@@ -1,0 +1,144 @@
+"""IVF (inverted-file) ANN tier: k-means-lite coarse quantizer + cluster
+probing — the third rung of the similarity ladder (brute-force → LSH
+buckets → IVF), for when bucket occupancy needs to follow the data
+distribution instead of fixed hyperplanes.
+
+Spark-first shape:
+
+- vectors are integer-quantized once (×10⁴, the same quantization as the
+  cosine queries) so every distance/centroid computation is exact bigint
+  arithmetic — k-means on floats is reduce-order nondeterministic across
+  runs/engines, k-means on ints is bit-stable anywhere;
+- each Lloyd iteration is: one broadcast of k centroids, one map-side
+  nearest-centroid assignment (zip_with/aggregate — codegen, no UDF), one
+  (cluster, dim) aggregation; centroids (k×dim ints — index METADATA, not
+  data) come back to the driver exactly like any ML model state;
+- probing: a query searches only its ``nprobe`` nearest clusters — the
+  candidate join is an equi-join on cluster id, linear in corpus size.
+
+The algorithm is iterative, so there is no SQL oracle (rows-only at the
+gate); correctness is pinned by tests/test_ivf.py (recall vs brute force,
+run-to-run determinism, centroid-update exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_QUANT = "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
+_DIST2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+
+
+def quantize(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return emb.select(F.col(id_col), F.expr(_QUANT.format(col=vec_col)).alias("qvec"))
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest centroid per vector: broadcast k centroids, map-side dist²,
+    deterministic argmin (ties → smallest cluster id)."""
+    d = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", F.expr(_DIST2.format(a="qvec", b="cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cluster_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "qvec", "cluster_id", "dist2")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroid = per-dimension integer mean (sum div count — exact,
+    order-independent) of the cluster's member vectors."""
+    dims = assigned.select("cluster_id", F.posexplode("qvec").alias("pos", "v"))
+    per_dim = dims.groupBy("cluster_id", "pos").agg(
+        (F.sum("v") / F.count("v")).cast("bigint").alias("cv")
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias("cvec")
+    )
+
+
+def kmeans_lite(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """Deterministic Lloyd iterations over quantized vectors. Init:
+    centroids = the k smallest ids (deterministic, engine-independent).
+    Returns (assignments DataFrame, centroid rows list). Centroids are
+    collected per iteration (k×dim ints) and re-broadcast — bounded model
+    state, the same pattern as MLlib's driver-held coefficients."""
+    spark = emb.sparkSession
+    vectors = quantize(emb, id_col, vec_col)
+    init = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cent_rows = [(i, list(r["qvec"])) for i, r in enumerate(init)]
+    for _ in range(iters):
+        centroids = spark.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
+        assigned = _assign(vectors, centroids, id_col)
+        cent_rows = [
+            (r["cluster_id"], list(r["cvec"])) for r in _update(assigned).collect()
+        ]
+        cent_rows.sort()
+    centroids = spark.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
+    return _assign(vectors, centroids, id_col), cent_rows
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: queries (the ``n_queries`` smallest ids) search only
+    their ``nprobe`` nearest clusters; exact quantized cosine ranks the
+    candidates. Output: (query_id, cand_id, cosine, rank)."""
+    spark = emb.sparkSession
+    assigned, cent_rows = kmeans_lite(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    centroids = spark.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
+
+    queries = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", F.expr(_DIST2.format(a="qq", b="cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist2", "cluster_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qq", "cluster_id")
+    )
+    dot = "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    nrm = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(
+                F.expr(dot)
+                / (F.sqrt(F.expr(nrm.format(v="qq"))) * F.sqrt(F.expr(nrm.format(v="qvec")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -328,3 +328,21 @@ def embedding_neardup_dedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "ann_ivf_probe",
+    oracle=None,  # iterative k-means: not SQL-expressible; rows-only
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_probe(spark, sf_dir):
+    """IVF ANN (operators/ivf.py): deterministic integer k-means-lite
+    coarse quantizer (k=8, 2 Lloyd iterations, init = smallest ids), then
+    each query probes its 2 nearest clusters and exact quantized cosine
+    ranks the candidates. Iterative → rows-only at the gate; recall vs the
+    brute-force ground truth and run-to-run determinism are pinned by
+    tests/test_ivf.py."""
+    from ..operators.ivf import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, n_queries=_N_QUERIES, k=8, iters=2, nprobe=2, topk=3)
