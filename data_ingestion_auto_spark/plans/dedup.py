@@ -167,3 +167,52 @@ def simhash_signatures(spark, sf_dir):
         .select("doc_id", "simhash", "bucket_size")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "chunk_exact_dedup",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(w[i * 12 + 1 : i * 12 + 12], ' ') AS chunk
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(w) / 12.0) AS INT) - 1)) AS i) s
+)
+SELECT md5(chunk) AS digest,
+       min(doc_id) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY 1
+ORDER BY digest
+""",
+    tags=("dedup", "chunk", "llm"),
+)
+def chunk_exact_dedup(spark, sf_dir):
+    """Sub-document (chunk-level) exact dedup — the paragraph-granularity
+    rung of the dedup ladder for corpora whose duplication is partial
+    (boilerplate headers, quoted passages): documents split into fixed
+    12-word chunks, digested, and inventoried by digest with the smallest
+    owning doc as canonical. Same linear hash-groupBy shape as doc-level
+    exact dedup; the explode multiplies rows by ~len/12 BEFORE the
+    shuffle, so the partial aggregation still combines map-side."""
+    docs = T(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 12.0) AS INT) - 1),"
+                " i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("digest")
+    )
