@@ -162,3 +162,36 @@ def start_windowed_aggregate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (the §2.9 surface beyond
+    stream-static): a right-side event matches a left-side event of the
+    same key when it lands within ``within`` AFTER it — e.g. purchase
+    within 1 h of click. Both sides carry watermarks so Spark can bound
+    the join state: a buffered left row is dropped once the right
+    watermark passes left.ts + within (state ∝ keys × window, not stream
+    length — the same bounded-state discipline as the stateful dedup
+    operator).
+
+    Output: key, left event id/ts, right event id/ts, seconds between.
+    """
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL {within}"
+    )
+    return lw.join(rw, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("r.ts").alias("right_ts"),
+        (F.unix_timestamp("r.ts") - F.unix_timestamp("l.ts")).alias("lag_seconds"),
+    )

@@ -176,3 +176,50 @@ def test_stream_static_anomaly_join(spark, tmp_path):
     out2 = run("c1")
     day2 = [r for r in out2.values() if r.ts.day == 2]
     assert day2 and all(r.normal_value in (10.0, 20.0, 30.0) for r in day2)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """§2.9 stream-stream: purchases join clicks of the same user within
+    1 h; the batch-mode equivalent of the same join proves the match set."""
+    import datetime as dt
+
+    from data_ingestion_auto_spark.streaming.incremental import (
+        file_stream,
+        stream_stream_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _rows(kind, spec):
+        return [
+            (eid, base + dt.timedelta(minutes=m), uid, kind, 1.0, "{}")
+            for eid, uid, m in spec
+        ]
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    clicks = _rows("click", [(1, 7, 0), (2, 7, 30), (3, 9, 0)])
+    buys = _rows("buy", [(101, 7, 45), (102, 9, 90), (103, 8, 10)])
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(src_l)
+    spark.createDataFrame(buys, schema).coalesce(1).write.parquet(src_r)
+
+    joined = stream_stream_interval_join(
+        file_stream(spark, src_l), file_stream(spark, src_r)
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.left_id, r.right_id, r.lag_seconds) for r in spark.read.parquet(sink).collect()}
+    # user 7: buy@45min matches click@0 (45') and click@30 (15'); user 9's
+    # buy@90min is outside 1h of click@0; user 8 has no click.
+    assert got == {(1, 101, 2700), (2, 101, 900)}
