@@ -163,3 +163,39 @@ def doc_fingerprints(spark, sf_dir):
         F.md5(F.substring("text", 1, 64)).alias("head_hash"),
         F.md5(F.expr("substr(text, greatest(length(text) - 63, 1), 64)")).alias("tail_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "bpe_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')), 6)
+         AS chars_per_token
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokens", "bpe"),
+)
+def bpe_token_stats(spark, sf_dir):
+    """BPE-style token counting: a GPT-2-ish pre-tokenizer regex
+    (space-prefixed letter runs | digit runs | punctuation runs | residual
+    whitespace) counts the units a byte-pair encoder would start from —
+    the standard fast token-budget estimator for training-data sizing.
+    Pure codegen regexp_extract_all; chars_per_token is the usual
+    compression diagnostic. Whitespace-split counts sit alongside for
+    comparison."""
+    docs = T(spark, sf_dir, "documents")
+    pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(F.length("text").cast("double") / n_bpe, 6).alias("chars_per_token"),
+    ).orderBy("doc_id")
