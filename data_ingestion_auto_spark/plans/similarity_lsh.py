@@ -62,6 +62,39 @@ def _norm_sql(a: str, spark: bool = False) -> str:
     return " + ".join(f"{_q(a, i, spark)} * {_q(a, i, spark)}" for i in range(_DIM))
 
 
+# --- Spark-side fast forms -------------------------------------------------
+# The inline 64-term expressions above are kept for the DuckDB oracles; the
+# Spark plans instead pre-project ONE quantized bigint array (qvec) and run
+# zip_with/aggregate over it — far lighter codegen (a handful of higher-order
+# calls instead of thousands of scalar subexpressions). Integer arithmetic is
+# associative and exact, so both forms are numerically IDENTICAL; parity is
+# unaffected.
+
+_QVEC = "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
+
+
+def _zip_dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def _bucket_from_qvec(col: str = "qvec") -> str:
+    bits = []
+    for j in range(_PLANES):
+        arr = "array(" + ", ".join(f"{s}L" for s in _SIGNS[j]) + ")"
+        bits.append(
+            f"CASE WHEN {_zip_dot(col, arr)} >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _cosine_col(a: str, b: str):
+    return F.round(
+        F.expr(_zip_dot(a, b))
+        / (F.sqrt(F.expr(_zip_dot(a, a))) * F.sqrt(F.expr(_zip_dot(b, b)))),
+        6,
+    )
+
+
 @query(
     "ann_lsh_bucketed",
     oracle=f"""
@@ -90,13 +123,14 @@ def ann_lsh_bucketed(spark, sf_dir):
     `embedding_cosine_topk`)."""
     emb = T(spark, sf_dir, "embeddings")
     base = emb.select(
-        "vec_id", "embedding", F.expr(_bucket_sql("embedding", spark=True)).alias("bucket")
-    )
+        "vec_id",
+        F.expr(_QVEC.format(col="embedding")).alias("qvec"),
+    ).withColumn("bucket", F.expr(_bucket_from_qvec("qvec")))
     q = (
         base.filter(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
+            F.col("qvec").alias("qe"),
             F.col("bucket"),
         )
     )
@@ -106,11 +140,7 @@ def ann_lsh_bucketed(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(
-                F.expr(_dot_sql("qe", "embedding", spark=True))
-                / (F.sqrt(F.expr(_norm_sql("qe", spark=True))) * F.sqrt(F.expr(_norm_sql("embedding", spark=True)))),
-                6,
-            ).alias("cosine"),
+            _cosine_col("qe", "qvec").alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -170,11 +200,12 @@ def ann_multiprobe_lsh(spark, sf_dir):
     asserted in tests/test_multiprobe_recall.py."""
     emb = T(spark, sf_dir, "embeddings")
     base = emb.select(
-        "vec_id", "embedding", F.expr(_bucket_sql("embedding", spark=True)).alias("bucket")
-    )
+        "vec_id",
+        F.expr(_QVEC.format(col="embedding")).alias("qvec"),
+    ).withColumn("bucket", F.expr(_bucket_from_qvec("qvec")))
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
+        F.col("qvec").alias("qe"),
         F.col("bucket"),
     )
     probe_cols = [F.col("bucket")] + [
@@ -194,14 +225,7 @@ def ann_multiprobe_lsh(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(
-                F.expr(_dot_sql("qe", "embedding", spark=True))
-                / (
-                    F.sqrt(F.expr(_norm_sql("qe", spark=True)))
-                    * F.sqrt(F.expr(_norm_sql("embedding", spark=True)))
-                ),
-                6,
-            ).alias("cosine"),
+            _cosine_col("qe", "qvec").alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -289,34 +313,25 @@ def embedding_neardup_dedup(spark, sf_dir):
     standard one-round approximation of connected components; full CC is
     iterative and out of SQL's reach). keep_id < vec_id marks the dup."""
     emb = T(spark, sf_dir, "embeddings")
-    orig = emb.select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    pert_vec = (
+        "concat(array(CAST(element_at(embedding, 1) AS DOUBLE) * 1.02), "
+        "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
+    )
+    orig = emb.select("vec_id", F.expr(_QVEC.format(col="embedding")).alias("qvec"))
     pert = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1000).alias("vec_id"),
         F.expr(
-            "concat(array(CAST(element_at(embedding, 1) AS DOUBLE) * 1.02), "
-            "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
-        ).alias("embedding"),
+            f"transform({pert_vec}, v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT))"
+        ).alias("qvec"),
     )
     aug = orig.unionByName(pert)
-    base = aug.select(
-        "vec_id", "embedding", F.expr(_bucket_sql("embedding", spark=True)).alias("bucket")
-    )
-    a = base.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket")
-    b = base.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket")
+    base = aug.withColumn("bucket", F.expr(_bucket_from_qvec("qvec")))
+    a = base.select(F.col("vec_id").alias("a"), F.col("qvec").alias("qa"), "bucket")
+    b = base.select(F.col("vec_id").alias("b"), F.col("qvec").alias("qb"), "bucket")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .filter(
-            F.round(
-                F.expr(_dot_sql("ea", "eb", spark=True))
-                / (
-                    F.sqrt(F.expr(_norm_sql("ea", spark=True)))
-                    * F.sqrt(F.expr(_norm_sql("eb", spark=True)))
-                ),
-                6,
-            )
-            >= _NEARDUP_T
-        )
+        .filter(_cosine_col("qa", "qb") >= _NEARDUP_T)
         .select("a", "b")
     )
     return (
