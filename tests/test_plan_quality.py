@@ -1,0 +1,75 @@
+"""Plan-quality regression tests: the properties that make these plans
+survive a 100× scale-up must stay visible in the physical plan — pushed
+scan filters, pruned read schemas, broadcast dimension joins, and the
+LSH cap's shuffle reuse. A refactor that silently breaks one of these
+still returns correct rows; these tests are what catches it."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(spark, df, mode="formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from data_ingestion_auto_spark import plans
+
+    return plans.REGISTRY
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir, registry):
+    p = _plan(spark, registry["q6_revenue_change"].spark(spark, sf_dir))
+    # range predicates reach the parquet scan...
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+    # ...and the scan reads only the 4 needed of lineitem's 16 columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in p
+    )
+
+
+def test_q3_all_three_scans_filtered_and_pruned(spark, sf_dir, registry):
+    p = _plan(spark, registry["q3_shipping_priority"].spark(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    assert "ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>" in p
+
+
+def test_flagship_broadcasts_every_dimension(spark, sf_dir, registry):
+    p = _plan(spark, registry["flagship_revenue_anomaly"].spark(spark, sf_dir), "simple")
+    # dims and normals broadcast; the only SortMergeJoin allowed is a
+    # fact-fact join (lineitem ⋈ orders)
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_lsh_cap_reuses_group_exchange(spark, registry):
+    """The hot-bucket cap's row_number window must share the (band,
+    band_hash) exchange with the bucket groupBy — exactly one such
+    exchange in the plan."""
+    from data_ingestion_auto_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} blah blah") for i in range(50)], "doc_id long, text string"
+    )
+    sig = D.minhash_signature(D.shingles(docs, k=3), num_perm=16)
+    p = _plan(spark, D.lsh_candidates(sig), "simple")
+    band_exchanges = [
+        line
+        for line in p.splitlines()
+        if "Exchange hashpartitioning(band" in line
+    ]
+    assert len(band_exchanges) == 1
+
+
+def test_no_row_udfs_anywhere(spark, sf_dir, registry):
+    """Zero row-at-a-time Python UDFs in any registered plan: the only
+    Python allowed is Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas
+    / MapInPandas nodes)."""
+    for name, q in registry.items():
+        p = _plan(spark, q.spark(spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in p, f"row UDF in {name}"
