@@ -275,3 +275,60 @@ def ordered_string_agg(spark, sf_dir):
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("regionkey")
     )
+
+
+@query(
+    "table_profile_lineitem",
+    oracle="""
+SELECT 'l_quantity' AS col, CAST(count(l_quantity) AS BIGINT) AS n_non_null,
+       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS min_val, CAST(max(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+       CAST(count(*) - count(l_discount) AS BIGINT),
+       CAST(count(DISTINCT l_discount) AS BIGINT),
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', CAST(count(l_linenumber) AS BIGINT),
+       CAST(count(*) - count(l_linenumber) AS BIGINT),
+       CAST(count(DISTINCT l_linenumber) AS BIGINT),
+       CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE)
+FROM lineitem
+ORDER BY col
+""",
+    tags=("profile", "quality", "llm"),
+)
+def table_profile_lineitem(spark, sf_dir):
+    """Dataset profiling — the first pass of any ingest/quality pipeline:
+    per-column non-null/null/distinct counts and min/max, emitted long
+    (one row per column). All three column profiles compute in ONE scan
+    (single multi-aggregate), then unpivot via stack — not one scan per
+    column; at 100 TB that difference is the whole game."""
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("l_quantity").alias("nn_q"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("nu_q"),
+        F.countDistinct("l_quantity").alias("nd_q"),
+        F.min("l_quantity").cast("double").alias("mn_q"),
+        F.max("l_quantity").cast("double").alias("mx_q"),
+        F.count("l_discount").alias("nn_d"),
+        F.count(F.when(F.col("l_discount").isNull(), 1)).alias("nu_d"),
+        F.countDistinct("l_discount").alias("nd_d"),
+        F.min("l_discount").cast("double").alias("mn_d"),
+        F.max("l_discount").cast("double").alias("mx_d"),
+        F.count("l_linenumber").alias("nn_l"),
+        F.count(F.when(F.col("l_linenumber").isNull(), 1)).alias("nu_l"),
+        F.countDistinct("l_linenumber").alias("nd_l"),
+        F.min("l_linenumber").cast("double").alias("mn_l"),
+        F.max("l_linenumber").cast("double").alias("mx_l"),
+    )
+    return agg.selectExpr(
+        "stack(3, "
+        "'l_quantity', nn_q, nu_q, nd_q, mn_q, mx_q, "
+        "'l_discount', nn_d, nu_d, nd_d, mn_d, mx_d, "
+        "'l_linenumber', nn_l, nu_l, nd_l, mn_l, mx_l) "
+        "AS (col, n_non_null, n_null, n_distinct, min_val, max_val)"
+    ).orderBy("col")

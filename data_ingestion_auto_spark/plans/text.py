@@ -199,3 +199,47 @@ def bpe_token_stats(spark, sf_dir):
         F.length("text").cast("bigint").alias("n_chars"),
         F.round(F.length("text").cast("double") / n_bpe, 6).alias("chars_per_token"),
     ).orderBy("doc_id")
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+WITH marked AS (
+  SELECT lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3') AS sampled
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
+       round(CAST(count(*) FILTER (WHERE sampled) AS DOUBLE) / count(*), 6) AS sample_rate
+FROM marked
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text", "sampling", "llm"),
+)
+def stratified_sample_documents(spark, sf_dir):
+    """Deterministic stratified sampling — the training-data mixing
+    primitive. Membership is a pure function of the row key (first md5
+    hex nibble in 0-3 → ~25% expected rate), so the sample is stable
+    across runs, engines, partitionings, and retries — unlike
+    df.sample(), whose output depends on partition layout. Per-stratum
+    (lang) realized rates are reported; at scale this is a map-only
+    filter with a small aggregate."""
+    docs = T(spark, sf_dir, "documents")
+    sampled = F.expr(
+        "substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1', '2', '3')"
+    )
+    return (
+        docs.select("lang", sampled.alias("sampled"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("sampled"), 1)).alias("n_sampled"),
+            F.round(
+                F.count(F.when(F.col("sampled"), 1)).cast("double") / F.count("*"), 6
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
