@@ -243,3 +243,71 @@ def stratified_sample_documents(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(text) AS digest,
+         (len(string_split(text, ' ')) >= 20
+          AND CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+              / length(text) > 0.8) AS is_keep
+  FROM documents
+),
+flagged AS (
+  SELECT *, row_number() OVER (PARTITION BY is_keep, digest ORDER BY doc_id) AS rn
+  FROM scored
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE is_keep) AS BIGINT) AS n_keep,
+       CAST(count(*) FILTER (WHERE is_keep AND rn = 1) AS BIGINT) AS n_canonical,
+       CAST(coalesce(sum(n_tokens) FILTER (WHERE is_keep AND rn = 1), 0) AS BIGINT)
+         AS tokens_kept
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text", "quality", "dedup", "pipeline", "llm"),
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The end-to-end corpus-curation composition — quality gate →
+    exact dedup → per-language yield accounting — in ONE plan: the shape
+    every pre-training data pipeline runs nightly. One scan computes the
+    quality flag and content digest; one window picks the canonical doc
+    per (flag, digest); one aggregate reports per-language docs in /
+    quality-kept / post-dedup / token yield. Two shuffles total (window +
+    final group) regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    clean_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double") / F.length("text")
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.md5("text").alias("digest"),
+        ((n_tokens >= 20) & (clean_ratio > 0.8)).alias("is_keep"),
+    )
+    w = W.partitionBy("is_keep", "digest").orderBy("doc_id")
+    flagged = scored.withColumn("rn", F.row_number().over(w))
+    kept = F.col("is_keep")
+    canon = kept & (F.col("rn") == 1)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_keep"),
+            F.count(F.when(canon, 1)).alias("n_canonical"),
+            F.coalesce(F.sum(F.when(canon, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
