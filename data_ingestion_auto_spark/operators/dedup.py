@@ -215,3 +215,57 @@ def lsh_candidates(
         ).alias("p")
     ).select("p.a", "p.b")
     return pairs.distinct()
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 10
+) -> DataFrame:
+    """Connected components over a near-dup pair list via iterative
+    min-label propagation: every node starts labeled with itself; each
+    round a node takes the minimum label in its closed neighbourhood;
+    convergence when a round changes nothing (≤ graph diameter rounds, and
+    near-dup graphs are shallow — cliques and short chains).
+
+    The canonical-assignment operator the single-pass min-neighbour
+    approximation (embedding_neardup_dedup) converges to. Each round is
+    one join + one groupBy, both keyed on node id; labels persist between
+    rounds so the lineage doesn't re-execute. Beyond SQL's reach
+    (iterative) → rows-only at the oracle gate, pinned by pytest on known
+    graphs.
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).persist()
+    for _ in range(max_iter):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -216,3 +216,35 @@ def chunk_exact_dedup(spark, sf_dir):
         )
         .orderBy("digest")
     )
+
+
+@query(
+    "neardup_components",
+    oracle=None,  # iterative label propagation: not SQL-expressible; rows-only
+    tags=("dedup", "minhash", "lsh", "components", "llm"),
+)
+def neardup_components(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation,
+    operators/dedup.py::connected_components) → one canonical id per
+    near-dup GROUP, not per pair — the assignment a dedup pipeline
+    actually applies. Transitive chains (A~B, B~C but A≁C in LSH) resolve
+    to one component, which no single SQL pass can express; correctness
+    is pinned by pytest on known chain/island graphs. Output: every doc
+    in a component of size > 1, its component id, and the component
+    size."""
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    comp = D.connected_components(pairs)
+    return (
+        comp.withColumn("component_size", F.count("*").over(W.partitionBy("component")))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("component_id"),
+            "component_size",
+        )
+        .orderBy("doc_id")
+    )

@@ -43,3 +43,23 @@ def test_cap_is_deterministic_smallest_ids(spark):
         (r["a"], r["b"]) for r in D.lsh_candidates(sig, max_bucket=3).collect()
     )
     assert pairs == [(0, 11), (0, 22), (11, 22)]
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_vs_single_pass(spark):
+    """The iterative operator must refine the one-round min-neighbour: in
+    a chain 5-6, 6-7, single-pass leaves 7→6 while CC resolves 7→5."""
+    pairs = spark.createDataFrame([(5, 6), (6, 7)], "a long, b long")
+    cc = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert cc == {5: 5, 6: 5, 7: 5}
