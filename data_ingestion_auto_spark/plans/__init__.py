@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     spatial,
     text,
     tpch_more,
+    tpch_more3,
     udaf,
     warp,
     windows,

@@ -1,0 +1,488 @@
+"""Second batch of classic relational shapes (SURVEY §2.4 general surface):
+multi-dim star joins (Q5/Q8), bidirectional nation-pair volume (Q7),
+returned-item top-k (Q10), outer-join distribution (Q13), argmax-subquery
+(Q15), correlated-average filter (Q17), disjunctive predicates (Q19), and
+EXISTS/NOT-EXISTS decorrelation (Q21/Q22 variants on available columns —
+the fixture has no partsupp/receiptdate/phone, so Q21 pivots on
+``l_returnflag`` and Q22 on positive-balance average + orderless
+customers).
+
+All float aggregates follow the DECIMAL(38,6) parity convention in
+``helpers``; threshold comparisons (Q17/Q22) run in exact BIGINT
+micro-units so both engines decide borderline rows identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .helpers import REVENUE, T, dec_sum, sql_dec_sum
+from .registry import query
+
+_TS = "TIMESTAMP '{} 00:00:00'"
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name, {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= {_TS.format('1996-01-01')}
+  AND o.o_orderdate < {_TS.format('1997-01-01')}
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("tpch", "join", "agg", "star"),
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """Q5 shape: 6-way star with a same-nation conjunct between two dims.
+    The two fact joins (orders, customer) shuffle on their keys; supplier
+    /nation/region broadcast. The date filter prunes the orders scan, and
+    region restriction flows into the broadcast nation list before any
+    fact row is touched."""
+    od = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    su = T(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, (od.o_custkey == cu.c_custkey) & (su.s_nationkey == cu.c_nationkey))
+        .groupBy("n_name")
+        .agg(dec_sum(REVENUE, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q7_nation_pair_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= {_TS.format('1996-01-01')}
+  AND l.l_shipdate < {_TS.format('1998-01-01')}
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("tpch", "join", "agg", "disjunctive"),
+)
+def q7_nation_pair_volume(spark, sf_dir):
+    """Q7 shape: bidirectional nation-pair trade volume by year. Both dim
+    sides are pre-restricted to the two nations BEFORE the fact joins, so
+    the lineitem⋈supplier broadcast semi-filters ~2/25 of rows up front;
+    the pair disjunction then reduces to excluding the two same-nation
+    combinations after the cheap joins."""
+    pair = ["NATION_1", "NATION_2"]
+    na = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    su = T(spark, sf_dir, "supplier").join(
+        F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cu = T(spark, sf_dir, "customer").join(
+        F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    od = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dec_sum(REVENUE, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+WITH vols AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= {_TS.format('1996-01-01')}
+    AND o.o_orderdate < {_TS.format('1998-01-01')}
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE), 4) AS mkt_share
+FROM vols
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("tpch", "join", "agg", "ratio"),
+)
+def q8_market_share(spark, sf_dir):
+    """Q8 shape: one nation's share of a filtered market by year. Both the
+    numerator and denominator sum exact decimals in ONE aggregate pass
+    (conditional sum), then a single double divide — no second scan or
+    self-join for the ratio. Part/supplier/nation/region broadcast; the
+    only shuffles are the two fact joins."""
+    pa = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    od = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey).select("n_nationkey")
+    cu = T(spark, sf_dir, "customer").join(
+        F.broadcast(eu_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    vol = F.expr(f"CAST({REVENUE} AS DECIMAL(38,6))")
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n2), su.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q10_returned_item_customers",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= {_TS.format('1996-01-01')}
+  AND o.o_orderdate < {_TS.format('1996-04-01')}
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q10_returned_item_customers(spark, sf_dir):
+    """Q10 shape: top-20 customers by returned-item revenue in a quarter.
+    The aggregate groups on the customer key plus functionally-dependent
+    attributes; TakeOrderedAndProject keeps the top-k without a full sort.
+    Tie-broken by c_custkey so the LIMIT is deterministic."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    na = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(REVENUE, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM co
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("tpch", "outer-join", "agg", "distribution"),
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """Q13 shape: order-count-per-customer histogram via LEFT OUTER join
+    with an extra join-side predicate (filtered BEFORE the join, so
+    customers whose only orders are urgent still count as zero). Second
+    aggregate is tiny (distinct counts), so the plan is one real shuffle
+    plus a cheap re-shuffle."""
+    cu = T(spark, sf_dir, "customer").select("c_custkey")
+    od = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= {_TS.format('1996-01-01')}
+    AND l_shipdate < {_TS.format('1996-04-01')}
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+    tags=("tpch", "agg", "argmax", "subquery"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """Q15 shape: supplier(s) achieving the max quarterly revenue. The
+    per-supplier aggregate computes once; its global max is a scalar agg
+    broadcast back (no self-join on the raw fact, no single-partition
+    window). Equality compares the convention's bit-identical rounded
+    doubles."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(REVENUE, "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(su), F.col("supplier_no") == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH agg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_u,
+         count(*) AS cnt
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT count(*) AS n_small, {sql_dec_sum("l.l_extendedprice", "total_price")}
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN agg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND 5 * CAST(CAST(l.l_quantity AS DECIMAL(38,6)) * 1000000 AS BIGINT) * a.cnt < a.sum_u
+""",
+    tags=("tpch", "agg", "correlated", "subquery"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: lineitems below 20% of their part's average quantity.
+    Decorrelated: one per-part aggregate (restricted by a semi-join to the
+    brand's parts — equivalent to the oracle's agg-then-join because the
+    join keeps only those parts), re-joined on the same key so the two
+    shuffles share partitioning. The threshold compares in exact BIGINT
+    micro-units: qty*5*cnt < sum, no float rounding on either engine."""
+    pa = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    agg = brand_li.groupBy("l_partkey").agg(
+        F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT)").alias("sum_u"),
+        F.count("*").alias("cnt"),
+    )
+    qty_u = F.expr("CAST(CAST(l_quantity AS DECIMAL(38,6)) * 1000000 AS BIGINT)")
+    return (
+        brand_li.join(agg, "l_partkey")
+        .filter(F.lit(5) * qty_u * F.col("cnt") < F.col("sum_u"))
+        .agg(F.count("*").alias("n_small"), dec_sum("l_extendedprice", "total_price"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT count(*) AS n, {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("tpch", "join", "disjunctive"),
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """Q19 shape: OR-of-conjunctions mixing build-side (brand/size) and
+    probe-side (quantity) predicates. The part side pre-filters to the
+    union of brand/size branches (a derivable implied predicate Catalyst
+    doesn't infer across OR), then the full disjunction applies after the
+    broadcast join."""
+    pa = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")) & F.col("p_size").between(1, 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(cond)
+        .agg(F.count("*").alias("n"), dec_sum(REVENUE, "revenue"))
+    )
+
+
+@query(
+    "q21_lone_returning_supplier",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("tpch", "exists", "anti", "decorrelated"),
+)
+def q21_lone_returning_supplier(spark, sf_dir):
+    """Q21 shape (returnflag variant — the fixture has no receiptdate):
+    suppliers who were the ONLY supplier with returned lines in
+    multi-supplier finished orders. Both EXISTS subqueries decorrelate
+    into ONE per-order aggregate (distinct suppliers, distinct returning
+    suppliers); a qualifying l1 row has returnflag R, n_supp > 1 and
+    n_rsupp == 1 — its supplier is then necessarily the lone returner.
+    All three joins share the orderkey shuffle partitioning."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_rsupp"),
+    )
+    od = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(od, l1.l_orderkey == od.o_orderkey)
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1))
+        .join(F.broadcast(su), l1.l_suppkey == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle=f"""
+WITH thr AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_u,
+         count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name, count(*) AS numcust, {sql_dec_sum("c.c_acctbal", "totacctbal")}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN thr
+WHERE CAST(CAST(c.c_acctbal AS DECIMAL(38,6)) * 1000000 AS BIGINT) * thr.cnt > thr.sum_u
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    tags=("tpch", "anti", "subquery", "agg"),
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """Q22 shape (no c_phone in the fixture, so grouped by nation):
+    customers above the average positive balance who never ordered. The
+    scalar threshold broadcasts from a one-row aggregate; the comparison
+    runs in exact BIGINT micro-units (acctbal*cnt > sum) so no float
+    average is materialized on either engine. The NOT EXISTS is a
+    left-anti against the filtered orders customer-key projection (every
+    fixture customer has SOME order, so the shape pivots on priority)."""
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    thr = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) * 1000000 AS BIGINT)").alias("sum_u"),
+        F.count("*").alias("cnt"),
+    )
+    od = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    na = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bal_u = F.expr("CAST(CAST(c_acctbal AS DECIMAL(38,6)) * 1000000 AS BIGINT)")
+    return (
+        cu.crossJoin(F.broadcast(thr))
+        .filter(bal_u * F.col("cnt") > F.col("sum_u"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .join(F.broadcast(na), F.col("c_nationkey") == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("numcust"), dec_sum("c_acctbal", "totacctbal"))
+        .orderBy("n_name")
+    )
