@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     analytics,
     core,
     dedup,
+    events_analytics,
     joins2,
     multimodal,
     scalars,
@@ -17,6 +18,7 @@ from . import (  # noqa: F401
     sources_ops,
     spatial,
     text,
+    timeseries,
     tpch_more,
     tpch_more3,
     udaf,

@@ -1,0 +1,137 @@
+"""Event-stream analytics: funnel, cohort retention, decile profiling.
+
+These are the classic product-analytics shapes over the events fixture —
+the batch counterparts of the streaming sessionization/window operators
+(`streaming/incremental.py`), and the kind of corpus-interaction analysis
+a training-data pipeline runs over usage logs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_purchase_after_click
+""",
+    tags=("events", "funnel", "sequence"),
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered-sequence funnel: users whose earliest view precedes a
+    click precedes a purchase. Each stage is one filtered aggregate
+    joined on user_id — all three stages and their joins share the
+    user_id shuffle partitioning, so the funnel is one exchange deep
+    regardless of stage count (no per-user event sorting, no window)."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "cohort_daily_retention",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM firstday f JOIN activity a ON f.user_id = a.user_id
+WHERE datediff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+GROUP BY f.cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""",
+    tags=("events", "cohort", "retention"),
+)
+def cohort_daily_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent active day (offset 0-7). The first-day
+    aggregate, the distinct-activity aggregate, and their join all
+    partition on user_id (one exchange reused three times); the final
+    (cohort, offset) rollup is tiny."""
+    ev = T(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    firstday = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    off = F.datediff("day", "cohort_day")
+    return (
+        firstday.join(activity, "user_id")
+        .filter(off.between(0, 7))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            off.alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "order_value_deciles",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM t GROUP BY decile ORDER BY decile
+""",
+    tags=("analytics", "ntile", "profile"),
+)
+def order_value_deciles(spark, sf_dir):
+    """Exact decile profile of order values via global ntile with a
+    deterministic (price, key) total order. The global window is the
+    exact-tiling oracle; at 100 TB the same profile comes from
+    approx_percentile bounds + a binned aggregate (no global sort), with
+    this query as its correctness reference — the tiering mirrors the
+    ngram-jaccard / LSH split in the dedup ladder."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -311,3 +311,59 @@ def corpus_curation_pipeline(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "distinctive_terms_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, CAST(t.tf AS DOUBLE) / d.df AS score
+  FROM tf t JOIN df d ON t.term = d.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, score DESC, term
+""",
+    tags=("text", "tfidf", "topk"),
+)
+def distinctive_terms_topk(spark, sf_dir):
+    """TF-IDF-style distinctive-term extraction: per-document top-3 terms
+    by term-frequency / document-frequency ratio (a log-free IDF variant
+    whose single IEEE division is bit-identical across engines — ln() is
+    not). Two aggregates shuffle on (doc_id, term) and (term); the
+    corpus-wide DF table joins back on term so both sides share the term
+    partitioning; the top-k window partitions by doc_id with a
+    deterministic (score, term) tie-break. At 100 TB this is the standard
+    two-pass distributed TF-IDF with no driver-side state."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("doc_id", F.lower("t").alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id", "term", "tf", "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id", F.desc("score"), "term")
+    )
