@@ -73,3 +73,44 @@ def test_no_row_udfs_anywhere(spark, sf_dir, registry):
     for name, q in registry.items():
         p = _plan(spark, q.spark(spark, sf_dir), "simple")
         assert "BatchEvalPython" not in p, f"row UDF in {name}"
+
+
+def test_runtime_bloom_filter_injects_at_scale(spark, sf_dir):
+    """At 100 TB the fact-side scan exceeds Spark's 10 GiB
+    applicationSideScanSizeThreshold and Catalyst injects a runtime Bloom
+    filter (semi-join reduction) on the shuffle join key — provided the
+    plan is declarative. Pin that: with the size gate lowered to what the
+    local fixture scans (and broadcast off so the join actually
+    shuffles), the optimized plan must contain bloom_filter_agg on the
+    selective side and might_contain on the fact side."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.sources.tables import load_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
