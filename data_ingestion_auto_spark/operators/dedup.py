@@ -228,20 +228,26 @@ def connected_components(
 
     The canonical-assignment operator the single-pass min-neighbour
     approximation (embedding_neardup_dedup) converges to. Each round is
-    one join + one groupBy, both keyed on node id; labels persist between
-    rounds so the lineage doesn't re-execute. Beyond SQL's reach
+    one join + one groupBy, both keyed on node id. Beyond SQL's reach
     (iterative) → rows-only at the oracle gate, pinned by pytest on known
     graphs.
+
+    Labels are ``localCheckpoint``-ed each round: persist() alone keeps
+    the full logical lineage, which doubles in depth every iteration —
+    at sf0.1 the uncheckpointed loop built a 2 GiB plan string and OOMed
+    the driver before any task ran. Lineage truncation is mandatory for
+    every iterative DataFrame algorithm; on a real cluster use a
+    reliable ``checkpoint()`` dir so executor loss can't drop blocks.
 
     Returns (node, component) where component = min node id reachable.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = edges.distinct().persist()
+    edges = edges.distinct().localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -256,16 +262,14 @@ def connected_components(
                     "label"
                 ),
             )
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
