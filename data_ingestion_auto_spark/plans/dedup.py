@@ -248,3 +248,83 @@ def neardup_components(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "chunk_minhash_neardup",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id * 1000 + i AS chunk_key,
+         array_to_string(w[i * 12 + 1 : i * 12 + 12], ' ') AS chunk
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(w) / 12.0) AS INT) - 1)) AS i) s
+),
+pos AS (
+  SELECT chunk_key, chunk, unnest(generate_series(1, greatest(length(chunk) - 4, 1))) AS i
+  FROM chunks
+),
+sh AS (SELECT DISTINCT chunk_key, substr(chunk, i, 5) AS shingle FROM pos),
+perms AS (SELECT chunk_key, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT chunk_key, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT chunk_key, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY chunk_key, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT chunk_key, band, band_hash FROM (
+    SELECT chunk_key, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY chunk_key) AS rn
+    FROM banded
+  ) WHERE rn <= 1000
+),
+cpairs AS (
+  SELECT DISTINCT b1.chunk_key AS a, b2.chunk_key AS b
+  FROM capped b1 JOIN capped b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.chunk_key < b2.chunk_key
+)
+SELECT a // 1000 AS doc_a, b // 1000 AS doc_b, count(*) AS n_chunk_pairs
+FROM cpairs WHERE a // 1000 <> b // 1000
+GROUP BY a // 1000, b // 1000
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "minhash", "lsh", "chunk", "llm"),
+)
+def chunk_minhash_neardup(spark, sf_dir):
+    """Chunk-granularity MinHash-LSH: near-dup detection for PARTIAL
+    duplication (quoted passages, shared boilerplate) that doc-level
+    signatures dilute away. Documents split into 12-word chunks keyed
+    ``doc_id*1000 + idx``; each chunk gets its own 16-perm signature and
+    4×4 LSH banding via the same operators as the doc tier — the whole
+    ladder (exact → chunk-exact → doc-LSH → chunk-LSH) reuses one
+    engine. Output: cross-document pairs ranked by how many chunk-level
+    near-dup links connect them. Same linear shuffle structure as
+    ``minhash_lsh_candidates``, just on ~len/12× more keys — at 100 TB
+    the chunk tier costs one more explode, not a new algorithm."""
+    docs = T(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 12.0) AS INT) - 1),"
+                " i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    ).select((F.col("doc_id") * 1000 + F.col("idx")).alias("chunk_key"), "chunk")
+    sig = D.minhash_signature(
+        D.shingles(chunks, id_col="chunk_key", text_col="chunk"), id_col="chunk_key", num_perm=16
+    )
+    pairs = D.lsh_candidates(sig, id_col="chunk_key", bands=4, rows_per_band=4)
+    return (
+        pairs.filter(F.expr("a div 1000") != F.expr("b div 1000"))
+        .groupBy(
+            F.expr("a div 1000").alias("doc_a"),
+            F.expr("b div 1000").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_chunk_pairs"))
+        .orderBy("doc_a", "doc_b")
+    )
