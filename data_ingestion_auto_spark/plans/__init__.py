@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     events_analytics,
     joins2,
     multimodal,
+    relational2,
     scalars,
     setops,
     similarity,
