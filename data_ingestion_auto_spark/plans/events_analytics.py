@@ -135,3 +135,39 @@ def order_value_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "order_value_deciles_binned",
+    oracle=None,  # approximate bin edges: rows-only; pytest cross-checks vs the exact ntile
+    tags=("analytics", "approx", "profile", "scale-tier"),
+)
+def order_value_deciles_binned(spark, sf_dir):
+    """The 100 TB tier of `order_value_deciles`: decile EDGES from
+    percentile_approx (one pass, mergeable sketch, no global sort), bin
+    assignment as a pure column expression over the 9 collected edge
+    values (bounded driver-held model state, the IVF-centroid pattern),
+    then an ordinary partial-aggregating groupBy. No single-partition
+    window anywhere. tests/test_deciles.py asserts the binned profile
+    tracks the exact ntile one (counts within tolerance, edges
+    bracketed)."""
+    od = T(spark, sf_dir, "orders").select("o_totalprice")
+    edges = od.agg(
+        F.percentile_approx(
+            "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("e")
+    ).first()["e"]
+    edge_arr = ",".join(repr(float(e)) for e in edges)
+    decile = F.expr(
+        f"1 + aggregate(array({edge_arr}), 0, (acc, e) -> acc + CASE WHEN o_totalprice > e THEN 1 ELSE 0 END)"
+    )
+    return (
+        od.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
