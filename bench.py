@@ -84,10 +84,17 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump({"sf": sf_val, "repeats": repeats, "queries": timings}, f, indent=1, sort_keys=True)
+    # Metric naming (round-2 advice): round 1's "value" was the sum over ALL
+    # registered queries; round 2 silently narrowed it to the 4 HEADLINE
+    # queries under the same metric name, making rounds incomparable. The
+    # metric is now explicitly "headline4_total_sec" (sum of the 4 headline
+    # queries, best-of-N each); "total_all_sec" is the cross-round
+    # continuity field for the full surface — compare it against the pinned
+    # r2 baseline in BASELINE.md ("Recorded engine baseline").
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
+                "metric": "headline4_total_sec",
                 "value": headline_total,
                 "unit": "sec",
                 "sf": sf_val,

@@ -218,19 +218,28 @@ def lsh_candidates(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 10
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 20
 ) -> DataFrame:
-    """Connected components over a near-dup pair list via iterative
-    min-label propagation: every node starts labeled with itself; each
-    round a node takes the minimum label in its closed neighbourhood;
-    convergence when a round changes nothing (≤ graph diameter rounds, and
-    near-dup graphs are shallow — cliques and short chains).
+    """Connected components over a near-dup pair list via min-label
+    propagation WITH pointer jumping: every node starts labeled with
+    itself; each round a node takes the minimum label in its closed
+    neighbourhood, then compresses one pointer hop
+    (``label ← label(label)``). The compression step doubles the distance
+    a minimum travels per round, so convergence is O(log diameter) rounds
+    — a 50-link chain converges in ~7 rounds where plain propagation needs
+    ~49 (round-2 advice: the old diameter-bounded loop with
+    ``max_iter=10`` silently returned split components on chain-heavy
+    corpora).
+
+    Non-convergence within ``max_iter`` now RAISES instead of returning
+    wrong labels; with pointer jumping the default cap of 20 covers any
+    graph with diameter up to ~2^20 — far beyond a real corpus.
 
     The canonical-assignment operator the single-pass min-neighbour
     approximation (embedding_neardup_dedup) converges to. Each round is
-    one join + one groupBy, both keyed on node id. Beyond SQL's reach
-    (iterative) → rows-only at the oracle gate, pinned by pytest on known
-    graphs.
+    one join + one groupBy keyed on node id plus one self-join on label.
+    Beyond SQL's reach (iterative) → rows-only at the oracle gate, pinned
+    by pytest on known graphs (chains/islands/triangles, 50-link chain).
 
     Labels are ``localCheckpoint``-ed each round: persist() alone keeps
     the full logical lineage, which doubles in depth every iteration —
@@ -254,15 +263,21 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(neighbour_min, labels.node == neighbour_min.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # Pointer jumping: every label is itself a node id (labels only ever
+        # take the min of existing node ids), so label(label) is defined;
+        # one extra equi-join halves the remaining propagation rounds.
+        ptr = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
         new_labels = (
-            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        ).localCheckpoint()
+            hop.join(ptr, hop.label == ptr.pnode, "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -271,5 +286,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+            return labels.select(F.col("node"), F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iter} rounds "
+        f"(last round changed {changed} labels); the pair graph is deeper "
+        "than any plausible near-dup structure — raise max_iter explicitly "
+        "if this is intended"
+    )

@@ -49,11 +49,14 @@ def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
 
 
 def _update(assigned: DataFrame) -> DataFrame:
-    """New centroid = per-dimension integer mean (sum div count — exact,
-    order-independent) of the cluster's member vectors."""
+    """New centroid = per-dimension integer mean of the cluster's member
+    vectors. ``sum(v) div count(v)`` stays in BIGINT end-to-end — a DOUBLE
+    division then truncation would lose exactness once a cluster's
+    per-dimension sum exceeds 2^53, breaking the bit-determinism claim
+    (round-2 advice)."""
     dims = assigned.select("cluster_id", F.posexplode("qvec").alias("pos", "v"))
     per_dim = dims.groupBy("cluster_id", "pos").agg(
-        (F.sum("v") / F.count("v")).cast("bigint").alias("cv")
+        F.expr("sum(v) div count(v)").alias("cv")
     )
     return per_dim.groupBy("cluster_id").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias("cvec")

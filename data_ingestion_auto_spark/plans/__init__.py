@@ -29,35 +29,15 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 
-# The driver's correctness gate checks queries in registry-insertion order and
-# caps how many it verifies per round (round 1 recorded exactly the first 50 of
-# 72). Reorder so queries WITHOUT a green row in any prior CORRECTNESS_r*.json
-# run first; queries demoted below the cap already have a green row, so the
-# union of rounds covers the full surface. Self-rotating: each round's new
-# results file promotes the next batch of still-unverified queries.
+# The driver's correctness gate checks queries in registry-insertion order
+# and caps how many it verifies per round. Rotation policy (see
+# rotation.py for the full rationale — replaces the round-2 reorder the
+# advisor flagged as harness-gaming): failed checks first, then
+# never-checked, then changed-since-last-green (fingerprint mismatch vs the
+# committed VERIFIED.json ledger), then least-recently-checked. Nothing is
+# permanently demoted; every query recycles through the gate at least every
+# ceil(N/cap) rounds, and editing a query re-queues it immediately.
 
+from . import rotation  # noqa: E402
 
-def _reorder() -> None:
-    import glob
-    import json
-    import os
-
-    repo = os.path.join(os.path.dirname(__file__), "..", "..")
-    verified: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as f:
-                for name, row in json.load(f).items():
-                    if isinstance(row, dict) and (
-                        row.get("hash_match") or row.get("err") == "no_oracle"
-                    ):
-                        verified.add(name)
-        except (OSError, ValueError):
-            continue
-    ordered = {n: q for n, q in REGISTRY.items() if n not in verified}
-    ordered.update({n: q for n, q in REGISTRY.items() if n in verified})
-    REGISTRY.clear()
-    REGISTRY.update(ordered)
-
-
-_reorder()
+rotation.apply_rotation()

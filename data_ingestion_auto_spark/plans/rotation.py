@@ -1,0 +1,147 @@
+"""Fair re-verification rotation for the external correctness gate.
+
+The driver's gate verifies roughly the first 50 registry entries per round
+(registry-insertion order). Round 2 shipped an importtime reorder that
+permanently demoted every query with a prior green row below the cap — the
+round-2 advisor correctly flagged that as gaming the harness: a query whose
+implementation changed after its green round would never be re-checked, and
+``err == "no_oracle"`` rows were treated as verified forever.
+
+This module replaces that with a documented, non-gaming policy. Every query
+keeps cycling through the gate; nothing is permanently demoted; a changed
+query loses its "verified" standing immediately.
+
+Ordering (first = checked this round):
+
+1. **failed**  — the most recent driver check did not pass. Must re-run.
+2. **never**   — no row in any ``CORRECTNESS_r*.json`` yet.
+3. **changed** — the query's fingerprint (md5 of its Spark callable's
+   source + its oracle SQL text) differs from the fingerprint recorded in
+   ``VERIFIED.json`` at its last driver check, ordered stalest-first.
+4. **checked** — everything else, least-recently-checked round first.
+
+Ties break on name, so the order is fully deterministic. With N queries and
+a per-round cap C, every query is re-checked at least every ``ceil(N/C)``
+rounds even if nothing changes; an edited query re-enters the next round's
+batch. ``no_oracle`` rows are recorded as the weaker ``rows_only`` mode —
+they count as *checked* (they rotate like the rest) but are never reported
+as hash-verified.
+
+Ledger maintenance: run ``python -m tools.fingerprints`` at round start,
+BEFORE editing any query, so the stamped fingerprint matches the code the
+gate actually ran (the end-of-round snapshot). The ledger is committed.
+
+Known limit: the fingerprint covers the decorated function's own source and
+the oracle string (which inlines helper-generated SQL at decoration time),
+not the transitive source of Spark-side helpers it calls. A helper-only
+change is still caught by the full sf0.001 differential suite in
+``tests/test_oracle_parity.py`` and by the ≤ceil(N/C)-round recycle.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import textwrap
+
+from .registry import REGISTRY, Query
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+LEDGER_PATH = os.path.join(_REPO, "VERIFIED.json")
+
+
+def fingerprint(q: Query) -> str:
+    """md5 over the Spark callable's dedented source + the oracle text."""
+    try:
+        src = textwrap.dedent(inspect.getsource(q.spark))
+    except (OSError, TypeError):  # builtins/lambdas without source
+        src = repr(q.spark)
+    return hashlib.md5((src + "\0" + (q.oracle or "")).encode()).hexdigest()
+
+
+def current_fingerprints() -> dict[str, str]:
+    return {name: fingerprint(q) for name, q in REGISTRY.items()}
+
+
+def _correctness_rows() -> dict[str, dict]:
+    """name -> {round, mode} from the LATEST round that checked each query.
+
+    mode: 'hash' (hash_match true), 'rows_only' (no_oracle row executed),
+    'failed' (anything else — mismatch or error).
+    """
+    out: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match"):
+                mode = "hash"
+            elif row.get("err") == "no_oracle":
+                mode = "rows_only"
+            else:
+                mode = "failed"
+            prev = out.get(name)
+            if prev is None or rnd >= prev["round"]:
+                out[name] = {"round": rnd, "mode": mode}
+    return out
+
+
+def build_ledger() -> dict[str, dict]:
+    """Stamp each driver-checked query with its CURRENT fingerprint.
+
+    Only valid when the working tree equals the snapshot the gate ran
+    against (round start, pre-edit) — tools/fingerprints enforces the
+    workflow by being the only writer.
+    """
+    fps = current_fingerprints()
+    ledger = {}
+    for name, row in _correctness_rows().items():
+        if name not in fps:  # query was renamed/removed since that round
+            continue
+        ledger[name] = {"fingerprint": fps[name], "round": row["round"], "mode": row["mode"]}
+    return ledger
+
+
+def load_ledger() -> dict[str, dict]:
+    try:
+        with open(LEDGER_PATH) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def sort_key(name: str, ledger: dict[str, dict], fps: dict[str, str]):
+    rec = ledger.get(name)
+    if rec is None:
+        # Never checked by any driver round — but distinguish true-new from
+        # failed below via the correctness rows already folded into ledger.
+        return (1, 0, name)
+    if rec.get("mode") == "failed":
+        return (0, rec.get("round", 0), name)
+    if rec.get("fingerprint") != fps.get(name):
+        return (2, rec.get("round", 0), name)
+    return (3, rec.get("round", 0), name)
+
+
+def apply_rotation() -> None:
+    """Reorder REGISTRY in place per the documented policy (idempotent)."""
+    ledger = load_ledger()
+    fps = current_fingerprints()
+    ordered = sorted(REGISTRY, key=lambda n: sort_key(n, ledger, fps))
+    snapshot = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(snapshot)

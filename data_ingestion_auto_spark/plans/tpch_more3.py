@@ -85,10 +85,10 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-WHERE l.l_shipdate >= {_TS.format('1996-01-01')}
-  AND l.l_shipdate < {_TS.format('1998-01-01')}
-  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+WHERE l.l_shipdate >= {_TS.format('1995-01-01')}
+  AND l.l_shipdate < {_TS.format('2000-01-01')}
+  AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+    OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11'))
 GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INTEGER)
 ORDER BY supp_nation, cust_nation, l_year
 """,
@@ -99,8 +99,12 @@ def q7_nation_pair_volume(spark, sf_dir):
     sides are pre-restricted to the two nations BEFORE the fact joins, so
     the lineitem⋈supplier broadcast semi-filters ~2/25 of rows up front;
     the pair disjunction then reduces to excluding the two same-nation
-    combinations after the cheap joins."""
-    pair = ["NATION_1", "NATION_2"]
+    combinations after the cheap joins.
+
+    The pair/date window is chosen so even sf0.001 yields rows on both
+    engines — an empty differential result proves nothing (round-2 verdict
+    item #1)."""
+    pair = ["NATION_11", "NATION_20"]
     na = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
     su = T(spark, sf_dir, "supplier").join(
         F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
@@ -109,7 +113,7 @@ def q7_nation_pair_volume(spark, sf_dir):
         F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     li = T(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+        (F.col("l_shipdate") >= _ts("1995-01-01")) & (F.col("l_shipdate") < _ts("2000-01-01"))
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     od = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (

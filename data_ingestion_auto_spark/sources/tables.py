@@ -35,15 +35,31 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver passes a vanilla session: every timezone-sensitive expression
-    # (timestamp_micros casts, unix_micros epochs, date_format over LTZ) must
-    # see UTC or the DuckDB hash comparison shifts on a non-UTC JVM default.
+# Sessions already bootstrapped by ensure_session_confs (by id()); weak
+# tracking is unnecessary — sessions are few and long-lived.
+_CONFIGURED: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """One-time session bootstrap for externally-created sessions.
+
+    The driver hands queries a vanilla session (not our ``get_session``),
+    but every timezone-sensitive expression must see UTC or the DuckDB hash
+    comparison shifts on a non-UTC JVM default, and the nanos-timestamp
+    events parquet needs ``nanosAsLong`` to scan at all. Applied ONCE per
+    session — not on every table load — so table access never silently
+    flips configs mid-session (round-2 advice); sessions built by
+    ``session.get_session`` already carry these and just get marked.
+    """
+    if id(spark) in _CONFIGURED:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # The caller may hand us a vanilla session (the driver does); the
-        # nanos-timestamp parquet type needs this runtime conf to scan.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _CONFIGURED.add(id(spark))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): read as nanos-since-epoch long
     # (spark.sql.legacy.parquet.nanosAsLong), floor-truncated here to

@@ -63,3 +63,22 @@ def test_connected_components_vs_single_pass(spark):
     pairs = spark.createDataFrame([(5, 6), (6, 7)], "a long, b long")
     cc = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
     assert cc == {5: 5, 6: 5, 7: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Round-2 advice: a 50-link chain (diameter 50) must converge — the
+    pointer-jumping compression makes rounds O(log n), well inside the
+    default max_iter=20 cap — and every node must land on the chain min."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(50)], "a long, b long")
+    got = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(51)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """With an artificially tiny round cap the operator must refuse to
+    return split components instead of silently emitting them."""
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(50)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2)
