@@ -6,6 +6,7 @@ operator modules to the import list below.
 
 from . import (  # noqa: F401
     analytics,
+    contour,
     core,
     dedup,
     events_analytics,

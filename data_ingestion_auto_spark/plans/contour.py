@@ -1,0 +1,131 @@
+"""U2 contour extraction as an ORACLED query (round-2 verdict item #9).
+
+``operators/contour.py`` (the applyInPandas marching-squares UDTF,
+reference utils.py:178-192 / ingest/__init__.py:116-136) was pytest-only:
+"iterative raster tracing, no SQL equivalent". But the per-cell part IS
+SQL-expressible: a marching-squares cell either side of each contour level
+is a CASE over its 4 corner signs, the crossing points are fixed-form
+linear interpolation, and the Python pairs crossings in edge order — all
+replayable in DuckDB with the exact same IEEE-double evaluation order and
+the same ``%.6f`` WKT formatting (the warp kernel proved numpy↔SQL
+bit-for-bit parity is achievable; this applies the same discipline).
+
+So the hash match verifies the REAL operator — the same
+``contour_features`` applyInPandas that the streaming sink path uses —
+not a SQL re-statement on the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.contour import contour_features
+from .registry import query
+from .warp import _dense_grid, _NX, _NY
+
+_INT = 5.0  # contour interval, matching the reference's `gdal_contour -i 5`
+
+# The dense 10×12 two-variable grid shared with warp_resample_grid: values
+# are per-cell max/min of events.value (order-independent aggregates →
+# engine-portable doubles), empty cells 0.0.
+_DENSE_SQL = f"""
+cells AS (
+  SELECT CAST(event_id % {_NY} AS BIGINT) AS y, CAST(user_id % {_NX} AS BIGINT) AS x,
+         max(value) AS a, min(value) AS b
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT yy.y, xx.x, v.variable,
+         coalesce(CASE WHEN v.variable = 'a' THEN c.a ELSE c.b END, 0.0) AS value
+  FROM (SELECT unnest(generate_series(0, {_NY - 1})) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, {_NX - 1})) AS x) xx
+  CROSS JOIN (SELECT unnest(['a', 'b']) AS variable) v
+  LEFT JOIN cells c ON c.y = yy.y AND c.x = xx.x
+)"""
+
+
+@query(
+    "contour_segments_grid",
+    oracle=f"""
+WITH {_DENSE_SQL},
+stats AS (
+  SELECT variable, floor(min(value) / {_INT}) * {_INT} AS lo, max(value) AS hi
+  FROM dense GROUP BY variable
+),
+levels AS (
+  -- Python walks level = lo + i, lo + 2i, ... while < hi by repeated
+  -- addition; with interval 5.0 and integer lo both forms are exact, so
+  -- lo + n*5.0 reproduces the identical doubles.
+  SELECT s.variable, s.lo + CAST(ns.n AS DOUBLE) * {_INT} AS level_value
+  FROM stats s CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS n) ns
+  WHERE s.lo + CAST(ns.n AS DOUBLE) * {_INT} < s.hi
+),
+corners AS (
+  SELECT l.variable, l.level_value, yy.y AS iy, xx.x AS ix,
+         c0.value AS v0, c1.value AS v1, c2.value AS v2, c3.value AS v3
+  FROM levels l
+  CROSS JOIN (SELECT unnest(generate_series(0, {_NY - 2})) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, {_NX - 2})) AS x) xx
+  JOIN dense c0 ON c0.variable = l.variable AND c0.y = yy.y     AND c0.x = xx.x
+  JOIN dense c1 ON c1.variable = l.variable AND c1.y = yy.y     AND c1.x = xx.x + 1
+  JOIN dense c2 ON c2.variable = l.variable AND c2.y = yy.y + 1 AND c2.x = xx.x + 1
+  JOIN dense c3 ON c3.variable = l.variable AND c3.y = yy.y + 1 AND c3.x = xx.x
+),
+-- cell corner order 0:(iy,ix) 1:(iy,ix+1) 2:(iy+1,ix+1) 3:(iy+1,ix);
+-- edge e joins corner e to corner (e+1) % 4 — same order as the Python.
+edges AS (
+  SELECT variable, level_value, iy, ix, es.e,
+         CASE es.e WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS va,
+         CASE es.e WHEN 0 THEN v1 WHEN 1 THEN v2 WHEN 2 THEN v3 ELSE v0 END AS vb,
+         CASE es.e WHEN 0 THEN iy     WHEN 1 THEN iy     WHEN 2 THEN iy + 1 ELSE iy + 1 END AS ya,
+         CASE es.e WHEN 0 THEN ix     WHEN 1 THEN ix + 1 WHEN 2 THEN ix + 1 ELSE ix     END AS xa,
+         CASE es.e WHEN 0 THEN iy     WHEN 1 THEN iy + 1 WHEN 2 THEN iy + 1 ELSE iy     END AS yb,
+         CASE es.e WHEN 0 THEN ix + 1 WHEN 1 THEN ix + 1 WHEN 2 THEN ix     ELSE ix     END AS xb
+  FROM corners CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS e) es
+),
+crossings AS (
+  SELECT variable, level_value, iy, ix, e,
+         CAST(xa AS DOUBLE) + ((level_value - va) / (vb - va)) * (CAST(xb AS DOUBLE) - CAST(xa AS DOUBLE)) AS cx,
+         CAST(ya AS DOUBLE) + ((level_value - va) / (vb - va)) * (CAST(yb AS DOUBLE) - CAST(ya AS DOUBLE)) AS cy
+  FROM edges
+  WHERE (va >= level_value) <> (vb >= level_value)
+),
+paired AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY variable, level_value, iy, ix ORDER BY e) AS rn
+  FROM crossings
+),
+segs AS (
+  -- crossings pair sequentially in edge order: (1,2) then (3,4) — the
+  -- Python's saddle handling exactly.
+  SELECT variable, level_value, iy, ix, (rn - 1) // 2 AS sid,
+         max(CASE WHEN rn % 2 = 1 THEN cx END) AS ax,
+         max(CASE WHEN rn % 2 = 1 THEN cy END) AS ay,
+         max(CASE WHEN rn % 2 = 0 THEN cx END) AS bx,
+         max(CASE WHEN rn % 2 = 0 THEN cy END) AS byy
+  FROM paired
+  GROUP BY variable, level_value, iy, ix, (rn - 1) // 2
+  HAVING count(*) = 2
+)
+SELECT variable, level_value, 'LineString' AS geom_type,
+       printf('LINESTRING (%.6f %.6f, %.6f %.6f)', ax, ay, bx, byy) AS geom_wkt,
+       CAST(count(*) OVER (PARTITION BY variable, level_value) AS BIGINT) AS n_segments
+FROM segs
+ORDER BY variable, level_value, geom_wkt
+""",
+    tags=("U2", "contour", "applyInPandas", "udtf"),
+)
+def contour_segments_grid(spark, sf_dir):
+    """Marching-squares contours of the warp dense grid at interval 5,
+    traced by the REAL ``contour_features`` applyInPandas operator; the
+    DuckDB oracle replays the cell classification (16 corner-sign
+    configurations as CASE), the edge-order crossing pairing, and the
+    interpolation arithmetic with identical IEEE evaluation order and
+    ``%.6f`` WKT formatting — a bit-for-bit hash match on the UDTF."""
+    grid = _dense_grid(spark, sf_dir).withColumn(
+        "time", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    feats = contour_features(grid, interval=_INT)
+    return feats.select(
+        "variable", "level_value", "geom_type", "geom_wkt", "n_segments"
+    ).orderBy("variable", "level_value", "geom_wkt")

@@ -237,6 +237,108 @@ def ann_multiprobe_lsh(spark, sf_dir):
     )
 
 
+def _flip_sql(positions: tuple[int, ...]) -> str:
+    """Rebuild the 8-bit bucket string with the given bit positions
+    flipped — dialect-neutral (substring/CASE/concat run identically in
+    Spark SQL and DuckDB), so one generator feeds both sides."""
+    chars = []
+    for i in range(_PLANES):
+        c = f"substring(bucket, {i + 1}, 1)"
+        if i in positions:
+            c = f"(CASE WHEN {c} = '1' THEN '0' ELSE '1' END)"
+        chars.append(c)
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def _probe_sets(radius: int) -> list[tuple[int, ...]]:
+    """All bit-position subsets of size <= radius: nested by construction,
+    so the candidate set (and therefore recall) is monotone in radius."""
+    from itertools import combinations
+
+    sets: list[tuple[int, ...]] = []
+    for r in range(radius + 1):
+        sets.extend(combinations(range(_PLANES), r))
+    return sets
+
+
+def multiprobe_topk(spark, sf_dir, radius: int = 1, topk: int = 3):
+    """Parameterized multi-probe sign-LSH ANN (round-2 verdict item #7):
+    each query probes every bucket within Hamming distance ``radius`` of
+    its own (radius 0 → 1 probe, 1 → 9, 2 → 37). The plan shape never
+    changes — the probe set is a small explode of the broadcast query
+    side and candidates remain ONE equi-join on the bucket key — so the
+    recall/cost dial moves without touching the physical strategy; at
+    100 TB the join stays linear in corpus size at any radius. Probe sets
+    are nested in radius, so recall is monotone (asserted at radius 2 in
+    tests/test_multiprobe_recall.py)."""
+    emb = T(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(_QVEC.format(col="embedding")).alias("qvec"),
+    ).withColumn("bucket", F.expr(_bucket_from_qvec("qvec")))
+    q = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qe"),
+        F.col("bucket"),
+    )
+    probe_cols = [F.expr(_flip_sql(s)) for s in _probe_sets(radius)]
+    probes = q.select("query_id", "qe", F.explode(F.array(*probe_cols)).alias("probe"))
+    cand = (
+        base.join(F.broadcast(probes), base.bucket == probes.probe)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _cosine_col("qe", "qvec").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _probe_union_sql_radius(radius: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT query_id, qe, {_flip_sql(s)} AS probe FROM q" for s in _probe_sets(radius)
+    )
+
+
+@query(
+    "ann_multiprobe_lsh_r2",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM base WHERE vec_id < {_N_QUERIES}),
+probes AS ({_probe_union_sql_radius(2)}),
+cand AS (
+  SELECT p.query_id, b.vec_id AS cand_id,
+         round(({_dot_sql('qe', 'b.embedding')})
+               / (sqrt({_norm_sql('qe')}) * sqrt({_norm_sql('b.embedding')})), 6) AS cosine
+  FROM probes p JOIN base b ON p.probe = b.bucket AND b.vec_id <> p.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM cand
+) t WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_multiprobe_lsh_r2(spark, sf_dir):
+    """Hamming-2 multi-probe ANN: 37 probe buckets per query via the
+    parameterized ``multiprobe_topk`` (radius dial — same linear plan
+    shape as single-probe). Candidate superset of the radius-1 query;
+    recall monotonicity vs radius 0/1 and the brute-force ground truth is
+    pinned in tests/test_multiprobe_recall.py."""
+    return multiprobe_topk(spark, sf_dir, radius=2)
+
+
 @query(
     "tumbling_window_hourly",
     oracle="""

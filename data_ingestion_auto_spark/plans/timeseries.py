@@ -78,3 +78,102 @@ def densify_daily_gapfill(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+# Deterministic per-event network delay, 0..3599 s, from the first three
+# md5 hex digits of the event id — the same instr/substr/md5 text runs in
+# both engines, so arrival order is engine-independent.
+_DELAY_SEC = (
+    "(((instr('0123456789abcdef', substr(md5(CAST(event_id AS STRING)), 1, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(event_id AS STRING)), 2, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(event_id AS STRING)), 3, 1)) - 1)) % 3600)"
+)
+
+
+@query(
+    "watermark_late_drop_replay",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_id, ts,
+         ts + to_seconds(CAST({_DELAY_SEC.replace("AS STRING", "AS VARCHAR")} AS BIGINT))
+           AS arrival_ts
+  FROM events
+),
+b AS (SELECT event_id, ts, date_trunc('hour', arrival_ts) AS batch_h FROM arr),
+bm AS (SELECT batch_h, max(ts) AS bmax FROM b GROUP BY batch_h),
+wm AS (
+  SELECT batch_h,
+         max(bmax) OVER (ORDER BY batch_h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 30 MINUTE AS watermark
+  FROM bm
+),
+flagged AS (
+  SELECT b.batch_h, (wm.watermark IS NOT NULL AND b.ts < wm.watermark) AS is_late
+  FROM b JOIN wm ON b.batch_h = wm.batch_h
+)
+SELECT strftime(batch_h, '%Y-%m-%d %H:%M:%S') AS batch_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM flagged
+GROUP BY batch_h
+ORDER BY batch_start
+""",
+    tags=("streaming-batch", "W3", "W5", "watermark"),
+)
+def watermark_late_drop_replay(spark, sf_dir):
+    """Deterministic replay of Structured Streaming's watermark drop rule
+    (round-2 verdict item #8 — gives W3/W5 an ORACLE row, not just
+    pytest). Arrival model: each event reaches the pipeline at
+    ``ts + delay`` where delay is a pure md5 function of the event id
+    (0..3599 s) — deterministic out-of-orderness, identical in both
+    engines. Micro-batches are hourly arrival windows; the watermark for a
+    batch is max(event time) over all PRIOR arrival batches minus 30
+    minutes — exactly ``withWatermark("ts", "30 minutes")`` semantics,
+    advancing only at batch boundaries; a row is dropped iff its event
+    time is below the watermark at arrival. Per-batch kept/dropped
+    accounting (sf0.01: 345 of 10000 events drop across 721 batches — the
+    rule genuinely splits the data).
+
+    Scale notes: no global sort anywhere — arrival batching is a
+    projection (date_trunc of a hash-delayed timestamp); the one
+    unpartitioned window runs over the BATCH table (one row per arrival
+    hour, cardinality ∝ time span, not corpus size); the watermark joins
+    back to events as a broadcast; the event scan stays embarrassingly
+    parallel at any scale.
+
+    The streaming twin (actual withWatermark + append sink) is exercised
+    in tests/test_streaming.py; this query pins the drop RULE itself
+    against DuckDB."""
+    ev = T(spark, sf_dir, "events").select("event_id", "ts")
+    b = ev.select(
+        "event_id",
+        "ts",
+        F.date_trunc("hour", F.expr(f"timestampadd(SECOND, {_DELAY_SEC}, ts)")).alias("batch_h"),
+    )
+    bm = b.groupBy("batch_h").agg(F.max("ts").alias("bmax"))
+    w = Window.orderBy("batch_h").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bm.select(
+        "batch_h",
+        (F.max("bmax").over(w) - F.expr("INTERVAL 30 MINUTES")).alias("watermark"),
+    )
+    flagged = b.join(F.broadcast(wm), "batch_h").select(
+        "batch_h",
+        (F.col("watermark").isNotNull() & (F.col("ts") < F.col("watermark"))).alias("is_late"),
+    )
+    return (
+        flagged.groupBy("batch_h")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("is_late"), 0).otherwise(1)).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            F.date_format("batch_h", "yyyy-MM-dd HH:mm:ss").alias("batch_start"),
+            "n_events",
+            "n_dropped",
+            "n_kept",
+        )
+        .orderBy("batch_start")
+    )

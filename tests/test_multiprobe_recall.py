@@ -38,3 +38,36 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
 
     # and multi-probe must achieve nontrivial recall on the fixture
     assert r9 > 0.0
+
+
+def test_recall_monotone_in_probe_radius(spark, sf_dir):
+    """Round-2 verdict item #7: probe sets are nested in Hamming radius,
+    so recall vs the brute-force ground truth must be monotone r0<=r1<=r2,
+    with per-query elementwise cosine dominance at each step up."""
+    from data_ingestion_auto_spark.plans.similarity_lsh import multiprobe_topk
+
+    gt = _run(spark, sf_dir, "embedding_cosine_topk")
+    gt3 = gt[gt["rank"] <= 3]
+    want = set(zip(gt3.query_id, gt3.cand_id))
+
+    def recall(df):
+        return len(set(zip(df.query_id, df.cand_id)) & want) / len(want)
+
+    by_radius = {r: multiprobe_topk(spark, sf_dir, radius=r).toPandas() for r in (0, 1, 2)}
+    r0, r1, r2 = (recall(by_radius[r]) for r in (0, 1, 2))
+    assert r0 <= r1 <= r2
+    assert r2 > 0.0
+
+    for lo, hi in ((0, 1), (1, 2)):
+        for qid in by_radius[lo].query_id.unique():
+            s = sorted(by_radius[lo][by_radius[lo].query_id == qid].cosine, reverse=True)
+            m = sorted(by_radius[hi][by_radius[hi].query_id == qid].cosine, reverse=True)
+            assert len(m) >= len(s)
+            for a, b in zip(m, s):
+                assert a >= b
+
+    # the registered radius-2 query is exactly multiprobe_topk(radius=2)
+    reg = _run(spark, sf_dir, "ann_multiprobe_lsh_r2")
+    assert sorted(map(tuple, reg.values.tolist())) == sorted(
+        map(tuple, by_radius[2].values.tolist())
+    )
