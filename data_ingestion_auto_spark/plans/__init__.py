@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     analytics,
     contour,
     core,
+    curation,
     dedup,
     events_analytics,
     joins2,
