@@ -4,6 +4,11 @@ Usage: ``python -m tools.fingerprints`` from the repo root, at ROUND START
 and before editing any query, so the stamped fingerprints match the code
 the previous round's gate actually ran (the end-of-round snapshot commit).
 
+``python -m tools.fingerprints --preview`` shows the rotation order under
+the COMMITTED ledger without rewriting it — safe mid-round (a mid-round
+re-stamp would wipe the changed-since-green detection for queries edited
+this round).
+
 Prints the resulting rotation order preview (first 50 = what the next
 driver round will verify) plus bucket counts.
 """
@@ -20,9 +25,12 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 def main() -> None:
     from data_ingestion_auto_spark.plans import REGISTRY, rotation
 
-    ledger = rotation.build_ledger()
-    with open(rotation.LEDGER_PATH, "w") as f:
-        json.dump(ledger, f, indent=1, sort_keys=True)
+    if "--preview" in sys.argv:
+        ledger = rotation.load_ledger()
+    else:
+        ledger = rotation.build_ledger()
+        with open(rotation.LEDGER_PATH, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
     fps = rotation.current_fingerprints()
     order = sorted(REGISTRY, key=lambda n: rotation.sort_key(n, ledger, fps))
     buckets = {0: "failed", 1: "never-checked", 2: "changed", 3: "checked"}
@@ -30,7 +38,8 @@ def main() -> None:
     for n in order:
         counts.setdefault(buckets[rotation.sort_key(n, ledger, fps)[0]], 0)
         counts[buckets[rotation.sort_key(n, ledger, fps)[0]]] += 1
-    print(f"ledger: {len(ledger)} entries -> {rotation.LEDGER_PATH}")
+    mode = "preview (committed ledger)" if "--preview" in sys.argv else f"wrote {rotation.LEDGER_PATH}"
+    print(f"ledger: {len(ledger)} entries — {mode}")
     print(f"buckets: {counts}")
     print("first 50 (next driver batch):")
     for n in order[:50]:
