@@ -328,3 +328,78 @@ def chunk_minhash_neardup(spark, sf_dir):
         .agg(F.count("*").alias("n_chunk_pairs"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "neardup_levenshtein_confirm",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT doc_id, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= 1000
+),
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM capped b1 JOIN capped b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+),
+confirmed AS (
+  SELECT p.a, p.b,
+         CAST(levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) AS BIGINT)
+           AS edit_dist,
+         CAST(greatest(length(substr(da.text, 1, 200)),
+                       length(substr(db.text, 1, 200))) AS BIGINT) AS max_len
+  FROM pairs p
+  JOIN documents da ON p.a = da.doc_id
+  JOIN documents db ON p.b = db.doc_id
+)
+SELECT a, b, edit_dist,
+       round(CAST(edit_dist AS DOUBLE) / max_len, 6) AS rel_dist,
+       (CAST(edit_dist AS DOUBLE) / max_len <= 0.4) AS confirmed
+FROM confirmed
+ORDER BY a, b
+""",
+    tags=("dedup", "levenshtein", "verify", "llm"),
+)
+def neardup_levenshtein_confirm(spark, sf_dir):
+    """The candidate→verify rung of the dedup ladder: MinHash-LSH recalls
+    candidate pairs (linear, the 100 TB path), then an EXACT edit-distance
+    check confirms each pair on its 200-char prefix — the expensive
+    quadratic-per-pair verifier runs only on the LSH-bounded candidate
+    set, never all-pairs (the same shape production dedup uses: cheap
+    recall tier, exact precision tier). levenshtein is built-in on both
+    engines with identical insert/delete/substitute semantics, so the
+    confirmation is oracled end-to-end. Pairs are the small side — they
+    broadcast into the two document text joins."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    da = docs.select(F.col("doc_id").alias("a"), F.substring("text", 1, 200).alias("ta"))
+    db = docs.select(F.col("doc_id").alias("b"), F.substring("text", 1, 200).alias("tb"))
+    lev = F.levenshtein("ta", "tb").cast("bigint")
+    max_len = F.greatest(F.length("ta"), F.length("tb")).cast("bigint")
+    return (
+        da.join(F.broadcast(pairs), "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            lev.alias("edit_dist"),
+            F.round(lev.cast("double") / max_len, 6).alias("rel_dist"),
+            (lev.cast("double") / max_len <= 0.4).alias("confirmed"),
+        )
+        .orderBy("a", "b")
+    )
