@@ -145,3 +145,46 @@ def scd2_priority_history(spark, sf_dir):
         )
     )
     return versions.unionByName(no_orders).orderBy("custkey", "valid_from", "priority")
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+SELECT user_id, event_id,
+       first_value(value) OVER w AS first_v,
+       nth_value(value, 3) OVER w AS third_v,
+       last_value(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_v
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    tags=("window", "value-functions"),
+)
+def window_value_functions(spark, sf_dir):
+    """Window VALUE functions (first_value / nth_value / last_value) with
+    explicit frames — the remaining §2.6 analytic trio: per user in event
+    order, the session's opening value, the third value once seen (NULL
+    before — nth_value's frame-sensitive semantics), and the final value
+    via an unbounded-following frame. Values pass through unchanged (no
+    float arithmetic), so cross-engine parity is exact. One shuffle on
+    user_id serves all three windows (same partitioning + ordering)."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wfull = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+        F.last("value").over(wfull).alias("final_v"),
+    ).orderBy("user_id", "event_id")
