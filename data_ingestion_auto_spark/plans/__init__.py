@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     setops,
     similarity,
     similarity_lsh,
+    sketches,
     sources_ops,
     spatial,
     text,

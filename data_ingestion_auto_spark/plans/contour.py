@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.contour import contour_features
+from .helpers import dec_avg, sql_dec_avg
 from .registry import query
 from .warp import _dense_grid, _NX, _NY
 
@@ -129,3 +130,74 @@ def contour_segments_grid(spark, sf_dir):
     return feats.select(
         "variable", "level_value", "geom_type", "geom_wkt", "n_segments"
     ).orderBy("variable", "level_value", "geom_wkt")
+
+
+@query(
+    "focal_mean_3x3",
+    oracle=f"""
+WITH {_DENSE_SQL},
+offsets AS (
+  SELECT dy.v AS dy, dx.v AS dx
+  FROM (SELECT unnest([-1, 0, 1]) AS v) dy
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS v) dx
+),
+contrib AS (
+  SELECT d.variable, d.y + o.dy AS ty, d.x + o.dx AS tx, d.value
+  FROM dense d CROSS JOIN offsets o
+  WHERE d.y + o.dy BETWEEN 0 AND {_NY - 1}
+    AND d.x + o.dx BETWEEN 0 AND {_NX - 1}
+)
+SELECT variable, CAST(ty AS BIGINT) AS y, CAST(tx AS BIGINT) AS x,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       {sql_dec_avg("value", "focal_mean")}
+FROM contrib
+GROUP BY variable, ty, tx
+ORDER BY variable, y, x
+""",
+    tags=("spatial", "raster", "focal", "neighborhood"),
+)
+def focal_mean_3x3(spark, sf_dir):
+    """Focal (neighborhood) statistics — the classic raster smoothing
+    operator the reference's GDAL stack provides via warp kernels: each
+    cell's mean over its 3×3 neighborhood, edge cells averaging their
+    in-bounds neighbors only. Spark shape: SCATTER, not gather — each
+    source cell contributes itself to its 9 target positions via a 9-row
+    offset explode (a projection), then one groupBy on target cell; no
+    self-join chain, one shuffle total. The mean uses the helpers' exact
+    integer micro-unit average (decimal division scale rules differ
+    between engines at repeating decimals like sum/3), so both engines
+    produce bit-identical doubles. At 100 TB the offset explode is
+    map-side and the shuffle carries partial aggregates — linear in grid
+    size."""
+    grid = _dense_grid(spark, sf_dir)
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    off_expr = "array(" + ", ".join(f"struct({dy} AS dy, {dx} AS dx)" for dy, dx in offsets) + ")"
+    contrib = (
+        grid.select(
+            "variable", "y", "x", "value", F.explode(F.expr(off_expr)).alias("o")
+        )
+        .select(
+            "variable",
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            "value",
+        )
+        .filter(
+            F.col("ty").between(0, _NY - 1) & F.col("tx").between(0, _NX - 1)
+        )
+    )
+    return (
+        contrib.groupBy("variable", "ty", "tx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_neighbors"),
+            dec_avg("value", "focal_mean"),
+        )
+        .select(
+            "variable",
+            F.col("ty").cast("bigint").alias("y"),
+            F.col("tx").cast("bigint").alias("x"),
+            "n_neighbors",
+            "focal_mean",
+        )
+        .orderBy("variable", "y", "x")
+    )

@@ -61,18 +61,22 @@ def repetition_ngram_gate(spark, sf_dir):
     list, array_distinct sizes it; no explode, no shuffle, no UDF: the
     whole operator is one codegen'd map stage."""
     docs = T(spark, sf_dir, "documents")
+    # Materialize the split ONCE as a projected column: Spark does not
+    # common-subexpression-eliminate inside lambda bodies, so inlining
+    # split(text) in the transform re-tokenized the doc per trigram
+    # (~3n splits/doc — benched 10× slower than this staged form).
+    ws = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
     tris = (
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))) "
+        "CASE WHEN size(w) >= 3 THEN "
+        "transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))) "
         "ELSE array() END"
     )
-    m = docs.select(
+    m = ws.select("doc_id", "lang", F.expr(tris).alias("tg")).select(
         "doc_id",
         "lang",
-        F.size(F.expr(tris)).cast("bigint").alias("n_trigrams"),
-        F.size(F.array_distinct(F.expr(tris))).cast("bigint").alias("n_distinct"),
+        F.size("tg").cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct("tg")).cast("bigint").alias("n_distinct"),
     )
     dup = (F.col("n_trigrams") - F.col("n_distinct")).cast("double") / F.col("n_trigrams")
     return m.select(
