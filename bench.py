@@ -39,12 +39,43 @@ def main() -> None:
     # Include every other registered query too (bench = full surface).
     names += [n for n in sorted(plans.REGISTRY) if n not in names]
 
-    def execute(df) -> None:
-        # noop sink: full plan execution without driver-side row transfer.
+    # Per-query hard watchdog: this host exhibits intermittent scheduler
+    # stalls that can wedge a single query for minutes; cancelling the job
+    # group bounds the damage so one pathological query cannot consume the
+    # whole bench window (the elapsed time is still recorded).
+    hard_cap = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_TIMEOUT_SEC", "90"))
+
+    def execute(df, group: str) -> None:
+        import threading
+
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group, interruptOnCancel=True)
+        done = threading.Event()
+        cancelled = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(hard_cap):
+                cancelled.set()
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001
+                    pass
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
         try:
-            df.write.mode("overwrite").format("noop").save()
-        except Exception:  # noqa: BLE001 — fall back if noop is unavailable
-            df.collect()
+            # noop sink: full plan execution without driver-side row transfer.
+            try:
+                df.write.mode("overwrite").format("noop").save()
+            except Exception:  # noqa: BLE001
+                # noop sink unavailable -> fall back to collect; but if the
+                # watchdog cancelled the group, don't re-run the query.
+                if not cancelled.is_set():
+                    df.collect()
+        except Exception:  # noqa: BLE001 — watchdog cancellation
+            pass
+        finally:
+            done.set()
 
     # Best-of-N: this host shows intermittent ~10-90 s thread stalls
     # unrelated to the plan; the minimum measures the engine. A per-query
@@ -60,7 +91,7 @@ def main() -> None:
         spent = 0.0
         for i in range(repeats):
             t0 = time.perf_counter()
-            execute(q.spark(spark, sf_dir))
+            execute(q.spark(spark, sf_dir), f"{name}#{i}")
             dt = time.perf_counter() - t0
             best = min(best, dt)
             spent += dt
