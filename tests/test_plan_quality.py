@@ -114,3 +114,25 @@ def test_runtime_bloom_filter_injects_at_scale(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thr,
         )
+
+
+def test_curation_queries_stay_map_side(spark, sf_dir, registry):
+    """The round-3 curation batch claims map-only execution (the single
+    allowed exchange is the final presentation sort). A refactor that
+    introduces a groupBy/join shuffle still returns correct rows — this
+    is what catches it."""
+    for name in (
+        "repetition_ngram_gate",
+        "pii_scrub_accounting",
+        "sliding_window_chunks",
+    ):
+        p = _plan(spark, registry[name].spark(spark, sf_dir), "simple")
+        n_exchanges = p.count("Exchange ")
+        assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges (expected <=1)"
+
+
+def test_kmv_prunes_scan_to_two_columns(spark, sf_dir, registry):
+    """The KMV sketch reads exactly (l_returnflag, l_partkey) of
+    lineitem's 16 columns — column pruning must reach the scan."""
+    p = _plan(spark, registry["kmv_distinct_estimate"].spark(spark, sf_dir))
+    assert "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>" in p
