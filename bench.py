@@ -1,11 +1,34 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"""Benchmark harness: runs the full registered query surface at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line: {"metric": ...,
+"value": headline_sec, "unit": "sec", "queries": {...}, "sf": ...,
+"host_factor": ...}.
 
-Each query executes end-to-end (plan + shuffle + collect-to-driver of the
-small result) and is timed individually after a warm-up query primes the
-JVM/codegen. Total excludes session startup — it measures query execution.
+Design (round-4 rework, per VERDICT r3 "Next round" #1/#3 + ADVICE):
+
+* **Calibration probe first.** Three pinned queries whose plans have been
+  byte-stable since round 2 are timed best-of-3 and compared against their
+  recorded round-2 times (R2_ANCHOR below). The median ratio is emitted as
+  "host_factor" so any round's numbers are mechanically comparable to the
+  r2 anchor even when the host degrades (r3 measured 1.8-2.2x scheduler
+  drag on byte-identical plans).
+* **Coverage before repeats.** Pass 1 runs EVERY registered query once,
+  cheapest-first (ordered by the last clean committed BENCH_DETAIL.json);
+  only then does remaining budget buy extra repeats for best-of-N. A tight
+  budget therefore truncates REPEATS, not COVERAGE — "truncated": true now
+  means pass 1 itself didn't finish.
+* **Errors are recorded, not swallowed** (ADVICE r3 medium): a query that
+  fails without the watchdog firing lands in "errors" with its exception,
+  is excluded from timings/totals, and flips rc to nonzero via
+  "n_errors" in the JSON line.
+* **Detail files don't clobber the baseline** (VERDICT r3 #3): every run
+  writes BENCH_DETAIL_last.json; the committed BENCH_DETAIL.json is only
+  rewritten by a CLEAN run (untruncated, error-free, full surface), so a
+  wedged driver pass can no longer overwrite the recorded per-query
+  baseline.
+
+Each query executes end-to-end (plan + shuffle + noop-sink write, falling
+back to collect) after a warm-up primes JVM/codegen/parquet footers.
 """
 
 from __future__ import annotations
@@ -13,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -23,6 +47,29 @@ HEADLINE = [
     "top_orders_by_revenue",
     "regional_revenue",
 ]
+
+# Round-2 recorded times (BENCH_r02.json, sf0.1 local[32]) for three
+# plan-stable probe queries. These three plans have not changed since r2
+# (pure scan->join->agg, no shared operator edits), so current/anchor
+# measures the HOST, not the code. If one of these plans is ever edited,
+# update its anchor from a clean idle-host best-of-5 and note it here.
+R2_ANCHOR = {
+    "q1_pricing_summary": 0.94,
+    "regional_revenue": 0.92,
+    "top_orders_by_revenue": 0.95,
+}
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _prior_costs() -> dict[str, float]:
+    """Last clean per-query times, for cheapest-first scheduling."""
+    try:
+        with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json")) as f:
+            d = json.load(f)
+        return {k: float(v) for k, v in d.get("queries", {}).items() if v is not None}
+    except Exception:  # noqa: BLE001 — missing/corrupt detail => alpha order
+        return {}
 
 
 def main() -> None:
@@ -35,19 +82,17 @@ def main() -> None:
     # Warm-up: prime JVM, codegen, and the parquet footer caches.
     plans.REGISTRY["q1_pricing_summary"].spark(spark, sf_dir).collect()
 
-    names = [n for n in HEADLINE if n in plans.REGISTRY]
-    # Include every other registered query too (bench = full surface).
-    names += [n for n in sorted(plans.REGISTRY) if n not in names]
-
     # Per-query hard watchdog: this host exhibits intermittent scheduler
     # stalls that can wedge a single query for minutes; cancelling the job
     # group bounds the damage so one pathological query cannot consume the
     # whole bench window (the elapsed time is still recorded).
     hard_cap = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_TIMEOUT_SEC", "90"))
 
-    def execute(df, group: str) -> None:
-        import threading
-
+    def execute(df, group: str) -> str | None:
+        """Run the plan to completion. Returns None on success, the
+        exception repr on a REAL failure; watchdog cancellations count as
+        success-with-capped-time (the stall is the host's, not the plan's).
+        """
         sc = spark.sparkContext
         sc.setJobGroup(group, group, interruptOnCancel=True)
         done = threading.Event()
@@ -68,70 +113,70 @@ def main() -> None:
             try:
                 df.write.mode("overwrite").format("noop").save()
             except Exception:  # noqa: BLE001
-                # noop sink unavailable -> fall back to collect; but if the
-                # watchdog cancelled the group, don't re-run the query.
-                if not cancelled.is_set():
+                if cancelled.is_set():
+                    return None  # watchdog kill, not a plan failure
+                # noop sink unavailable -> fall back to collect once.
+                try:
                     df.collect()
-        except Exception:  # noqa: BLE001 — watchdog cancellation
-            pass
+                except Exception as exc:  # noqa: BLE001
+                    if cancelled.is_set():
+                        return None
+                    return f"{type(exc).__name__}: {exc}"[:300]
+            return None
         finally:
             done.set()
 
-    # Best-of-N: this host shows intermittent ~10-90 s thread stalls
-    # unrelated to the plan; the minimum measures the engine. A per-query
-    # time budget stops repeating once enough wall-clock is spent (keeping
-    # >= 2 samples) so a stall-heavy pass cannot blow the whole bench past
-    # the driver's capture window — with ~86 queries that risk is real.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_BUDGET_SEC", "6"))
-    # Global budget + SIGALRM backstop: the per-query watchdog cancels
-    # wedged JOBS, but this host has also shown SCHEDULER-level hangs
-    # between jobs (zero tasks running, next stage never starts) that no
-    # job-group cancel reaches. Whatever happens, ONE JSON line must be
-    # printed — a truncated bench beats a null BENCH_r{N}.json (the
-    # round-1 failure mode).
     total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TOTAL_BUDGET_SEC", "1500"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    state = {"emitted": False, "truncated": False}
+    state = {"emitted": False, "truncated": False, "host_factor": None}
 
     def emit() -> None:
         if state["emitted"]:
             return
         state["emitted"] = True
-        # Round-1 postmortem (VERDICT "What's wrong" #1): with 72 per-query
-        # entries the single JSON line was too long for the driver's capture
-        # and BENCH_r01.json recorded parsed=null. Keep the line SHORT:
-        # summary fields first, per-query timings only for headline +
-        # slowest 10; the full map goes to BENCH_DETAIL.json.
+        # Round-1 postmortem: an overlong JSON line failed the driver's
+        # capture (parsed=null). Keep the line SHORT: summary fields plus
+        # headline + slowest-10 timings; the full map goes to the detail
+        # files.
         headline_total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
         slowest = sorted(timings, key=lambda n: -timings[n])[:10]
         shown = {
             n: round(timings[n], 2) for n in dict.fromkeys(HEADLINE + slowest) if n in timings
         }
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
+        detail = {
+            "sf": sf_val,
+            "repeats": repeats,
+            "host_factor": state["host_factor"],
+            "queries": timings,
+        }
+        if errors:
+            detail["errors"] = errors
         try:
-            with open(detail_path, "w") as f:
-                json.dump(
-                    {"sf": sf_val, "repeats": repeats, "queries": timings},
-                    f,
-                    indent=1,
-                    sort_keys=True,
-                )
+            with open(os.path.join(REPO_DIR, "BENCH_DETAIL_last.json"), "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
         except OSError:
             pass
-        # Metric naming (round-2 advice): round 1's "value" was the sum over
-        # ALL queries; round 2 silently narrowed it to the 4 HEADLINE
-        # queries under the same metric name, making rounds incomparable.
-        # The metric is now explicitly "headline4_total_sec";
-        # "total_all_sec" is the cross-round continuity field — compare it
-        # against the pinned r2 baseline in BASELINE.md.
+        # Only a clean full-surface run AT THE CANONICAL SF may refresh the
+        # committed baseline (a sf0.001 smoke run overwrote it in round 3).
+        clean = (
+            not state["truncated"]
+            and not errors
+            and len(timings) >= len(plans.REGISTRY)
+            and sf_val == 0.1
+        )
+        if clean:
+            try:
+                with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
+                    json.dump(detail, f, indent=1, sort_keys=True)
+            except OSError:
+                pass
         line = {
             "metric": "headline4_total_sec",
             "value": headline_total,
@@ -139,9 +184,13 @@ def main() -> None:
             "sf": sf_val,
             "total_all_sec": round(sum(timings.values()), 3),
             "n_queries": len(timings),
+            "host_factor": state["host_factor"],
             "queries": shown,
-            "detail_file": "BENCH_DETAIL.json",
+            "detail_file": "BENCH_DETAIL_last.json",
         }
+        if errors:
+            line["n_errors"] = len(errors)
+            line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
         if state["truncated"]:
             line["truncated"] = True
         print(json.dumps(line), flush=True)
@@ -157,22 +206,66 @@ def main() -> None:
     signal.alarm(int(total_budget + 300))  # last resort past the soft budget
 
     t_start = time.perf_counter()
+
+    def left() -> float:
+        return total_budget - (time.perf_counter() - t_start)
+
+    # --- Calibration probe: best-of-3 on the plan-stable trio. ---
+    probe: dict[str, float] = {}
+    for name in R2_ANCHOR:
+        if name not in plans.REGISTRY:
+            continue
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            err = execute(plans.REGISTRY[name].spark(spark, sf_dir), f"probe:{name}#{i}")
+            dt = time.perf_counter() - t0
+            if err is None:
+                best = min(best, dt)
+        if best < float("inf"):
+            probe[name] = best
+            timings[name] = round(best, 3)
+    # The anchors are sf0.1 measurements — at any other SF the ratio is
+    # fixed-overhead noise, not a host signal, so emit null there.
+    if probe and sf_val == 0.1:
+        ratios = sorted(probe[n] / R2_ANCHOR[n] for n in probe)
+        state["host_factor"] = round(ratios[len(ratios) // 2], 3)
+
+    # --- Pass 1: coverage. Every query once, cheapest-first. ---
+    prior = _prior_costs()
+    names = sorted(plans.REGISTRY, key=lambda n: (prior.get(n, 999.0), n))
     for name in names:
-        if time.perf_counter() - t_start > total_budget:
+        if name in timings or name in errors:
+            continue
+        if left() <= 0:
             state["truncated"] = True
             break
-        q = plans.REGISTRY[name]
-        best = float("inf")
-        spent = 0.0
-        for i in range(repeats):
-            t0 = time.perf_counter()
-            execute(q.spark(spark, sf_dir), f"{name}#{i}")
-            dt = time.perf_counter() - t0
-            best = min(best, dt)
-            spent += dt
-            if spent > budget and i >= 1:
+        t0 = time.perf_counter()
+        err = execute(plans.REGISTRY[name].spark(spark, sf_dir), f"{name}#0")
+        dt = time.perf_counter() - t0
+        if err is not None:
+            errors[name] = err
+        else:
+            timings[name] = round(dt, 3)
+
+    # --- Pass 2+: spend what's left on extra repeats (best-of-N). ---
+    if not state["truncated"]:
+        for rep in range(1, repeats):
+            for name in names:
+                if name not in timings or name in R2_ANCHOR:
+                    continue  # probe trio already best-of-3
+                # Keep headroom: a repeat costing ~last-time must fit.
+                if left() < max(2.0, 2.0 * timings[name]):
+                    continue
+                t0 = time.perf_counter()
+                err = execute(plans.REGISTRY[name].spark(spark, sf_dir), f"{name}#{rep}")
+                dt = time.perf_counter() - t0
+                if err is None:
+                    timings[name] = round(min(timings[name], dt), 3)
+                if left() <= 0:
+                    break
+            if left() <= 0:
                 break
-        timings[name] = round(best, 3)
 
     signal.alarm(0)
     emit()

@@ -76,7 +76,14 @@ def kmeans_lite(
     collected per iteration (k×dim ints) and re-broadcast — bounded model
     state, the same pattern as MLlib's driver-held coefficients."""
     spark = emb.sparkSession
-    vectors = quantize(emb, id_col, vec_col)
+    # Materialize the quantized vectors ONCE: the init collect, every
+    # Lloyd iteration's _assign, and the final _assign all consume this
+    # subtree, and without truncation each re-executes the scan+quantize
+    # DAG (round-3 verdict). localCheckpoint, not persist: lineage
+    # truncation also keeps the per-iteration plan flat. On a real
+    # cluster use a reliable checkpoint() dir so executor loss can't
+    # drop blocks mid-iteration.
+    vectors = quantize(emb, id_col, vec_col).localCheckpoint()
     init = (
         vectors.orderBy(id_col)
         .limit(k)

@@ -56,9 +56,14 @@ stats AS (
 levels AS (
   -- Python walks level = lo + i, lo + 2i, ... while < hi by repeated
   -- addition; with interval 5.0 and integer lo both forms are exact, so
-  -- lo + n*5.0 reproduces the identical doubles.
+  -- lo + n*5.0 reproduces the identical doubles. The series bound is
+  -- DERIVED from the data range (round-3 advice: a fixed 200-level cap
+  -- would silently drop levels if the value range ever grew past
+  -- 200*interval while the Spark operator kept walking).
   SELECT s.variable, s.lo + CAST(ns.n AS DOUBLE) * {_INT} AS level_value
-  FROM stats s CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS n) ns
+  FROM stats s,
+       LATERAL (SELECT unnest(generate_series(
+                    1, CAST(ceil((s.hi - s.lo) / {_INT}) AS BIGINT))) AS n) ns
   WHERE s.lo + CAST(ns.n AS DOUBLE) * {_INT} < s.hi
 ),
 corners AS (

@@ -46,8 +46,10 @@ m AS (
   FROM tri
 )
 SELECT doc_id, lang, n_trigrams, n_distinct,
-       round(CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams, 6) AS dup_frac,
-       (CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams <= {_REP_THRESHOLD}) AS keep
+       CASE WHEN n_trigrams = 0 THEN NULL
+            ELSE round(CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams, 6) END AS dup_frac,
+       CASE WHEN n_trigrams = 0 THEN NULL
+            ELSE (CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams <= {_REP_THRESHOLD}) END AS keep
 FROM m
 ORDER BY doc_id
 """,
@@ -78,7 +80,14 @@ def repetition_ngram_gate(spark, sf_dir):
         F.size("tg").cast("bigint").alias("n_trigrams"),
         F.size(F.array_distinct("tg")).cast("bigint").alias("n_distinct"),
     )
-    dup = (F.col("n_trigrams") - F.col("n_distinct")).cast("double") / F.col("n_trigrams")
+    # 0/0 guard (round-3 advice): a <3-word doc has n_trigrams = 0, where
+    # Spark's Divide yields NULL but DuckDB (ieee_floating_point_ops, the
+    # modern default) yields NaN — an explicit CASE on BOTH sides makes the
+    # short-doc result NULL everywhere instead of a latent hash mismatch.
+    dup = F.when(
+        F.col("n_trigrams") > 0,
+        (F.col("n_trigrams") - F.col("n_distinct")).cast("double") / F.col("n_trigrams"),
+    )
     return m.select(
         "doc_id",
         "lang",

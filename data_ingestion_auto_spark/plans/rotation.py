@@ -31,11 +31,16 @@ Ledger maintenance: run ``python -m tools.fingerprints`` at round start,
 BEFORE editing any query, so the stamped fingerprint matches the code the
 gate actually ran (the end-of-round snapshot). The ledger is committed.
 
-Known limit: the fingerprint covers the decorated function's own source and
-the oracle string (which inlines helper-generated SQL at decoration time),
-not the transitive source of Spark-side helpers it calls. A helper-only
-change is still caught by the full sf0.001 differential suite in
-``tests/test_oracle_parity.py`` and by the ≤ceil(N/C)-round recycle.
+The fingerprint covers the decorated function's own source, the oracle
+string (which inlines helper-generated SQL at decoration time), the full
+source of the module DEFINING the query, and the source of every package
+module that defining module directly imports (round-3 advice: a
+helper-only edit — e.g. ``multiprobe_topk`` or an ``operators/*`` change —
+must re-queue the queries that delegate to it). Known remaining limit:
+helpers reached only at depth ≥ 2 (a module imported by an imported
+module) don't change the fingerprint; those edits are still caught by the
+full sf0.001 differential suite in ``tests/test_oracle_parity.py`` and by
+the ≤ceil(N/C)-round recycle.
 """
 
 from __future__ import annotations
@@ -46,21 +51,60 @@ import inspect
 import json
 import os
 import re
+import sys
 import textwrap
+from types import ModuleType
 
 from .registry import REGISTRY, Query
 
 _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 LEDGER_PATH = os.path.join(_REPO, "VERIFIED.json")
 
+_PKG = "data_ingestion_auto_spark"
+_module_digest_cache: dict[str, str] = {}
+
+
+def _module_source(mod: ModuleType | None) -> str:
+    try:
+        return inspect.getsource(mod) if mod is not None else ""
+    except (OSError, TypeError):
+        return ""
+
+
+def _deps_digest(modname: str) -> str:
+    """md5 over the module's own source plus the sources of every package
+    module it directly imports (detected from module attributes: imported
+    modules, and functions/classes whose ``__module__`` is in-package)."""
+    if modname in _module_digest_cache:
+        return _module_digest_cache[modname]
+    mod = sys.modules.get(modname)
+    parts = [_module_source(mod)]
+    deps: set[str] = set()
+    if mod is not None:
+        for v in vars(mod).values():
+            if isinstance(v, ModuleType) and v.__name__.startswith(_PKG):
+                deps.add(v.__name__)
+            else:
+                owner = getattr(v, "__module__", None)
+                if isinstance(owner, str) and owner.startswith(_PKG) and owner != modname:
+                    deps.add(owner)
+    for dep in sorted(deps):
+        parts.append(_module_source(sys.modules.get(dep)))
+    digest = hashlib.md5("\0".join(parts).encode()).hexdigest()
+    _module_digest_cache[modname] = digest
+    return digest
+
 
 def fingerprint(q: Query) -> str:
-    """md5 over the Spark callable's dedented source + the oracle text."""
+    """md5 over the Spark callable's dedented source + the oracle text +
+    the defining module's dependency digest (see module docstring)."""
     try:
         src = textwrap.dedent(inspect.getsource(q.spark))
     except (OSError, TypeError):  # builtins/lambdas without source
         src = repr(q.spark)
-    return hashlib.md5((src + "\0" + (q.oracle or "")).encode()).hexdigest()
+    modname = getattr(q.spark, "__module__", "") or ""
+    dep = _deps_digest(modname) if modname.startswith(_PKG) else ""
+    return hashlib.md5((src + "\0" + (q.oracle or "") + "\0" + dep).encode()).hexdigest()
 
 
 def current_fingerprints() -> dict[str, str]:

@@ -35,27 +35,32 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
-# Sessions already bootstrapped by ensure_session_confs (by id()); weak
-# tracking is unnecessary — sessions are few and long-lived.
-_CONFIGURED: set[int] = set()
-
-
 def ensure_session_confs(spark: SparkSession) -> None:
-    """One-time session bootstrap for externally-created sessions.
+    """Session bootstrap for externally-created sessions.
 
     The driver hands queries a vanilla session (not our ``get_session``),
     but every timezone-sensitive expression must see UTC or the DuckDB hash
     comparison shifts on a non-UTC JVM default, and the nanos-timestamp
-    events parquet needs ``nanosAsLong`` to scan at all. Applied ONCE per
-    session — not on every table load — so table access never silently
-    flips configs mid-session (round-2 advice); sessions built by
-    ``session.get_session`` already carry these and just get marked.
+    events parquet needs ``nanosAsLong`` to scan at all. Idempotence is
+    checked against the LIVE conf values, not a tracked id() set: a
+    stopped-and-collected session's id can be reused by a new session,
+    which would silently skip the bootstrap and shift timestamps (round-3
+    advice). Two conf reads per table load are trivially cheap next to a
+    parquet scan.
     """
-    if id(spark) in _CONFIGURED:
-        return
+    try:
+        # No fallback args: Spark VALIDATES fallback values (an empty-string
+        # timezone throws INVALID_CONF_VALUE), and both keys have JVM
+        # defaults so a plain get always returns something.
+        if (
+            spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        ):
+            return
+    except Exception:  # noqa: BLE001 — unreadable conf => just (re)set
+        pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _CONFIGURED.add(id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -66,6 +66,33 @@ def test_lsh_cap_reuses_group_exchange(spark, registry):
     assert len(band_exchanges) == 1
 
 
+def test_chunk_lsh_cap_reuses_group_exchange(spark, sf_dir, registry):
+    """Chunk-granularity mirror of test_lsh_cap_reuses_group_exchange:
+    the r3 driver bench recorded chunk_minhash_neardup at 23 s (host
+    stall); this pin converts "the plan didn't regress" from an argument
+    into a machine check — exactly one (band, band_hash) exchange serves
+    both the hot-bucket cap window and the bucket groupBy."""
+    from data_ingestion_auto_spark import plans
+
+    p = _plan(spark, plans.REGISTRY["chunk_minhash_neardup"].spark(spark, sf_dir), "simple")
+    band_exchanges = [
+        line for line in p.splitlines() if "Exchange hashpartitioning(band" in line
+    ]
+    assert len(band_exchanges) == 1
+
+
+def test_lev_confirm_consumes_materialized_candidates(spark, sf_dir, registry):
+    """The candidate→verify rung must cost candidates + one broadcast
+    join, not candidates × N: the signature DAG (shingle explode) runs
+    once at checkpoint time, so the confirm query's own plan contains NO
+    shingle-explode Generate — it scans the materialized pair RDD."""
+    p = _plan(
+        spark, registry["neardup_levenshtein_confirm"].spark(spark, sf_dir), "simple"
+    )
+    assert "explode(transform(sequence" not in p
+    assert "ExistingRDD" in p
+
+
 def test_no_row_udfs_anywhere(spark, sf_dir, registry):
     """Zero row-at-a-time Python UDFs in any registered plan: the only
     Python allowed is Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas

@@ -17,9 +17,29 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _REPO)
+
+
+def _dirty_package_files() -> list[str]:
+    """Uncommitted changes under the package dir — stamping against a tree
+    that differs from the gate's snapshot records wrong fingerprints
+    (round-3 advice: the stamp-before-editing workflow is now enforced,
+    not just documented). Override with --force if you know better."""
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--", "data_ingestion_auto_spark"],
+            cwd=_REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return []
+    return [ln for ln in out.splitlines() if ln.strip()]
 
 
 def main() -> None:
@@ -28,6 +48,14 @@ def main() -> None:
     if "--preview" in sys.argv:
         ledger = rotation.load_ledger()
     else:
+        dirty = _dirty_package_files()
+        if dirty and "--force" not in sys.argv:
+            print("REFUSING to stamp: package tree is dirty (stamp must run")
+            print("against the snapshot the gate verified). Dirty files:")
+            for ln in dirty:
+                print(f"  {ln}")
+            print("Commit/stash first, or pass --force.")
+            sys.exit(1)
         ledger = rotation.build_ledger()
         with open(rotation.LEDGER_PATH, "w") as f:
             json.dump(ledger, f, indent=1, sort_keys=True)
