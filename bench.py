@@ -88,10 +88,19 @@ def main() -> None:
     # whole bench window (the elapsed time is still recorded).
     hard_cap = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_TIMEOUT_SEC", "90"))
 
-    def execute(df, group: str) -> str | None:
-        """Run the plan to completion. Returns None on success, the
-        exception repr on a REAL failure; watchdog cancellations count as
-        success-with-capped-time (the stall is the host's, not the plan's).
+    def execute(make_df, group: str) -> str | None:
+        """Build AND run the plan to completion under one job group.
+        Returns None on success, the exception repr on a REAL failure;
+        watchdog cancellations count as success-with-capped-time (the
+        stall is the host's, not the plan's).
+
+        Construction runs INSIDE the watchdog scope because queries with
+        eager subtrees (localCheckpoint in connected-components / LSH
+        confirm, the IVF centroid collects) launch Spark jobs at
+        construction time — in the first round-4 run neardup_components
+        wedged for ~25 minutes at construction, where the old
+        post-construction job group couldn't reach it, and only the
+        process-level SIGALRM stopped the bleeding.
         """
         sc = spark.sparkContext
         sc.setJobGroup(group, group, interruptOnCancel=True)
@@ -109,6 +118,7 @@ def main() -> None:
         t = threading.Thread(target=watchdog, daemon=True)
         t.start()
         try:
+            df = make_df()
             # noop sink: full plan execution without driver-side row transfer.
             try:
                 df.write.mode("overwrite").format("noop").save()
@@ -123,6 +133,10 @@ def main() -> None:
                         return None
                     return f"{type(exc).__name__}: {exc}"[:300]
             return None
+        except Exception as exc:  # noqa: BLE001 — construction failed
+            if cancelled.is_set():
+                return None
+            return f"{type(exc).__name__}: {exc}"[:300]
         finally:
             done.set()
 
@@ -218,7 +232,7 @@ def main() -> None:
         best = float("inf")
         for i in range(3):
             t0 = time.perf_counter()
-            err = execute(plans.REGISTRY[name].spark(spark, sf_dir), f"probe:{name}#{i}")
+            err = execute(lambda: plans.REGISTRY[name].spark(spark, sf_dir), f"probe:{name}#{i}")
             dt = time.perf_counter() - t0
             if err is None:
                 best = min(best, dt)
@@ -241,7 +255,7 @@ def main() -> None:
             state["truncated"] = True
             break
         t0 = time.perf_counter()
-        err = execute(plans.REGISTRY[name].spark(spark, sf_dir), f"{name}#0")
+        err = execute(lambda: plans.REGISTRY[name].spark(spark, sf_dir), f"{name}#0")
         dt = time.perf_counter() - t0
         if err is not None:
             errors[name] = err
@@ -258,7 +272,7 @@ def main() -> None:
                 if left() < max(2.0, 2.0 * timings[name]):
                     continue
                 t0 = time.perf_counter()
-                err = execute(plans.REGISTRY[name].spark(spark, sf_dir), f"{name}#{rep}")
+                err = execute(lambda: plans.REGISTRY[name].spark(spark, sf_dir), f"{name}#{rep}")
                 dt = time.perf_counter() - t0
                 if err is None:
                     timings[name] = round(min(timings[name], dt), 3)

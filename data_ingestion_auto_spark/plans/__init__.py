@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     timeseries,
     tpch_more,
     tpch_more3,
+    training_export,
     udaf,
     warp,
     windows,
