@@ -110,10 +110,15 @@ def main() -> None:
         def watchdog() -> None:
             if not done.wait(hard_cap):
                 cancelled.set()
-                try:
-                    sc.cancelJobGroup(group)
-                except Exception:  # noqa: BLE001
-                    pass
+                # Re-cancel until the query gives up: cancelJobGroup only
+                # reaches ACTIVE jobs, and an iterative query (CC rounds,
+                # Lloyd iterations) keeps submitting new ones after each
+                # cancel — a single cancel would just kill one round.
+                while not done.wait(5.0):
+                    try:
+                        sc.cancelJobGroup(group)
+                    except Exception:  # noqa: BLE001
+                        pass
 
         t = threading.Thread(target=watchdog, daemon=True)
         t.start()
