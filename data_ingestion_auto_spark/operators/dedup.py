@@ -218,7 +218,11 @@ def lsh_candidates(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list via min-label
     propagation WITH pointer doubling: every node starts labeled with
@@ -241,72 +245,114 @@ def connected_components(
     The canonical-assignment operator the single-pass min-neighbour
     approximation (embedding_neardup_dedup) converges to. Each round is
     one join + one groupBy keyed on node id plus one self-join on label.
-    Beyond SQL's reach (iterative) → rows-only at the oracle gate, pinned
-    by pytest on known graphs (chains/islands/triangles, 50-link chain).
+    Checked at the gate by a DuckDB WITH RECURSIVE transitive-closure
+    oracle and pinned by pytest on known graphs (chains/islands/
+    triangles, 50-link chain).
 
-    Labels are ``localCheckpoint``-ed each round: persist() alone keeps
-    the full logical lineage, which doubles in depth every iteration —
-    at sf0.1 the uncheckpointed loop built a 2 GiB plan string and OOMed
-    the driver before any task ran. Lineage truncation is mandatory for
-    every iterative DataFrame algorithm; on a real cluster use a
-    reliable ``checkpoint()`` dir so executor loss can't drop blocks.
+    Per-round state is materialized to PARQUET (a per-call temp dir, or
+    ``checkpoint_dir``), not ``localCheckpoint``-ed. Two hard-won lessons
+    are encoded here:
+
+    1. (round 3) persist() alone keeps the full logical lineage, which
+       doubles in depth every iteration — at sf0.1 the uncheckpointed
+       loop built a 2 GiB plan string and OOMed the driver.
+    2. (round 4) ``localCheckpoint`` truncates the PLAN but Spark's
+       LogicalRDD preserves the origin plan's STATISTICS, and
+       SizeInBytesOnlyStatsPlanVisitor estimates every join as
+       left×right: each round's self-joins therefore MULTIPLY inherited
+       sizeInBytes estimates, and the BigInteger grows ~8× in digit
+       count per round — measured 11,704 digits after ONE round at
+       sf0.1, with Catalyst burning unbounded single-thread CPU in
+       BigInteger ToomCook multiplication by round ~4 (the "wedged CC"
+       in the round-4 bench). A parquet round-trip resets statistics to
+       real file sizes, keeps every round's optimizer input tiny, and —
+       on a real cluster — also survives executor loss, which
+       localCheckpoint's memory-only blocks do not.
 
     Returns (node, component) where component = min node id reachable.
     """
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = edges.distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    # 3 pointer jumps per round compress up to 2^3 ancestor hops, so one
-    # outer round propagates a minimum ~8 links down a chain instead of 1;
-    # the sf0.1 corpus graph (diameter ~19) converges in 3 outer rounds vs
-    # 19 hop-only. The jumps are labels-only self-joins — no edge join, no
-    # action — so they extend the round's DAG cheaply.
-    jumps_per_round = 3
-    for _ in range(max_iter):
-        neighbour_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        hop = labels.join(neighbour_min, labels.node == neighbour_min.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                "label"
+    import os
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_state_")
+
+    def materialize(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    try:
+        edges = pairs.select(
+            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        edges = materialize(edges.distinct(), "edges")
+        labels = materialize(
+            edges.select(F.col("src").alias("node")).distinct().withColumn(
+                "label", F.col("node")
             ),
+            "labels_0",
         )
-        # Pointer jumping: every label is itself a node id (labels only
-        # ever take the min of existing node ids), so label(label) is
-        # defined and monotone non-increasing. Each jump references its
-        # input twice (both join sides), so the chain holds 2^jumps
-        # references to the hop result — that is why hop is checkpointed
-        # FIRST (8 scans of an in-memory n_nodes-row table are trivial;
-        # 8 re-executions of the edge-join subtree are not), and why the
-        # jumps themselves stay lazy: one materialization job per round,
-        # not one per jump (each eager checkpoint is a scheduler job, and
-        # a stall-prone host amplifies per-job overhead).
-        hop = hop.localCheckpoint()
-        for _j in range(jumps_per_round):
-            ptr = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
-            hop = hop.join(ptr, hop.label == ptr.pnode, "left").select(
-                "node", F.coalesce("plabel", "label").alias("label")
+        # 3 pointer jumps per round compress up to 2^3 ancestor hops, so
+        # one outer round propagates a minimum ~8 links down a chain
+        # instead of 1. The jumps are labels-only self-joins — no edge
+        # join, no action — so they extend the round's DAG cheaply; only
+        # the end-of-round materialization runs a job.
+        jumps_per_round = 3
+        changed = -1
+        for rnd in range(max_iter):
+            neighbour_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        new_labels = hop.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            hop = labels.join(
+                neighbour_min, labels.node == neighbour_min.src, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            # Pointer jumping: every label is itself a node id (labels
+            # only ever take the min of existing node ids), so
+            # label(label) is defined and monotone non-increasing. Each
+            # jump references its input twice, so the chain holds 2^jumps
+            # references to the hop subtree — materialize hop FIRST so
+            # the 8 references scan a small parquet file, not 8
+            # re-executions of the edge join.
+            hop = materialize(hop, f"hop_{rnd}")
+            for _j in range(jumps_per_round):
+                ptr = hop.select(
+                    F.col("node").alias("pnode"), F.col("label").alias("plabel")
+                )
+                hop = hop.join(ptr, hop.label == ptr.pnode, "left").select(
+                    "node", F.coalesce("plabel", "label").alias("label")
+                )
+            new_labels = materialize(hop, f"labels_{rnd + 1}")
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                # Pin the result in memory so the temp files can be
+                # deleted; the final table is one (node, component) row
+                # per connected node — bounded, and its origin stats are
+                # a real parquet scan, so no estimate compounding.
+                result = labels.select(
+                    F.col("node"), F.col("label").alias("component")
+                ).localCheckpoint()
+                return result
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            f"(last round changed {changed} labels); the pair graph is deeper "
+            "than any plausible near-dup structure — raise max_iter explicitly "
+            "if this is intended"
         )
-        labels = new_labels
-        if changed == 0:
-            return labels.select(F.col("node"), F.col("label").alias("component"))
-    raise RuntimeError(
-        f"connected_components did not converge within {max_iter} rounds "
-        f"(last round changed {changed} labels); the pair graph is deeper "
-        "than any plausible near-dup structure — raise max_iter explicitly "
-        "if this is intended"
-    )
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(base, ignore_errors=True)

@@ -220,7 +220,50 @@ def chunk_exact_dedup(spark, sf_dir):
 
 @query(
     "neardup_components",
-    oracle=None,  # iterative label propagation: not SQL-expressible; rows-only
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SHINGLES.format(where="")},
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT doc_id, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= 1000
+),
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM capped b1 JOIN capped b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS node, least(min(dst), src) AS component FROM reach GROUP BY src
+)
+SELECT node AS doc_id, component AS component_id,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+FROM labels
+QUALIFY component_size > 1
+ORDER BY doc_id
+""",
     tags=("dedup", "minhash", "lsh", "components", "llm"),
 )
 def neardup_components(spark, sf_dir):
@@ -230,9 +273,14 @@ def neardup_components(spark, sf_dir):
     near-dup GROUP, not per pair — the assignment a dedup pipeline
     actually applies. Transitive chains (A~B, B~C but A≁C in LSH) resolve
     to one component, which no single SQL pass can express; correctness
-    is pinned by pytest on known chain/island graphs. Output: every doc
-    in a component of size > 1, its component id, and the component
-    size."""
+    is pinned by pytest on known chain/island graphs PLUS, since round 4,
+    a full hash oracle: DuckDB's WITH RECURSIVE computes the transitive
+    closure of the same LSH edge set and labels each node with its
+    reachable minimum — the fixpoint the iterative Spark operator
+    converges to. (The closure is the oracle-tier algorithm only — O(sum
+    of component²) rows; the distributed pointer-doubling operator
+    remains the scale path.) Output: every doc in a component of size >
+    1, its component id, and the component size."""
     from pyspark.sql import Window as W
 
     docs = T(spark, sf_dir, "documents")

@@ -449,16 +449,100 @@ def embedding_neardup_dedup(spark, sf_dir):
 
 @query(
     "ann_ivf_probe",
-    oracle=None,  # iterative k-means: not SQL-expressible; rows-only
+    oracle="""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster_id, cvec
+  FROM (SELECT vec_id, qvec AS cvec FROM qv ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+  SELECT vec_id, qvec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn FROM (
+      SELECT v.vec_id, v.qvec, c.cluster_id,
+             list_sum(list_transform(generate_series(1, len(v.qvec)),
+                      i -> (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]))) AS dist2
+      FROM qv v CROSS JOIN c0 c)
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cluster_id, pos,
+         CASE WHEN sum(v) < 0 THEN -(abs(sum(v)) // count(*)) ELSE sum(v) // count(*) END AS cv
+  FROM (SELECT cluster_id, g.i AS pos, qvec[g.i] AS v
+        FROM a1, LATERAL (SELECT unnest(generate_series(1, len(qvec))) AS i) g)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cluster_id, list(cv ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+a2 AS (
+  SELECT vec_id, qvec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn FROM (
+      SELECT v.vec_id, v.qvec, c.cluster_id,
+             list_sum(list_transform(generate_series(1, len(v.qvec)),
+                      i -> (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]))) AS dist2
+      FROM qv v CROSS JOIN c1 c)
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT cluster_id, pos,
+         CASE WHEN sum(v) < 0 THEN -(abs(sum(v)) // count(*)) ELSE sum(v) // count(*) END AS cv
+  FROM (SELECT cluster_id, g.i AS pos, qvec[g.i] AS v
+        FROM a2, LATERAL (SELECT unnest(generate_series(1, len(qvec))) AS i) g)
+  GROUP BY 1, 2
+),
+c2 AS (SELECT cluster_id, list(cv ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+a3 AS (
+  SELECT vec_id, qvec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn FROM (
+      SELECT v.vec_id, v.qvec, c.cluster_id,
+             list_sum(list_transform(generate_series(1, len(v.qvec)),
+                      i -> (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]))) AS dist2
+      FROM qv v CROSS JOIN c2 c)
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, qvec AS qq FROM a3 WHERE vec_id < 8),
+pc AS (
+  SELECT query_id, qq, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, cluster_id) AS rn FROM (
+      SELECT q.query_id, q.qq, c.cluster_id,
+             list_sum(list_transform(generate_series(1, len(q.qq)),
+                      i -> (q.qq[i] - c.cvec[i]) * (q.qq[i] - c.cvec[i]))) AS dist2
+      FROM qs q CROSS JOIN c2 c)
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round(CAST(list_sum(list_transform(generate_series(1, len(p.qq)),
+                    i -> p.qq[i] * a.qvec[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(p.qq, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(a.qvec, x -> x * x)) AS DOUBLE))), 6) AS cosine
+  FROM a3 a JOIN pc p USING (cluster_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM cand
+) WHERE rank <= 3
+ORDER BY query_id, rank
+""",
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_probe(spark, sf_dir):
     """IVF ANN (operators/ivf.py): deterministic integer k-means-lite
     coarse quantizer (k=8, 2 Lloyd iterations, init = smallest ids), then
     each query probes its 2 nearest clusters and exact quantized cosine
-    ranks the candidates. Iterative → rows-only at the gate; recall vs the
-    brute-force ground truth and run-to-run determinism are pinned by
-    tests/test_ivf.py."""
+    ranks the candidates. Recall vs the brute-force ground truth and
+    run-to-run determinism are pinned by tests/test_ivf.py; since round 4
+    the gate check is a full hash oracle: because the quantizer is
+    bit-deterministic integer arithmetic with a FIXED iteration count,
+    the "iterative" loop is finitely unrollable — the DuckDB oracle
+    replays init -> assign -> update -> assign -> update -> final assign
+    as six chained CTEs (Spark's `sum div count` centroid update becomes
+    sign(s) * (abs(s) // n) to reproduce truncate-toward-zero under
+    DuckDB's floor division). Unrolling is the oracle tier only; the
+    Spark operator stays a driver-side loop with broadcast centroids."""
     from ..operators.ivf import ivf_topk
 
     emb = T(spark, sf_dir, "embeddings")
