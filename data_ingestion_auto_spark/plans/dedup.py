@@ -461,3 +461,132 @@ def neardup_levenshtein_confirm(spark, sf_dir):
         )
         .orderBy("a", "b")
     )
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT doc_id, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= 1000
+),
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM capped b1 JOIN capped b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+)
+SELECT p.a, p.b,
+       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_equal_components,
+       round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0, 6)
+         AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.a
+JOIN sig sb ON sb.doc_id = p.b AND sb.perm = sa.perm
+GROUP BY p.a, p.b
+ORDER BY a, b
+""",
+    tags=("dedup", "minhash", "sketch", "llm"),
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch-quality measurement: for every LSH candidate pair, estimate
+    Jaccard similarity FROM THE SIGNATURES ALREADY COMPUTED — the
+    fraction of equal minhash components is an unbiased Jaccard
+    estimator, so the recall tier can grade its own candidates without
+    touching the raw text. The signature table is computed once
+    (localCheckpoint, same single-materialization discipline as the
+    levenshtein confirm rung); pairs broadcast into a 16-column equality
+    projection — no shingle re-derivation, no text access. At 100 TB
+    this is the cheap scoring pass that decides which candidates deserve
+    the exact verifier."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16).localCheckpoint()
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)])
+    sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)])
+    n_eq = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16))
+    return (
+        sa.join(F.broadcast(pairs), "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            n_eq.cast("bigint").alias("n_equal_components"),
+            F.round(n_eq / 16.0, 6).alias("est_jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "neardup_triangles",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT doc_id, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= 1000
+),
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM capped b1 JOIN capped b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+)
+SELECT e1.a AS x, e1.b AS y, e2.b AS z
+FROM pairs e1
+JOIN pairs e2 ON e2.a = e1.b
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+ORDER BY x, y, z
+""",
+    tags=("dedup", "graph", "triangles", "llm"),
+)
+def neardup_triangles(spark, sf_dir):
+    """Triangle enumeration over the near-dup candidate graph: three
+    mutually-similar documents (x<y<z with all three LSH edges present).
+    Dense triangle neighbourhoods are the strongest dedup signal — a
+    clique of near-dups collapses to one canonical doc with high
+    confidence, while a bare path (A~B~C, no A~C edge) warrants the
+    exact verifier first. Plan shape: the ordered edge list joins itself
+    on the shared middle node, then a semi-closing join checks the third
+    edge — cost is bounded by the candidate graph (sparse by LSH
+    construction, hot buckets capped), never by corpus size. The pair
+    subtree is computed once from a checkpointed signature and reused
+    via localCheckpoint for the three-way self-join."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16).localCheckpoint()
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4).localCheckpoint()
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select("x", "y", "z")
+        .orderBy("x", "y", "z")
+    )
