@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     dedup,
     events_analytics,
     joins2,
+    layout_ops,
     multimodal,
     relational2,
     scalars,
