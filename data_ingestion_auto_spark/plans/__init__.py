@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     spatial,
     text,
     timeseries,
+    tpch_fill,
     tpch_more,
     tpch_more3,
     training_export,
