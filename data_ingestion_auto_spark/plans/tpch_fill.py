@@ -43,7 +43,8 @@ ranked AS (
   JOIN part p ON c.l_partkey = p.p_partkey
   WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
 )
-SELECT p_partkey, p_name, s_name, n_name, s_acctbal, round(unit_cost, 4) AS unit_cost
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+       floor(unit_cost * 10000) / 10000.0 AS unit_cost
 FROM ranked WHERE rn = 1 ORDER BY p_partkey
 """,
     tags=("tpch", "q2", "correlated-min"),
@@ -56,7 +57,14 @@ def q2_min_cost_supplier(spark, sf_dir):
     the classic correlated-min, expressed as a row_number window with a
     deterministic (cost, suppkey) tie-break instead of a re-aggregating
     self-join: one window over the already-shuffled catalog, no second
-    scan. Dimensions (supplier⋈nation⋈region, filtered part) broadcast."""
+    scan. Dimensions (supplier⋈nation⋈region, filtered part) broadcast.
+
+    The displayed unit_cost TRUNCATES to 4 decimals (floor of an
+    identical double is engine-portable) rather than rounding: an sf0.1
+    row landed exactly on a .XXXX5 half-boundary where Spark's
+    exact-expansion HALF_UP and DuckDB's scaled-double rounding disagree
+    by one ulp — the precise hazard plans/helpers.py documents for
+    aggregates, surfacing here on a scalar."""
     li = T(spark, sf_dir, "lineitem")
     eu = (
         T(spark, sf_dir, "supplier")
@@ -90,7 +98,7 @@ def q2_min_cost_supplier(spark, sf_dir):
             "s_name",
             "n_name",
             "s_acctbal",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            (F.floor(F.col("unit_cost") * 10000) / 10000.0).alias("unit_cost"),
         )
         .orderBy("p_partkey")
     )
