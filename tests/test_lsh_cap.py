@@ -82,3 +82,26 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(50)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_empty_graph(spark):
+    """Round-4 parquet-state rework edge case: an empty pair set must
+    yield an empty (node, component) result, not a schema-inference
+    failure on an empty round-trip file."""
+    from data_ingestion_auto_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = D.connected_components(pairs)
+    assert out.collect() == []
+    assert set(out.columns) == {"node", "component"}
+
+
+def test_connected_components_result_survives_temp_cleanup(spark):
+    """The returned DataFrame is pinned before the temp checkpoint dir is
+    deleted — collecting AFTER the call must still work."""
+    from data_ingestion_auto_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    out = D.connected_components(pairs)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
