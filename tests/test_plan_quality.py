@@ -93,6 +93,22 @@ def test_lev_confirm_consumes_materialized_candidates(spark, sf_dir, registry):
     assert "ExistingRDD" in p
 
 
+def test_decontamination_broadcasts_eval_ngrams(spark, sf_dir, registry):
+    """The eval-set n-gram side must BROADCAST (eval sets are MBs,
+    corpora are TBs): a refactor that turns it into a shuffle join still
+    returns correct rows but dies at 100 TB."""
+    p = _plan(
+        spark, registry["decontamination_ngram_overlap"].spark(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in p
+    # and the training side never shuffles raw text: the only exchanges
+    # are the distinct on (doc_id, ng) hashes, the per-doc aggregate, and
+    # the presentation sort
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line
+
+
 def test_no_row_udfs_anywhere(spark, sf_dir, registry):
     """Zero row-at-a-time Python UDFs in any registered plan: the only
     Python allowed is Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas
