@@ -307,6 +307,9 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # `prev` carries the round-start label through the jump chain
+            # so convergence detection is a filter over the written
+            # parquet, not an extra old⋈new join job per round.
             hop = labels.join(
                 neighbour_min, labels.node == neighbour_min.src, "left"
             ).select(
@@ -314,6 +317,7 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("prev"),
             )
             # Pointer jumping: every label is itself a node id (labels
             # only ever take the min of existing node ids), so
@@ -328,16 +332,11 @@ def connected_components(
                     F.col("node").alias("pnode"), F.col("label").alias("plabel")
                 )
                 hop = hop.join(ptr, hop.label == ptr.pnode, "left").select(
-                    "node", F.coalesce("plabel", "label").alias("label")
+                    "node", F.coalesce("plabel", "label").alias("label"), "prev"
                 )
             new_labels = materialize(hop, f"labels_{rnd + 1}")
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+            labels = new_labels.select("node", "label")
             if changed == 0:
                 # Pin the result in memory so the temp files can be
                 # deleted; the final table is one (node, component) row
