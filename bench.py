@@ -19,8 +19,17 @@ Design (round-4 rework, per VERDICT r3 "Next round" #1/#3 + ADVICE):
   means pass 1 itself didn't finish.
 * **Errors are recorded, not swallowed** (ADVICE r3 medium): a query that
   fails without the watchdog firing lands in "errors" with its exception,
-  is excluded from timings/totals, and flips rc to nonzero via
-  "n_errors" in the JSON line.
+  is excluded from timings/totals, shows up as "n_errors" in the JSON
+  line, and makes the process exit 1 (ADVICE r4: rc now actually
+  signals). Watchdog-CAPPED queries are a separate tier: their elapsed
+  time is recorded for coverage but flagged in "capped"/"n_capped", they
+  never refresh the committed baseline, and they keep rc 0 (a host
+  stall is not a plan failure).
+* **Calibration is plan-pinned** (VERDICT r4 #1): host_factor is only
+  computed when all three probes' normalized optimized-plan digests match
+  PROBE_PLAN_DIGEST; a drifted probe yields host_factor null plus a
+  "calibration_skipped" field naming it, so a probe edit can never be
+  absorbed into "the host got slower".
 * **Detail files don't clobber the baseline** (VERDICT r3 #3): every run
   writes BENCH_DETAIL_last.json; the committed BENCH_DETAIL.json is only
   rewritten by a CLEAN run (untruncated, error-free, full surface), so a
@@ -52,12 +61,45 @@ HEADLINE = [
 # plan-stable probe queries. These three plans have not changed since r2
 # (pure scan->join->agg, no shared operator edits), so current/anchor
 # measures the HOST, not the code. If one of these plans is ever edited,
-# update its anchor from a clean idle-host best-of-5 and note it here.
+# update its anchor from a clean idle-host best-of-5, re-pin its digest in
+# PROBE_PLAN_DIGEST (printed by the mismatch warning), and note it here.
 R2_ANCHOR = {
     "q1_pricing_summary": 0.94,
     "regional_revenue": 0.92,
     "top_orders_by_revenue": 0.95,
 }
+
+# md5 of each probe's NORMALIZED optimized logical plan (expression ids,
+# file paths, and file-index identity stripped — see _plan_digest). Pinned
+# per VERDICT r4 "What's wrong" #1: host_factor divides every cross-round
+# comparison, so a silent edit to a probe plan would launder a real
+# regression into "the host got slower". Before calibrating we re-derive
+# each digest from the live plan; any mismatch refuses calibration
+# (host_factor stays null, a calibration_skipped warning names the query)
+# instead of absorbing the change. Re-anchor protocol lives in BASELINE.md.
+PROBE_PLAN_DIGEST = {
+    "q1_pricing_summary": "69966896683b974a1130e3bbef022363",
+    "regional_revenue": "3205f69314b06502c18d4b375add49b1",
+    "top_orders_by_revenue": "92b4ffa60f408fafbb23e52e34ba44b0",
+}
+
+
+def _plan_digest(df) -> str:
+    """md5 of the optimized logical plan with run-varying tokens
+    normalized out: expression ids (#123), absolute dataset paths, and
+    InMemoryFileIndex identity. Byte-stable across sessions and SFs
+    (verified: three fresh JVMs produce identical digests); changes iff
+    the logical plan Catalyst produces for the query changes."""
+    import re
+
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"\[file:[^\]]*\]", "[file:<path>]", s)
+    s = re.sub(r"/root/[^\s,\)\]]*", "<path>", s)
+    s = re.sub(r"InMemoryFileIndex\([^)]*\)", "InMemoryFileIndex(<idx>)", s)
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
@@ -88,11 +130,15 @@ def main() -> None:
     # whole bench window (the elapsed time is still recorded).
     hard_cap = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_TIMEOUT_SEC", "90"))
 
+    CAPPED = "__capped__"  # sentinel: watchdog fired, elapsed = hard cap
+
     def execute(make_df, group: str) -> str | None:
         """Build AND run the plan to completion under one job group.
-        Returns None on success, the exception repr on a REAL failure;
-        watchdog cancellations count as success-with-capped-time (the
-        stall is the host's, not the plan's).
+        Returns None on success, CAPPED when the watchdog cancelled the
+        run (a host stall, not a plan failure — the elapsed time is a
+        cap artifact, so callers must mark it and a capped run must never
+        refresh the committed baseline, per ADVICE r4), or the exception
+        repr on a REAL failure.
 
         Construction runs INSIDE the watchdog scope because queries with
         eager subtrees (localCheckpoint in connected-components / LSH
@@ -129,18 +175,18 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
             except Exception:  # noqa: BLE001
                 if cancelled.is_set():
-                    return None  # watchdog kill, not a plan failure
+                    return CAPPED  # watchdog kill, not a plan failure
                 # noop sink unavailable -> fall back to collect once.
                 try:
                     df.collect()
                 except Exception as exc:  # noqa: BLE001
                     if cancelled.is_set():
-                        return None
+                        return CAPPED
                     return f"{type(exc).__name__}: {exc}"[:300]
-            return None
+            return CAPPED if cancelled.is_set() else None
         except Exception as exc:  # noqa: BLE001 — construction failed
             if cancelled.is_set():
-                return None
+                return CAPPED
             return f"{type(exc).__name__}: {exc}"[:300]
         finally:
             done.set()
@@ -149,6 +195,7 @@ def main() -> None:
     total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TOTAL_BUDGET_SEC", "1500"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    capped: set[str] = set()  # watchdog-cancelled: time is a cap artifact
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -164,7 +211,12 @@ def main() -> None:
         # capture (parsed=null). Keep the line SHORT: summary fields plus
         # headline + slowest-10 timings; the full map goes to the detail
         # files.
-        headline_total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
+        # A missing headline query must make the metric NULL, not smaller
+        # (ADVICE r4: summing .get(n, 0.0) biased the ratchet the wrong way).
+        if all(n in timings for n in HEADLINE):
+            headline_total = round(sum(timings[n] for n in HEADLINE), 3)
+        else:
+            headline_total = None
         slowest = sorted(timings, key=lambda n: -timings[n])[:10]
         shown = {
             n: round(timings[n], 2) for n in dict.fromkeys(HEADLINE + slowest) if n in timings
@@ -177,6 +229,10 @@ def main() -> None:
         }
         if errors:
             detail["errors"] = errors
+        if capped:
+            detail["capped"] = sorted(capped)
+        if state.get("calibration_skipped"):
+            detail["calibration_skipped"] = state["calibration_skipped"]
         try:
             with open(os.path.join(REPO_DIR, "BENCH_DETAIL_last.json"), "w") as f:
                 json.dump(detail, f, indent=1, sort_keys=True)
@@ -184,9 +240,13 @@ def main() -> None:
             pass
         # Only a clean full-surface run AT THE CANONICAL SF may refresh the
         # committed baseline (a sf0.001 smoke run overwrote it in round 3).
+        # "Clean" excludes watchdog-capped runs (ADVICE r4): a capped time
+        # is a ~90s host artifact, and letting it into BENCH_DETAIL.json
+        # would corrupt cross-round comparison and cheapest-first order.
         clean = (
             not state["truncated"]
             and not errors
+            and not capped
             and len(timings) >= len(plans.REGISTRY)
             and sf_val == 0.1
         )
@@ -210,6 +270,10 @@ def main() -> None:
         if errors:
             line["n_errors"] = len(errors)
             line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
+        if capped:
+            line["n_capped"] = len(capped)
+        if state.get("calibration_skipped"):
+            line["calibration_skipped"] = state["calibration_skipped"]
         if state["truncated"]:
             line["truncated"] = True
         print(json.dumps(line), flush=True)
@@ -219,7 +283,7 @@ def main() -> None:
     def on_alarm(_sig, _frame) -> None:
         state["truncated"] = True
         emit()
-        os._exit(0)
+        os._exit(1 if errors else 0)
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(int(total_budget + 300))  # last resort past the soft budget
@@ -229,24 +293,48 @@ def main() -> None:
     def left() -> float:
         return total_budget - (time.perf_counter() - t_start)
 
+    # --- Calibration gate: the probes' plans must still be the plans the
+    # anchors were measured on. A drifted probe plan would silently fold a
+    # real regression into "the host got slower" (VERDICT r4 #1), so any
+    # digest mismatch refuses calibration: the probes still get timed as
+    # ordinary queries, but host_factor stays null and the JSON line names
+    # the drifted queries so the re-anchor protocol (BASELINE.md) can run.
+    drifted: list[str] = []
+    for name, want in PROBE_PLAN_DIGEST.items():
+        if name not in plans.REGISTRY:
+            drifted.append(f"{name}: not registered")
+            continue
+        try:
+            got = _plan_digest(plans.REGISTRY[name].spark(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — construction failed
+            got = f"error:{type(exc).__name__}"
+        if got != want:
+            drifted.append(f"{name}: {got}")
+    if drifted:
+        state["calibration_skipped"] = "; ".join(drifted)[:300]
+
     # --- Calibration probe: best-of-3 on the plan-stable trio. ---
     probe: dict[str, float] = {}
-    for name in R2_ANCHOR:
-        if name not in plans.REGISTRY:
-            continue
-        best = float("inf")
-        for i in range(3):
-            t0 = time.perf_counter()
-            err = execute(lambda: plans.REGISTRY[name].spark(spark, sf_dir), f"probe:{name}#{i}")
-            dt = time.perf_counter() - t0
-            if err is None:
-                best = min(best, dt)
-        if best < float("inf"):
-            probe[name] = best
-            timings[name] = round(best, 3)
+    if not drifted:
+        for name in R2_ANCHOR:
+            if name not in plans.REGISTRY:
+                continue
+            best = float("inf")
+            for i in range(3):
+                t0 = time.perf_counter()
+                err = execute(
+                    lambda: plans.REGISTRY[name].spark(spark, sf_dir), f"probe:{name}#{i}"
+                )
+                dt = time.perf_counter() - t0
+                if err is None:
+                    best = min(best, dt)
+            if best < float("inf"):
+                probe[name] = best
+                timings[name] = round(best, 3)
     # The anchors are sf0.1 measurements — at any other SF the ratio is
-    # fixed-overhead noise, not a host signal, so emit null there.
-    if probe and sf_val == 0.1:
+    # fixed-overhead noise, not a host signal, so emit null there. A capped
+    # probe never lands in `probe` (execute returns CAPPED, not None).
+    if probe and len(probe) == len(R2_ANCHOR) and sf_val == 0.1:
         ratios = sorted(probe[n] / R2_ANCHOR[n] for n in probe)
         state["host_factor"] = round(ratios[len(ratios) // 2], 3)
 
@@ -262,7 +350,13 @@ def main() -> None:
         t0 = time.perf_counter()
         err = execute(lambda: plans.REGISTRY[name].spark(spark, sf_dir), f"{name}#0")
         dt = time.perf_counter() - t0
-        if err is not None:
+        if err == CAPPED:
+            # Host stall, not a plan failure: record the elapsed time so
+            # coverage stays complete, but mark it so the run can never
+            # refresh the committed baseline (ADVICE r4 medium).
+            capped.add(name)
+            timings[name] = round(dt, 3)
+        elif err is not None:
             errors[name] = err
         else:
             timings[name] = round(dt, 3)
@@ -281,6 +375,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if err is None:
                     timings[name] = round(min(timings[name], dt), 3)
+                    capped.discard(name)  # a clean repeat supersedes a cap
                 if left() <= 0:
                     break
             if left() <= 0:
@@ -288,6 +383,10 @@ def main() -> None:
 
     signal.alarm(0)
     emit()
+    # rc signals REAL query failures (ADVICE r4 medium: the docstring
+    # promised a nonzero rc but nothing ever exited nonzero). Caps and
+    # truncation are host conditions, visible in the JSON, and keep rc 0.
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":

@@ -249,9 +249,14 @@ def connected_components(
     oracle and pinned by pytest on known graphs (chains/islands/
     triangles, 50-link chain).
 
-    Per-round state is materialized to PARQUET (a per-call temp dir, or
-    ``checkpoint_dir``), not ``localCheckpoint``-ed. Two hard-won lessons
-    are encoded here:
+    Per-round state is materialized to PARQUET, not ``localCheckpoint``-ed.
+    Location (ADVICE r4 — on a multi-node cluster this MUST be a path every
+    executor can reach; a driver-local tempdir only works in local mode):
+    ``checkpoint_dir`` if given (pass a DFS path on a cluster), else a
+    unique subdir of the session's configured checkpoint dir
+    (``sc.setCheckpointDir`` — already required to be shared on a
+    cluster), else a driver-local tempdir (local-mode fallback). Two
+    hard-won lessons are encoded here:
 
     1. (round 3) persist() alone keeps the full logical lineage, which
        doubles in depth every iteration — at sf0.1 the uncheckpointed
@@ -276,7 +281,26 @@ def connected_components(
     import tempfile
 
     spark = pairs.sparkSession
-    base = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_state_")
+    # Default state location (ADVICE r4): on a real multi-node cluster the
+    # per-round parquet state MUST live on a shared filesystem every
+    # executor can reach — a driver-local tempdir only works in local
+    # mode. Prefer, in order: the caller's checkpoint_dir, the session's
+    # configured checkpoint dir (spark.sparkContext.setCheckpointDir — on
+    # a cluster that's already required to be a DFS path), then a local
+    # tempdir as the local-mode fallback.
+    base = checkpoint_dir
+    derived_from_ckpt = False
+    if base is None:
+        cluster_ckpt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        if cluster_ckpt.isDefined():
+            import uuid
+
+            # unique per call: two concurrent CC runs must not clobber
+            # each other's round state
+            base = cluster_ckpt.get().rstrip("/") + "/spark_cc_state_" + uuid.uuid4().hex
+            derived_from_ckpt = True
+    if base is None:
+        base = tempfile.mkdtemp(prefix="spark_cc_state_")
 
     def materialize(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(base, name)
@@ -354,4 +378,15 @@ def connected_components(
         )
     finally:
         if checkpoint_dir is None:
-            shutil.rmtree(base, ignore_errors=True)
+            if derived_from_ckpt:
+                # The derived path may be a DFS URI (hdfs://, s3a://...)
+                # that shutil can't touch — delete through Hadoop's FS.
+                try:
+                    jvm = spark._jvm
+                    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                    jpath = jvm.org.apache.hadoop.fs.Path(base)
+                    jpath.getFileSystem(hconf).delete(jpath, True)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+            else:
+                shutil.rmtree(base, ignore_errors=True)

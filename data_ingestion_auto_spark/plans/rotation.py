@@ -36,11 +36,16 @@ string (which inlines helper-generated SQL at decoration time), the full
 source of the module DEFINING the query, and the source of every package
 module that defining module directly imports (round-3 advice: a
 helper-only edit — e.g. ``multiprobe_topk`` or an ``operators/*`` change —
-must re-queue the queries that delegate to it). Known remaining limit:
-helpers reached only at depth ≥ 2 (a module imported by an imported
-module) don't change the fingerprint; those edits are still caught by the
-full sf0.001 differential suite in ``tests/test_oracle_parity.py`` and by
-the ≤ceil(N/C)-round recycle.
+must re-queue the queries that delegate to it). Known remaining limits
+(ADVICE r4): (a) helpers reached only at depth ≥ 2 (a module imported by
+an imported module) don't change the fingerprint; (b) dependency detection
+walks module attributes for modules and objects carrying ``__module__``,
+so ``from x import SOME_CONSTANT`` of a plain int/str/dict is invisible —
+a constant-only edit in a helper module won't re-queue dependents (prefer
+module-level imports, ``from .. import helpers`` + ``helpers.CONSTANT``,
+for cross-module constants the rotation should see). Both gaps are still
+caught by the full sf0.001 differential suite in
+``tests/test_oracle_parity.py`` and by the ≤ceil(N/C)-round recycle.
 """
 
 from __future__ import annotations

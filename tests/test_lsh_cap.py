@@ -105,3 +105,43 @@ def test_connected_components_result_survives_temp_cleanup(spark):
     out = D.connected_components(pairs)
     got = {r["node"]: r["component"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_uses_session_checkpoint_dir(spark, tmp_path, monkeypatch):
+    """ADVICE r4: when the session has a checkpoint dir configured (on a
+    real cluster that's a shared DFS path), per-round CC state must land
+    in a unique subdir of it — not a driver-local tempdir executors can't
+    reach — and be cleaned up afterwards. The tempdir fallback is poisoned
+    so reaching it fails the test."""
+    import os
+    import tempfile
+
+    from data_ingestion_auto_spark.operators import dedup as D
+
+    def _no_tempdir(*_a, **_k):
+        raise AssertionError("fell back to driver-local tempdir despite checkpoint dir")
+
+    monkeypatch.setattr(tempfile, "mkdtemp", _no_tempdir)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    sc = spark.sparkContext
+    had = sc._jsc.sc().getCheckpointDir()
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+        out = D.connected_components(pairs)
+        got = {r["node"]: r["component"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        # state dir was created under the checkpoint dir and cleaned up
+        # (Spark nests a session-UUID dir under the configured path, so
+        # walk recursively)
+        leftovers = [
+            d
+            for root, dirs, _files in os.walk(ckpt)
+            for d in dirs
+            if d.startswith("spark_cc_state_")
+        ]
+        assert leftovers == []
+    finally:
+        if had.isDefined():
+            sc.setCheckpointDir(had.get())

@@ -179,3 +179,22 @@ def test_kmv_prunes_scan_to_two_columns(spark, sf_dir, registry):
     lineitem's 16 columns — column pruning must reach the scan."""
     p = _plan(spark, registry["kmv_distinct_estimate"].spark(spark, sf_dir))
     assert "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>" in p
+
+
+def test_bench_calibration_probes_plan_pinned(spark, sf_dir, registry):
+    """VERDICT r4 #1: host_factor calibrates every cross-round bench
+    comparison against the r2 anchor, so the three probe queries' plans
+    must be byte-stable (modulo expression ids / paths). bench.py refuses
+    calibration at runtime on drift; this test makes the drift loud at
+    pytest time too, pointing straight at the re-anchor protocol: edit a
+    probe plan deliberately -> re-measure its anchor on an idle host
+    (best-of-5) -> update R2_ANCHOR + PROBE_PLAN_DIGEST together
+    (BASELINE.md)."""
+    import bench
+
+    for name, want in bench.PROBE_PLAN_DIGEST.items():
+        got = bench._plan_digest(registry[name].spark(spark, sf_dir))
+        assert got == want, (
+            f"probe {name} plan drifted ({got} != {want}); re-anchor per "
+            "BASELINE.md before trusting host_factor"
+        )
