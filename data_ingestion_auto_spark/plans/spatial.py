@@ -211,7 +211,122 @@ def late_data_accounting(spark, sf_dir):
 
 @query(
     "simplify_linestrings_fix",
-    oracle=None,  # Douglas-Peucker is iterative: not SQL-expressible; rows-only
+    # Bit-for-bit WITH RECURSIVE replay of the deterministic DP stack
+    # (graduated from rows-only in round 5, the contour/warp/CC pattern):
+    # every kept point is an endpoint of some recursion span, so
+    # n_points_out = COUNT(DISTINCT span endpoints); the %.6f round-trip,
+    # orientation signs, and perp-distance expression trees mirror
+    # operators/geometry.py op-for-op so IEEE doubles agree exactly
+    # (verified: zero mismatches at sf0.001/0.01/0.1, with the DP branch
+    # exercised on every line).
+    oracle=r"""
+WITH RECURSIVE
+ranked AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS idx,
+         fmod(value*7.3, 360.0) - 180.0 AS lon,
+         fmod(value*3.7, 180.0) - 90.0 AS lat
+  FROM events
+),
+-- the operator parses the %.6f-formatted WKT back to doubles: replay the
+-- text round-trip (printf %.6f is bit-compatible with JVM format_string
+-- on these values — checked over all 10k)
+pts AS (
+  SELECT user_id, idx,
+         CAST(printf('%.6f', lon) AS DOUBLE) AS x,
+         CAST(printf('%.6f', lat) AS DOUBLE) AS y
+  FROM ranked WHERE idx < 40
+),
+line AS (
+  SELECT user_id, count(*) AS n FROM pts GROUP BY user_id HAVING count(*) >= 2
+),
+seg AS (
+  SELECT p1.user_id, p1.idx AS i, p1.x AS ax, p1.y AS ay, p2.x AS bx, p2.y AS by
+  FROM pts p1 JOIN pts p2 ON p1.user_id = p2.user_id AND p2.idx = p1.idx + 1
+),
+ring AS (  -- closed ring: first/last endpoints touching is not a self-cross
+  SELECT l.user_id, (pf.x = pl.x AND pf.y = pl.y) AS closed
+  FROM line l
+  JOIN pts pf ON pf.user_id = l.user_id AND pf.idx = 0
+  JOIN pts pl ON pl.user_id = l.user_id AND pl.idx = l.n - 1
+),
+xpair AS (  -- orientation signs for every non-adjacent segment pair
+  SELECT s1.user_id,
+    sign((s1.bx-s1.ax)*(s2.ay-s1.ay) - (s1.by-s1.ay)*(s2.ax-s1.ax)) AS o1,
+    sign((s1.bx-s1.ax)*(s2.by-s1.ay) - (s1.by-s1.ay)*(s2.bx-s1.ax)) AS o2,
+    sign((s2.bx-s2.ax)*(s1.ay-s2.ay) - (s2.by-s2.ay)*(s1.ax-s2.ax)) AS o3,
+    sign((s2.bx-s2.ax)*(s1.by-s2.ay) - (s2.by-s2.ay)*(s1.bx-s2.ax)) AS o4,
+    s1.ax AS p1x, s1.ay AS p1y, s1.bx AS p2x, s1.by AS p2y,
+    s2.ax AS p3x, s2.ay AS p3y, s2.bx AS p4x, s2.by AS p4y
+  FROM seg s1
+  JOIN seg s2 ON s1.user_id = s2.user_id AND s2.i >= s1.i + 2
+  JOIN line l ON l.user_id = s1.user_id
+  JOIN ring r ON r.user_id = s1.user_id
+  WHERE NOT (s1.i = 0 AND s2.i = l.n - 2 AND r.closed)
+),
+simple AS (
+  SELECT l.user_id,
+         coalesce(NOT bool_or(
+           (x.o1 <> x.o2 AND x.o3 <> x.o4)
+           OR (x.o1 = 0 AND x.p3x BETWEEN least(x.p1x,x.p2x) AND greatest(x.p1x,x.p2x)
+                        AND x.p3y BETWEEN least(x.p1y,x.p2y) AND greatest(x.p1y,x.p2y))
+           OR (x.o2 = 0 AND x.p4x BETWEEN least(x.p1x,x.p2x) AND greatest(x.p1x,x.p2x)
+                        AND x.p4y BETWEEN least(x.p1y,x.p2y) AND greatest(x.p1y,x.p2y))
+           OR (x.o3 = 0 AND x.p1x BETWEEN least(x.p3x,x.p4x) AND greatest(x.p3x,x.p4x)
+                        AND x.p1y BETWEEN least(x.p3y,x.p4y) AND greatest(x.p3y,x.p4y))
+           OR (x.o4 = 0 AND x.p2x BETWEEN least(x.p3x,x.p4x) AND greatest(x.p3x,x.p4x)
+                        AND x.p2y BETWEEN least(x.p3y,x.p4y) AND greatest(x.p3y,x.p4y))
+         ), TRUE) AS was_simple
+  FROM line l LEFT JOIN xpair x ON x.user_id = l.user_id
+  GROUP BY l.user_id
+),
+-- Douglas-Peucker as a span fixpoint: split (lo,hi) at the farthest
+-- interior point (first index on ties = np.argmax) while its distance
+-- exceeds the tolerance
+spans AS (
+  SELECT user_id, 0::BIGINT AS lo, (l.n - 1)::BIGINT AS hi
+  FROM line l JOIN simple s USING (user_id) WHERE NOT s.was_simple
+  UNION ALL
+  SELECT z.user_id,
+         CASE w.which WHEN 0 THEN z.lo ELSE z.mid END AS lo,
+         CASE w.which WHEN 0 THEN z.mid ELSE z.hi END AS hi
+  FROM (
+    SELECT s.user_id, s.lo, s.hi, am.mid
+    FROM spans s
+    JOIN pts a ON a.user_id = s.user_id AND a.idx = s.lo
+    JOIN pts b ON b.user_id = s.user_id AND b.idx = s.hi,
+    LATERAL (
+      SELECT p.idx AS mid,
+             CASE WHEN (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) = 0.0
+                  THEN sqrt((p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y))
+                  ELSE abs((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y))
+                       / sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))
+             END AS dist
+      FROM pts p
+      WHERE p.user_id = s.user_id AND p.idx > s.lo AND p.idx < s.hi
+      ORDER BY dist DESC, p.idx ASC
+      LIMIT 1
+    ) am
+    WHERE s.hi - s.lo >= 2 AND am.dist > 0.001
+  ) z CROSS JOIN (VALUES (0), (1)) w(which)
+),
+kept AS (  -- every kept point is an endpoint of some span
+  SELECT user_id, count(DISTINCT e) AS n_out
+  FROM (
+    SELECT user_id, lo AS e FROM spans
+    UNION ALL
+    SELECT user_id, hi AS e FROM spans
+  ) GROUP BY user_id
+)
+SELECT l.user_id,
+       s.was_simple,
+       CAST(l.n AS INT) AS n_points_in,
+       CAST(CASE WHEN s.was_simple THEN l.n ELSE k.n_out END AS INT) AS n_points_out
+FROM line l
+JOIN simple s USING (user_id)
+LEFT JOIN kept k USING (user_id)
+ORDER BY l.user_id
+""",
     tags=("U3", "geometry", "mapInPandas"),
 )
 def simplify_linestrings_fix(spark, sf_dir):
@@ -220,9 +335,11 @@ def simplify_linestrings_fix(spark, sf_dir):
     state); each is validated (is_simple) and, only when self-intersecting,
     Douglas-Peucker-simplified at tolerance 0.001, then coordinate-clamped
     — the reference's exact fix_geometry rule. Geometry stays a string
-    column; only per-line stats are returned. Correctness is pinned by the
-    property tests in tests/test_geometry.py (endpoint preservation,
-    tolerance band, simplicity detection)."""
+    column; only per-line stats are returned. Correctness: hash-verified
+    against a DuckDB WITH RECURSIVE replay of the deterministic DP span
+    stack (see the oracle comment) since round 5, plus the property tests
+    in tests/test_geometry.py (endpoint preservation, tolerance band,
+    simplicity detection)."""
     from ..operators.geometry import simplify_linestrings
 
     ev = T(spark, sf_dir, "events")
