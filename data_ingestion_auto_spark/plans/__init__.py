@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     sketches,
     sources_ops,
     spatial,
+    stateful_replay,
     text,
     timeseries,
     tpch_fill,
