@@ -67,3 +67,66 @@ def test_registry_order_matches_policy():
     fps = rotation.current_fingerprints()
     expect = sorted(REGISTRY, key=lambda n: rotation.sort_key(n, ledger, fps))
     assert list(REGISTRY) == expect
+
+
+def test_autostamp_fires_only_when_safe(monkeypatch, tmp_path):
+    """Round-end automation (r4 verdict #6): the auto-stamp writes the
+    ledger exactly when (newer gate round) AND (clean package tree) AND
+    (no package commits after the gate commit); every other state is a
+    no-op."""
+    ledger_path = tmp_path / "VERIFIED.json"
+    monkeypatch.setattr(rotation, "LEDGER_PATH", str(ledger_path))
+    monkeypatch.setattr(
+        rotation, "_correctness_rows", lambda: {"q": {"round": 9, "mode": "hash"}}
+    )
+    monkeypatch.setattr(rotation, "build_ledger", lambda: {"q": {"round": 9}})
+
+    calls = {}
+
+    def fake_git(*args):
+        calls[args[0]] = calls.get(args[0], 0) + 1
+        if args[0] == "status":
+            return calls.get("dirty_response", "") if "dirty" not in calls else " M x.py\n"
+        if args[0] == "log" and args[1] == "-1":
+            return "abc123\n"
+        return ""  # no commits since
+
+    monkeypatch.setattr(rotation, "_git", fake_git)
+
+    # all conditions hold -> stamps
+    assert rotation.maybe_autostamp() is True
+    assert ledger_path.exists()
+
+    # already stamped for round 9 -> no-op (ledger round == newest)
+    import json as _json
+
+    ledger_path.write_text(_json.dumps({"q": {"round": 9}}))
+    assert rotation.maybe_autostamp() is False
+
+    # newer gate round but dirty tree -> no-op
+    ledger_path.write_text(_json.dumps({"q": {"round": 8}}))
+    calls["dirty"] = True
+    assert rotation.maybe_autostamp() is False
+
+    # git unavailable -> no-op
+    monkeypatch.setattr(rotation, "_git", lambda *a: None)
+    assert rotation.maybe_autostamp() is False
+
+
+def test_autostamp_refuses_when_package_edited_after_gate(monkeypatch, tmp_path):
+    ledger_path = tmp_path / "VERIFIED.json"
+    monkeypatch.setattr(rotation, "LEDGER_PATH", str(ledger_path))
+    monkeypatch.setattr(
+        rotation, "_correctness_rows", lambda: {"q": {"round": 9, "mode": "hash"}}
+    )
+
+    def fake_git(*args):
+        if args[0] == "status":
+            return ""
+        if args[0] == "log" and args[1] == "-1":
+            return "abc123\n"
+        return "deadbee edited the package\n"  # commits touched the package
+
+    monkeypatch.setattr(rotation, "_git", fake_git)
+    assert rotation.maybe_autostamp() is False
+    assert not ledger_path.exists()
