@@ -225,22 +225,28 @@ def connected_components(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list via min-label
-    propagation WITH pointer doubling: every node starts labeled with
-    itself; each round takes the minimum label in the closed
-    neighbourhood (one edge join), then compresses 3 pointer hops
-    (``label ← label(label)``, labels-only self-joins), so a minimum
-    travels ~8 links per round — O(log diameter) rounds overall. The
-    round-2 advisor was right that the old ``max_iter=10`` hop-only loop
-    silently returned split components: measured at sf0.1, the corpus
-    pair graph has diameter ~19, so round 2's `neardup_components` WAS
-    exiting unconverged — its 3.17 s bench time was the cost of a wrong
-    answer (correct hop-only convergence measured ~24 s at sf0.1; the
-    jump rounds cut that several-fold — a 51-node chain converges in 3
-    rounds vs 50).
+    propagation with pointer jumping: every node starts labeled with
+    itself; each materialized round takes 3 neighbour-minimum HOPS
+    (edge joins — unconditional frontier advance) followed by 3 pointer
+    JUMPS (``label ← label(label)``, labels-only self-joins — chain
+    compression when label chains align, a no-op when they stall on a
+    node that hasn't learned a smaller label yet). The round-2 advisor
+    was right that the old ``max_iter=10`` hop-only loop silently
+    returned split components: measured at sf0.1, the corpus pair
+    graph's giant component has eccentricity 18 from its min node, so
+    round 2's `neardup_components` WAS exiting unconverged — its 3.17 s
+    bench time was the cost of a wrong answer. Round 5 measured that
+    1-hop rounds still advanced the min ~1 link per round (16 rounds at
+    sf0.1 — jump stalling is the norm on real graphs, not the
+    exception); 3 hops per round guarantee ≥3 links per round and the
+    same graph converges in 6 rounds, all extra work lazy inside the one
+    per-round job.
 
-    Non-convergence within ``max_iter`` now RAISES instead of returning
-    wrong labels; with pointer doubling the default cap of 20 covers
-    graphs with diameter ~8·2^20 — far beyond a real corpus.
+    Non-convergence within ``max_iter`` RAISES instead of returning
+    wrong labels; the default cap of 20 rounds GUARANTEES diameter ≥60
+    (3 links × 20 rounds, jumps usually reach much further) — beyond any
+    plausible near-dup graph, whose components are dense boilerplate
+    clusters, not 60-link chains.
 
     The canonical-assignment operator the single-pass min-neighbour
     approximation (embedding_neardup_dedup) converges to. Each round is
@@ -318,31 +324,46 @@ def connected_components(
             ),
             "labels_0",
         )
-        # 3 pointer jumps per round compress up to 2^3 ancestor hops, so
-        # one outer round propagates a minimum ~8 links down a chain
-        # instead of 1. The jumps are labels-only self-joins — no edge
-        # join, no action — so they extend the round's DAG cheaply; only
-        # the end-of-round materialization runs a job.
+        # Per materialized round: 3 neighbour-min HOPS then 3 pointer
+        # JUMPS, all lazy (one job per round, at the materialization).
+        # Jumps compress label chains (label ← label(label)) but STALL
+        # whenever a label points at a node that hasn't itself learned a
+        # smaller label yet — measured on the sf0.1 LSH graph (giant
+        # component, eccentricity 18 from its min node) the original
+        # 1-hop+3-jump round still needed 16 rounds, i.e. the min was
+        # advancing ~1 link per round with jumps helping only
+        # sporadically. Hops advance the frontier unconditionally, so
+        # 3 hops guarantee ≥3 links per round and the same graph now
+        # converges in 6 rounds — fewer parquet round-trips buys more
+        # than the extra lazy edge joins cost (each hop is a join+groupBy
+        # over the bounded edge/label tables). The round-5 sf1 soak
+        # (tools/soak.py, SCALE.md) exercises this on a 10× corpus
+        # including a near-cap hot bucket: round count stays
+        # diameter-bound, independent of data volume.
+        hops_per_round = 3
         jumps_per_round = 3
         changed = -1
         for rnd in range(max_iter):
-            neighbour_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            # `prev` carries the round-start label through the jump chain
-            # so convergence detection is a filter over the written
+            # `prev` carries the round-start label through the hop+jump
+            # chain so convergence detection is a filter over the written
             # parquet, not an extra old⋈new join job per round.
-            hop = labels.join(
-                neighbour_min, labels.node == neighbour_min.src, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("prev"),
-            )
+            cur = labels.select("node", "label", F.col("label").alias("prev"))
+            for _h in range(hops_per_round):
+                neighbour_min = (
+                    edges.join(cur, edges.dst == cur.node)
+                    .groupBy("src")
+                    .agg(F.min("label").alias("nbr_label"))
+                )
+                cur = cur.join(
+                    neighbour_min, cur.node == neighbour_min.src, "left"
+                ).select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                    "prev",
+                )
+            hop = cur
             # Pointer jumping: every label is itself a node id (labels
             # only ever take the min of existing node ids), so
             # label(label) is defined and monotone non-increasing. Each

@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     sources_ops,
     spatial,
     stateful_replay,
+    substring_dedup,
     text,
     timeseries,
     tpch_fill,

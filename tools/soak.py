@@ -1,0 +1,143 @@
+"""Scale soak (round-4 verdict #3): run the scale-critical ladder at a
+derived larger SF (see tools/make_scale_fixture.py) and at sf0.1 on the
+SAME host/session, and report per-query wall time plus the scaling ratio
+normalized by input rows — the pass bar is "no query exceeds linear
+scaling by more than 2x", plus connected-components convergence in the
+expected O(log diameter) rounds with per-round state on disk.
+
+Usage: python tools/soak.py [target_sf_dir] [query ...]
+       (default target .scratch/sf1, default queries = the ladder below)
+
+Prints one JSON line per (sf, query) and a final summary line; paste the
+numbers into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LADDER = [
+    "neardup_components",
+    "chunk_minhash_neardup",
+    "decontamination_ngram_overlap",
+    "sequence_packing_bins",
+    "q9_product_type_profit",
+]
+
+# which input table's row count normalizes each query's scaling ratio
+DRIVER_TABLE = {
+    "neardup_components": "documents",
+    "chunk_minhash_neardup": "documents",
+    "decontamination_ngram_overlap": "documents",
+    "sequence_packing_bins": "documents",
+    "q9_product_type_profit": "lineitem",
+}
+
+
+def _run_once(spark, name: str, sf_dir: str) -> float:
+    from data_ingestion_auto_spark import plans
+
+    t0 = time.perf_counter()
+    df = plans.REGISTRY[name].spark(spark, sf_dir)
+    try:
+        df.write.mode("overwrite").format("noop").save()
+    except Exception:  # noqa: BLE001 — noop sink unavailable
+        df.collect()
+    return time.perf_counter() - t0
+
+
+def _rows(spark, sf_dir: str, table: str) -> int:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).count()
+
+
+def _cc_rounds(spark, sf_dir: str) -> dict:
+    """Drive the CC operator directly with an explicit checkpoint dir so
+    the per-round parquet state survives for inspection: the number of
+    labels_<k> dirs is the number of propagation rounds executed."""
+    from data_ingestion_auto_spark.operators import dedup as D
+    from data_ingestion_auto_spark.sources.tables import load_table
+
+    ckpt = os.path.join(REPO, ".scratch", "cc_soak_state")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    n_pairs = pairs.count()
+    t0 = time.perf_counter()
+    comp = D.connected_components(pairs, checkpoint_dir=ckpt)
+    n_nodes = comp.count()
+    dt = time.perf_counter() - t0
+    rounds = len(glob.glob(os.path.join(ckpt, "labels_*"))) - 1  # labels_0 is init
+    n_components = comp.select("component").distinct().count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "lsh_pairs": n_pairs,
+        "cc_nodes": n_nodes,
+        "cc_components": n_components,
+        "cc_rounds": rounds,
+        "cc_sec": round(dt, 2),
+    }
+
+
+def main() -> None:
+    target = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".scratch", "sf1")
+    queries = sys.argv[2:] or LADDER
+    from data_ingestion_auto_spark.session import get_session
+
+    spark = get_session("soak")
+    base = "/root/testdata/sf0.1"
+    # warm-up primes JVM/codegen so the base-vs-target ratio is fair
+    _run_once(spark, "q9_product_type_profit", base)
+
+    table_rows = {
+        sf: {t: _rows(spark, sf, t) for t in set(DRIVER_TABLE.values())}
+        for sf in (base, target)
+    }
+    results: dict[str, dict[str, float]] = {}
+    for sf in (base, target):
+        for name in queries:
+            dt = _run_once(spark, name, sf)
+            results.setdefault(name, {})[sf] = dt
+            print(json.dumps({"sf_dir": sf, "query": name, "sec": round(dt, 2)}), flush=True)
+
+    cc = {sf: _cc_rounds(spark, sf) for sf in (base, target)}
+    for sf, d in cc.items():
+        print(json.dumps({"sf_dir": sf, "cc": d}), flush=True)
+
+    summary = {}
+    worst = 0.0
+    for name in queries:
+        t_b, t_t = results[name][base], results[name][target]
+        table = DRIVER_TABLE[name]
+        scale = table_rows[target][table] / table_rows[base][table]
+        ratio = (t_t / t_b) / scale  # 1.0 == perfectly linear
+        summary[name] = {
+            "base_sec": round(t_b, 2),
+            "target_sec": round(t_t, 2),
+            "rows_scale": round(scale, 2),
+            "linear_ratio": round(ratio, 2),
+        }
+        worst = max(worst, ratio)
+    print(
+        json.dumps(
+            {
+                "summary": summary,
+                "worst_linear_ratio": round(worst, 2),
+                "pass_linear_2x": worst <= 2.0,
+                "cc_rounds": {sf: d["cc_rounds"] for sf, d in cc.items()},
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
