@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     events_analytics,
     joins2,
     layout_ops,
+    lm_quality,
     multimodal,
     relational2,
     scalars,

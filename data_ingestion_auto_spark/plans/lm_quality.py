@@ -1,0 +1,117 @@
+"""Corpus-trained bigram language-model quality scoring — the CCNet-style
+"perplexity filter" of a training-data pipeline (CCNet/RefinedWeb filter
+documents whose LM score marks them as far from the reference
+distribution), re-expressed Spark-first with EXACT integer arithmetic.
+
+A KenLM reference model is an external binary (env-blocked, like cdo);
+the in-engine equivalent trains the model ON the corpus itself in one
+aggregation pass: c(w1,w2) bigram counts and c(w1·) head counts over all
+documents, then scores every document by its average conditional bigram
+probability. Probabilities are kept in parts-per-million via integer
+division — ``(c2 * 1000000) div c1`` — so Spark and DuckDB agree
+bit-for-bit (the module deliberately avoids log()/double accumulation:
+libm log differs across engines in the last ulp, and float summation is
+order-dependent; see plans/helpers.py for the house determinism rules).
+
+Scale: tokenization and bigram extraction are linear explodes; the model
+is two hash aggregations with map-side partial combine (bigram keys, then
+head keys); scoring joins each document's bigrams back to the model on
+those same keys — linear shuffles keyed on vocabulary, never on document
+pairs. The model lives IN the shuffle (no driver-side vocab collection),
+so a 100× corpus means 100× counts through the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+
+
+@query(
+    "bigram_lm_quality_ppm",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS s(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM bigrams GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         (m2.n2 * 1000000) // m1.n1 AS ppm,
+         CASE WHEN m2.n2 = 1 THEN 1 ELSE 0 END AS hapax
+  FROM bigrams b
+  JOIN c2 m2 ON b.w1 = m2.w1 AND b.w2 = m2.w2
+  JOIN c1 m1 ON b.w1 = m1.w1
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.w) - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN count(s.ppm) = 0 THEN 0
+                 ELSE sum(s.ppm) // count(s.ppm) END AS BIGINT) AS avg_cond_ppm,
+       CAST(coalesce(sum(s.hapax), 0) AS BIGINT) AS n_hapax_bigrams
+FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+GROUP BY t.doc_id, len(t.w)
+ORDER BY t.doc_id
+""",
+    tags=("llm-quality", "lm-scoring", "ccnet"),
+)
+def bigram_lm_quality_ppm(spark, sf_dir):
+    """Per-document average conditional bigram probability (ppm, integer
+    arithmetic) under the corpus's own bigram model, plus the count of
+    hapax bigrams (corpus count 1 — the strongest rarity signal). Low
+    avg_cond_ppm / high hapax share marks text far from the corpus
+    distribution: the documents a CCNet-style perplexity gate would cut
+    or down-weight."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bigrams = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("n1"))
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.expr("(n2 * 1000000) div n1").alias("ppm"),
+            F.when(F.col("n2") == 1, 1).otherwise(0).alias("hapax"),
+        )
+    )
+    return (
+        docs.select("doc_id", F.greatest(F.size("w") - 1, F.lit(0)).alias("nb"))
+        .join(scored, "doc_id", "left")
+        .groupBy("doc_id", "nb")
+        .agg(
+            F.expr(
+                "CASE WHEN count(ppm) = 0 THEN 0 ELSE sum(ppm) div count(ppm) END"
+            )
+            .cast("bigint")
+            .alias("avg_cond_ppm"),
+            F.coalesce(F.sum("hapax"), F.lit(0)).cast("bigint").alias("n_hapax_bigrams"),
+        )
+        .select(
+            "doc_id",
+            F.col("nb").cast("bigint").alias("n_bigrams"),
+            "avg_cond_ppm",
+            "n_hapax_bigrams",
+        )
+        .orderBy("doc_id")
+    )

@@ -198,3 +198,31 @@ def test_bench_calibration_probes_plan_pinned(spark, sf_dir, registry):
             f"probe {name} plan drifted ({got} != {want}); re-anchor per "
             "BASELINE.md before trusting host_factor"
         )
+
+
+def test_substring_dedup_scan_pruned_and_no_cartesian(spark, sf_dir, registry):
+    """exact_substring_dedup_spans reads only (doc_id, text) of the
+    5-column documents table, and the dup-fingerprint join must be an
+    equi hash join — a cartesian/BNLJ here would be quadratic in corpus
+    size."""
+    p = _plan(spark, registry["exact_substring_dedup_spans"].spark(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_stateful_replay_no_cartesian(spark, sf_dir, registry):
+    """stateful_dedup_replay's verdict self-join is equi on user_id with
+    range residuals — never a cartesian/BNLJ (the per-key quadratic bound
+    depends on the equi key reaching the join)."""
+    p = _plan(spark, registry["stateful_dedup_replay"].spark(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # events scan pruned to the three needed columns (ts surfaces as
+    # bigint under the nanos-as-long conf or as timestamp_ntz when the
+    # file is micros — either way only 3 of 6 columns are read)
+    p2 = _plan(spark, registry["stateful_dedup_replay"].spark(spark, sf_dir))
+    assert (
+        "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>" in p2
+        or "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint>" in p2
+    )
