@@ -191,3 +191,87 @@ def stateful_dedup_replay(spark, sf_dir):
         )
         .orderBy("batch_start")
     )
+
+
+@query(
+    "stateful_running_anomaly_replay",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         CAST(round(CAST(value AS DECIMAL(38,6)) * 1000000) AS BIGINT) AS v_micro,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w * 1000000 AS BIGINT)
+           AS run_sum_micro,
+         count(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       CAST(CASE WHEN n_prior = 0 THEN NULL
+            ELSE (CASE WHEN run_sum_micro < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(run_sum_micro) + n_prior) // (2 * n_prior))
+            END AS BIGINT) AS running_mean_micro,
+       CAST(CASE WHEN n_prior = 0 THEN NULL
+            ELSE v_micro - (CASE WHEN run_sum_micro < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(run_sum_micro) + n_prior) // (2 * n_prior))
+            END AS BIGINT) AS anomaly_micro
+FROM ranked
+ORDER BY user_id, event_id
+""",
+    tags=("W-ops", "streaming-batch", "stateful", "A1", "J1", "W7"),
+)
+def stateful_running_anomaly_replay(spark, sf_dir):
+    """Driver row for the SECOND stateful operator
+    (``streaming/stateful.py::running_anomaly_stream``): each value scored
+    against the running mean of everything before it per user, in
+    event_id order — state as the materialized climatology (A1+J1/W7).
+
+    The operator accumulates a float total in its state; a float replay
+    would be order-dependent and engine-divergent, so this replay states
+    the SAME rule in exact arithmetic: DECIMAL(38,6) running sums,
+    round-half-away integer division, and integer MICRO-UNIT outputs
+    (running_mean_micro, anomaly_micro) — both engines agree bit-for-bit
+    at any SF. tests/test_stateful_replay.py pins the replay against the
+    real applyInPandasWithState operator's float outputs within 1e-6.
+
+    Scale: one window per user_id (bounded partitions, no global sort
+    except the presentation ORDER BY); no joins at all."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(round(CAST(value AS DECIMAL(38,6)) * 1000000) AS BIGINT)").alias(
+            "v_micro"
+        ),
+        (F.sum(F.expr("CAST(value AS DECIMAL(38,6))")).over(w) * 1000000)
+        .cast("bigint")
+        .alias("run_sum_micro"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    # round-half-away-from-zero in pure integer space (helpers.py pattern):
+    # Spark `div` truncates toward zero and DuckDB `//` floors, so the
+    # division runs on |s| and the sign is reapplied afterwards.
+    mean = F.when(F.col("run_sum_micro") < 0, -1).otherwise(1) * F.expr(
+        "(2 * abs(run_sum_micro) + n_prior) div (2 * n_prior)"
+    )
+    return ranked.select(
+        "user_id",
+        "event_id",
+        F.col("n_prior").cast("bigint").alias("n_prior"),
+        F.when(F.col("n_prior") == 0, F.lit(None))
+        .otherwise(mean)
+        .cast("bigint")
+        .alias("running_mean_micro"),
+        F.when(F.col("n_prior") == 0, F.lit(None))
+        .otherwise(F.col("v_micro") - mean)
+        .cast("bigint")
+        .alias("anomaly_micro"),
+    ).orderBy("user_id", "event_id")

@@ -215,3 +215,63 @@ def test_real_streaming_operator_agrees_on_fixture(spark, tmp_path):
         prev_rows, prev_true = len(out), cur_true
 
     assert got == expected
+
+
+def test_running_anomaly_replay_matches_operator(spark, tmp_path):
+    """stateful_running_anomaly_replay states the running-mean rule in
+    exact micro-unit arithmetic; the real applyInPandasWithState operator
+    accumulates a float total. Drive the operator across two micro-batches
+    and check every (running_mean, anomaly) agrees within 1e-6."""
+    from data_ingestion_auto_spark.streaming.incremental import file_stream
+    from data_ingestion_auto_spark.streaming.stateful import running_anomaly_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (e, t0 + dt.timedelta(minutes=e), u, "x", float(v), "{}")
+        for u, e, v in [
+            (1, 1, 10.0), (1, 2, 20.25), (1, 3, 7.5), (1, 4, 100.125),
+            (2, 5, 3.0), (2, 6, 4.0),
+        ]
+    ]
+    fixture_dir = str(tmp_path / "sfdir")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{fixture_dir}/events.parquet"
+    )
+    from data_ingestion_auto_spark import plans
+
+    expected = {
+        (r.user_id, r.event_id): (r.n_prior, r.running_mean_micro, r.anomaly_micro)
+        for r in plans.REGISTRY["stateful_running_anomaly_replay"]
+        .spark(spark, fixture_dir)
+        .collect()
+    }
+
+    src, ckpt, sink = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    for batch in (rows[:3] + rows[4:5], rows[3:4] + rows[5:]):  # split mid-user
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            running_anomaly_stream(file_stream(spark, src))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id): (r.running_mean, r.anomaly)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (mean_f, anom_f) in got.items():
+        n_prior, mean_u, anom_u = expected[k]
+        if n_prior == 0:
+            assert mean_f is None and anom_f is None and mean_u is None
+        else:
+            assert abs(mean_f - mean_u / 1e6) <= 1e-6, k
+            assert abs(anom_f - anom_u / 1e6) <= 1e-6, k
