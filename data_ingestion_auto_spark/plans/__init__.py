@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     multimodal,
     relational2,
     scalars,
+    semdedup,
     setops,
     similarity,
     similarity_lsh,

@@ -1,0 +1,165 @@
+"""SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication") — the embedding-space rung
+ABOVE pairwise near-dup dedup: cluster the corpus embeddings with
+k-means, then deduplicate only WITHIN clusters, so the quadratic pairwise
+step is bounded by cluster size instead of corpus size (k grows with the
+corpus to hold expected cluster size constant — that is the paper's
+scalability argument, and it maps exactly onto a Spark equi-join on
+cluster_id).
+
+Composition of existing tiers, nothing new at the physical level:
+
+- the deterministic integer k-means-lite quantizer from
+  ``operators/ivf.py`` (k=8, 2 Lloyd iterations, init = smallest ids —
+  bit-stable across engines because every distance and centroid update is
+  exact BIGINT arithmetic);
+- the quantized-cosine near-dup gate and 2%-perturbed augmentation from
+  ``plans/similarity_lsh.py`` (the fixture's random embeddings top out at
+  cosine ≈ 0.51, so without the 20 deterministic perturbed copies a 0.99
+  threshold would be dead code);
+- keep-min-id representative per semantic-dup relation (the paper keeps
+  the point with lowest centroid similarity; min id is the deterministic
+  stand-in — the RULE, which vector survives, is what's under test).
+
+The DuckDB oracle unrolls the fixed-iteration k-means exactly as
+``ann_ivf_probe``'s does (init → assign → update ×2 → final assign as
+chained CTEs) over the augmented corpus, then replays the within-cluster
+pairwise gate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+from .similarity_lsh import _cosine_col, _NEARDUP_T
+
+_KM_CTES = """
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster_id, cvec
+  FROM (SELECT vec_id, qvec AS cvec FROM qv ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+  SELECT vec_id, qvec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn FROM (
+      SELECT v.vec_id, v.qvec, c.cluster_id,
+             list_sum(list_transform(generate_series(1, len(v.qvec)),
+                      i -> (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]))) AS dist2
+      FROM qv v CROSS JOIN c0 c)
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cluster_id, pos,
+         CASE WHEN sum(v) < 0 THEN -(abs(sum(v)) // count(*)) ELSE sum(v) // count(*) END AS cv
+  FROM (SELECT cluster_id, g.i AS pos, qvec[g.i] AS v
+        FROM a1, LATERAL (SELECT unnest(generate_series(1, len(qvec))) AS i) g)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cluster_id, list(cv ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+a2 AS (
+  SELECT vec_id, qvec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn FROM (
+      SELECT v.vec_id, v.qvec, c.cluster_id,
+             list_sum(list_transform(generate_series(1, len(v.qvec)),
+                      i -> (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]))) AS dist2
+      FROM qv v CROSS JOIN c1 c)
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT cluster_id, pos,
+         CASE WHEN sum(v) < 0 THEN -(abs(sum(v)) // count(*)) ELSE sum(v) // count(*) END AS cv
+  FROM (SELECT cluster_id, g.i AS pos, qvec[g.i] AS v
+        FROM a2, LATERAL (SELECT unnest(generate_series(1, len(qvec))) AS i) g)
+  GROUP BY 1, 2
+),
+c2 AS (SELECT cluster_id, list(cv ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+a3 AS (
+  SELECT vec_id, qvec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn FROM (
+      SELECT v.vec_id, v.qvec, c.cluster_id,
+             list_sum(list_transform(generate_series(1, len(v.qvec)),
+                      i -> (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]))) AS dist2
+      FROM qv v CROSS JOIN c2 c)
+  ) WHERE rn = 1
+)"""
+
+
+@query(
+    "semdedup_clusters",
+    oracle=f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000,
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.02], CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id < 20
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+  FROM aug
+),{_KM_CTES},
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM a3 a JOIN a3 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(CAST(list_sum(list_transform(generate_series(1, len(a.qvec)),
+                   i -> a.qvec[i] * b.qvec[i])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(a.qvec, x -> x * x)) AS DOUBLE))
+                 * sqrt(CAST(list_sum(list_transform(b.qvec, x -> x * x)) AS DOUBLE))), 6)
+        >= {_NEARDUP_T}
+)
+SELECT m.vec_id,
+       CAST(m.cluster_id AS INTEGER) AS cluster_id,
+       coalesce(min(p.a), m.vec_id) AS keep_id,
+       (coalesce(min(p.a), m.vec_id) <> m.vec_id) AS is_semantic_dup
+FROM a3 m LEFT JOIN pairs p ON p.b = m.vec_id
+GROUP BY m.vec_id, m.cluster_id
+ORDER BY m.vec_id
+""",
+    tags=("dedup", "similarity", "embedding", "semdedup"),
+)
+def semdedup_clusters(spark, sf_dir):
+    """SemDeDup: k-means clusters over the (augmented) embedding corpus,
+    within-cluster quantized-cosine ≥ 0.99 pairs, keep-min-id survivor per
+    vector. Output: (vec_id, cluster_id, keep_id, is_semantic_dup).
+
+    Scale: k-means cost is iters × (broadcast k×dim ints + one map-side
+    assignment + one (cluster, dim) aggregation); the pairwise step is an
+    equi-join on cluster_id — quadratic only within a cluster, and the
+    paper's regime (k ∝ corpus size) keeps expected cluster size constant,
+    so total pair work stays linear. No all-pairs join exists anywhere in
+    the plan."""
+    from ..operators.ivf import kmeans_lite
+
+    emb = T(spark, sf_dir, "embeddings")
+    pert_vec = (
+        "concat(array(CAST(element_at(embedding, 1) AS DOUBLE) * 1.02), "
+        "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
+    )
+    orig = emb.select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.expr(pert_vec).alias("embedding")
+    )
+    aug = orig.unionByName(pert)
+    assigned, _ = kmeans_lite(aug, k=8, iters=2)
+    a = assigned.select(F.col("vec_id").alias("a"), F.col("qvec").alias("qa"), "cluster_id")
+    b = assigned.select(F.col("vec_id").alias("b"), F.col("qvec").alias("qb"), "cluster_id")
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a") < F.col("b"))
+        .filter(_cosine_col("qa", "qb") >= _NEARDUP_T)
+        .select("a", "b")
+    )
+    return (
+        assigned.join(F.broadcast(pairs), assigned.vec_id == pairs.b, "left")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.coalesce(F.min("a"), F.col("vec_id")).alias("keep_id"))
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "keep_id",
+            (F.col("keep_id") != F.col("vec_id")).alias("is_semantic_dup"),
+        )
+        .orderBy("vec_id")
+    )
