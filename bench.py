@@ -194,6 +194,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TOTAL_BUDGET_SEC", "1500"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}  # clean (uncapped) repeat times
     errors: dict[str, str] = {}
     capped: set[str] = set()  # watchdog-cancelled: time is a cap artifact
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -221,11 +222,25 @@ def main() -> None:
         shown = {
             n: round(timings[n], 2) for n in dict.fromkeys(HEADLINE + slowest) if n in timings
         }
+        # Per-query repeat spread (VERDICT r5 "What's wrong" #1): with only
+        # a best-of-N scalar, a single host stall on the one clean repeat is
+        # indistinguishable from a plan regression. {best, median, n} makes
+        # the adjudication mechanical — best≈median means a real slowdown,
+        # best≪median means stall noise.
+        spread = {}
+        for n, ts in samples.items():
+            ss = sorted(ts)
+            spread[n] = {
+                "best": round(ss[0], 3),
+                "median": round(ss[len(ss) // 2], 3),
+                "n": len(ss),
+            }
         detail = {
             "sf": sf_val,
             "repeats": repeats,
             "host_factor": state["host_factor"],
             "queries": timings,
+            "spread": spread,
         }
         if errors:
             detail["errors"] = errors
@@ -328,6 +343,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if err is None:
                     best = min(best, dt)
+                    samples.setdefault(name, []).append(dt)
             if best < float("inf"):
                 probe[name] = best
                 timings[name] = round(best, 3)
@@ -360,13 +376,20 @@ def main() -> None:
             errors[name] = err
         else:
             timings[name] = round(dt, 3)
+            samples.setdefault(name, []).append(dt)
 
     # --- Pass 2+: spend what's left on extra repeats (best-of-N). ---
     if not state["truncated"]:
         for rep in range(1, repeats):
             for name in names:
-                if name not in timings or name in R2_ANCHOR:
-                    continue  # probe trio already best-of-3
+                # Skip the probe trio only when calibration actually ran
+                # them best-of-3 (`name in probe`). Gating on R2_ANCHOR
+                # membership (ADVICE r5) meant a calibration-skipped run —
+                # where the probes ran once in pass 1, possibly capped —
+                # could never repeat them, permanently blocking a clean
+                # baseline refresh for that run.
+                if name not in timings or name in probe:
+                    continue
                 # Keep headroom: a repeat costing ~last-time must fit.
                 if left() < max(2.0, 2.0 * timings[name]):
                     continue
@@ -375,6 +398,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if err is None:
                     timings[name] = round(min(timings[name], dt), 3)
+                    samples.setdefault(name, []).append(dt)
                     capped.discard(name)  # a clean repeat supersedes a cap
                 if left() <= 0:
                     break

@@ -76,14 +76,10 @@ def _module_source(mod: ModuleType | None) -> str:
         return ""
 
 
-def _deps_digest(modname: str) -> str:
-    """md5 over the module's own source plus the sources of every package
-    module it directly imports (detected from module attributes: imported
+def _direct_deps(modname: str) -> set[str]:
+    """In-package modules this module directly references (imported
     modules, and functions/classes whose ``__module__`` is in-package)."""
-    if modname in _module_digest_cache:
-        return _module_digest_cache[modname]
     mod = sys.modules.get(modname)
-    parts = [_module_source(mod)]
     deps: set[str] = set()
     if mod is not None:
         for v in vars(mod).values():
@@ -93,11 +89,38 @@ def _deps_digest(modname: str) -> str:
                 owner = getattr(v, "__module__", None)
                 if isinstance(owner, str) and owner.startswith(_PKG) and owner != modname:
                     deps.add(owner)
-    for dep in sorted(deps):
-        parts.append(_module_source(sys.modules.get(dep)))
+    return deps
+
+
+def _deps_digest(modname: str) -> str:
+    """md5 over the module's own source plus the sources of every package
+    module in its TRANSITIVE import closure (round 6, closing ADVICE r4
+    limit (a): ``helpers.T`` delegates to ``sources.tables.load_table``,
+    which made ``sources/tables.py`` a depth-2 dependency of nearly every
+    defining module — under the old direct-only digest an edit there
+    re-queued nothing). Function-local imports remain invisible
+    (``tests/test_rotation.py`` pins the closure so a helper that matters
+    can't silently fall out); the full sf0.001 differential suite is the
+    backstop for those."""
+    if modname in _module_digest_cache:
+        return _module_digest_cache[modname]
+    closure = _import_closure(modname)
+    parts = [_module_source(sys.modules.get(m)) for m in sorted(closure)]
     digest = hashlib.md5("\0".join(parts).encode()).hexdigest()
     _module_digest_cache[modname] = digest
     return digest
+
+
+def _import_closure(modname: str) -> set[str]:
+    closure: set[str] = set()
+    frontier = [modname]
+    while frontier:
+        m = frontier.pop()
+        if m in closure:
+            continue
+        closure.add(m)
+        frontier.extend(_direct_deps(m) - closure)
+    return closure
 
 
 def fingerprint(q: Query) -> str:
@@ -213,7 +236,12 @@ def maybe_autostamp() -> bool:
     2. the package tree has no uncommitted changes; and
     3. no commit has touched ``data_ingestion_auto_spark/`` after the
        commit that introduced that newest CORRECTNESS file (i.e. nothing
-       was edited-and-committed between the gate pass and now).
+       was edited-and-committed between the gate pass and now); and
+    4. the CORRECTNESS commit itself touched nothing under the package —
+       condition 3's ``corr_commit..HEAD`` range excludes ``corr_commit``,
+       so without this a single commit that both edits package code and
+       adds the gate file would stamp fingerprints the gate never ran
+       (round-5 advice).
 
     Any other state (mid-round, dirty tree, git unavailable) is a silent
     no-op; ``python -m tools.fingerprints`` remains the manual/forced
@@ -238,6 +266,12 @@ def maybe_autostamp() -> bool:
         "log", "--oneline", f"{corr_commit.strip()}..HEAD", "--", "data_ingestion_auto_spark"
     )
     if edits_since is None or edits_since.strip():
+        return False
+    in_commit = _git(
+        "diff-tree", "--no-commit-id", "--name-only", "-r",
+        corr_commit.strip(), "--", "data_ingestion_auto_spark",
+    )
+    if in_commit is None or in_commit.strip():
         return False
     try:
         with open(LEDGER_PATH, "w") as f:

@@ -91,7 +91,7 @@ a3 AS (
 WITH aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000,
+  SELECT vec_id + 10000000,
          list_concat([CAST(embedding[1] AS DOUBLE) * 1.02], CAST(embedding[2:] AS DOUBLE[]))
   FROM embeddings WHERE vec_id < 20
 ),
@@ -129,7 +129,25 @@ def semdedup_clusters(spark, sf_dir):
     equi-join on cluster_id — quadratic only within a cluster, and the
     paper's regime (k ∝ corpus size) keeps expected cluster size constant,
     so total pair work stays linear. No all-pairs join exists anywhere in
-    the plan."""
+    the plan. The dup-pair join carries no broadcast hint: the pair set is
+    bounded by dup *density*, not structure, so AQE decides at runtime
+    (broadcast when small, shuffle-hash when a boilerplate-heavy corpus
+    makes it large). Perturbed-copy ids are offset by 10_000_000 — beyond
+    any fixture corpus — so augmentation never collides with real vec_ids
+    at any SF.
+
+    k=8 here is the ORACLE's k (the unrolled-CTE k-means must be finite);
+    the deployment regime k ∝ corpus is exercised by ``semdedup_with_k``
+    via ``tools/soak.py`` (round-5 verdict #3)."""
+    return semdedup_with_k(spark, sf_dir, k=8)
+
+
+def semdedup_with_k(spark, sf_dir, k: int):
+    """The k-parameterized SemDeDup plan ``semdedup_clusters`` pins at
+    k=8 for its oracle. ``tools/soak.py`` runs it with k ∝ corpus size
+    (k = 8 × n_vectors/2000) so the paper's scale regime — constant
+    expected cluster size, hence linear within-cluster pair work — is a
+    harness-exercised path, not just SCALE.md prose."""
     from ..operators.ivf import kmeans_lite
 
     emb = T(spark, sf_dir, "embeddings")
@@ -139,10 +157,10 @@ def semdedup_clusters(spark, sf_dir):
     )
     orig = emb.select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
     pert = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 1000).alias("vec_id"), F.expr(pert_vec).alias("embedding")
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), F.expr(pert_vec).alias("embedding")
     )
     aug = orig.unionByName(pert)
-    assigned, _ = kmeans_lite(aug, k=8, iters=2)
+    assigned, _ = kmeans_lite(aug, k=k, iters=2)
     a = assigned.select(F.col("vec_id").alias("a"), F.col("qvec").alias("qa"), "cluster_id")
     b = assigned.select(F.col("vec_id").alias("b"), F.col("qvec").alias("qb"), "cluster_id")
     pairs = (
@@ -152,7 +170,7 @@ def semdedup_clusters(spark, sf_dir):
         .select("a", "b")
     )
     return (
-        assigned.join(F.broadcast(pairs), assigned.vec_id == pairs.b, "left")
+        assigned.join(pairs, assigned.vec_id == pairs.b, "left")
         .groupBy("vec_id", "cluster_id")
         .agg(F.coalesce(F.min("a"), F.col("vec_id")).alias("keep_id"))
         .select(

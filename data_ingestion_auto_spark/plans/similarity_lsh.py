@@ -382,7 +382,7 @@ _NEARDUP_T = 0.99
 WITH aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000,
+  SELECT vec_id + 10000000,
          list_concat([CAST(embedding[1] AS DOUBLE) * 1.02], CAST(embedding[2:] AS DOUBLE[]))
   FROM embeddings WHERE vec_id < 20
 ),
@@ -413,7 +413,11 @@ def embedding_neardup_dedup(spark, sf_dir):
     the exact quantized-cosine ≥ 0.99 gate, and each vector's canonical is
     its smallest near-dup neighbour (single-pass min-neighbour — the
     standard one-round approximation of connected components; full CC is
-    iterative and out of SQL's reach). keep_id < vec_id marks the dup."""
+    iterative and out of SQL's reach). keep_id < vec_id marks the dup.
+    Perturbed ids are offset by 10_000_000 (beyond any fixture corpus) so
+    augmentation never collides with real vec_ids at any SF, and the
+    dup-pair join carries no broadcast hint — the pair set is bounded by
+    dup density, not structure, so AQE picks the strategy at runtime."""
     emb = T(spark, sf_dir, "embeddings")
     pert_vec = (
         "concat(array(CAST(element_at(embedding, 1) AS DOUBLE) * 1.02), "
@@ -421,7 +425,7 @@ def embedding_neardup_dedup(spark, sf_dir):
     )
     orig = emb.select("vec_id", F.expr(_QVEC.format(col="embedding")).alias("qvec"))
     pert = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.expr(
             f"transform({pert_vec}, v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT))"
         ).alias("qvec"),
@@ -437,7 +441,7 @@ def embedding_neardup_dedup(spark, sf_dir):
         .select("a", "b")
     )
     return (
-        aug.join(F.broadcast(pairs), aug.vec_id == pairs.b, "left")
+        aug.join(pairs, aug.vec_id == pairs.b, "left")
         .groupBy("vec_id")
         .agg(F.coalesce(F.min("a"), F.col("vec_id")).alias("keep_id"))
         .select(

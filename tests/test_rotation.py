@@ -130,3 +130,47 @@ def test_autostamp_refuses_when_package_edited_after_gate(monkeypatch, tmp_path)
     monkeypatch.setattr(rotation, "_git", fake_git)
     assert rotation.maybe_autostamp() is False
     assert not ledger_path.exists()
+
+
+def test_autostamp_refuses_when_gate_commit_touches_package(monkeypatch, tmp_path):
+    """ADVICE r5: condition 3's corr_commit..HEAD range excludes
+    corr_commit itself — a single commit that both edits package code and
+    adds the CORRECTNESS file must NOT stamp (the gate never ran that
+    code)."""
+    ledger_path = tmp_path / "VERIFIED.json"
+    monkeypatch.setattr(rotation, "LEDGER_PATH", str(ledger_path))
+    monkeypatch.setattr(
+        rotation, "_correctness_rows", lambda: {"q": {"round": 9, "mode": "hash"}}
+    )
+
+    def fake_git(*args):
+        if args[0] == "status":
+            return ""
+        if args[0] == "log" and args[1] == "-1":
+            return "abc123\n"
+        if args[0] == "log":
+            return ""  # nothing AFTER the gate commit
+        if args[0] == "diff-tree":
+            return "data_ingestion_auto_spark/plans/core.py\n"  # but IN it
+        return ""
+
+    monkeypatch.setattr(rotation, "_git", fake_git)
+    assert rotation.maybe_autostamp() is False
+    assert not ledger_path.exists()
+
+
+def test_fingerprint_closure_reaches_transitive_helpers():
+    """Round 6 (ADVICE r4 limit (a)): the dependency digest must cover the
+    TRANSITIVE import closure, not just direct imports — sources/tables.py
+    (reached only via plans.helpers.T) is the load-bearing case: an edit
+    to load_table changes every query's scan and must re-queue them all."""
+    closure = rotation._import_closure("data_ingestion_auto_spark.plans.core")
+    assert "data_ingestion_auto_spark.plans.helpers" in closure  # depth 1
+    assert "data_ingestion_auto_spark.sources.tables" in closure  # depth 2
+    # every registered query's defining module must reach sources.tables
+    # (all queries scan fixture tables through helpers.T / load_table)
+    defining = {q.spark.__module__ for q in REGISTRY.values()}
+    for mod in defining:
+        assert "data_ingestion_auto_spark.sources.tables" in rotation._import_closure(
+            mod
+        ), mod
