@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     core,
     curation,
     dedup,
+    dsir,
     events_analytics,
     joins2,
     layout_ops,
@@ -25,6 +26,7 @@ from . import (  # noqa: F401
     sources_ops,
     spatial,
     stateful_replay,
+    stream_join_replay,
     substring_dedup,
     text,
     timeseries,

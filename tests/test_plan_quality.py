@@ -226,3 +226,20 @@ def test_stateful_replay_no_cartesian(spark, sf_dir, registry):
         "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>" in p2
         or "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint>" in p2
     )
+
+
+def test_stream_join_replay_pushdown_and_no_cartesian(spark, sf_dir, registry):
+    """stream_stream_join_replay: the event_type filters reach the parquet
+    scan, the scan reads only the 4 needed of events' 6 columns, and the
+    pair join is equi on (user_id, hour-bucket) — never a cartesian/BNLJ
+    (the per-key bound is events/user/hour, mirroring the streaming
+    operator's state bound)."""
+    p = _plan(spark, registry["stream_stream_join_replay"].spark(spark, sf_dir))
+    assert "EqualTo(event_type,click)" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert (
+        "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>" in p
+        or "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>" in p
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
