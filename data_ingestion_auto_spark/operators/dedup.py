@@ -84,7 +84,9 @@ def jaccard_pairs(
     sh: DataFrame, sizes: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle self-join (small-corpus tier;
-    LSH below is the scale path). Pairs restricted to a < b."""
+    LSH below is the scale path). Pairs restricted to a < b. The sizes
+    joins carry no broadcast hint (round 6): sizes is one row per doc —
+    corpus-linear — so AQE decides from runtime stats."""
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
@@ -96,8 +98,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        inter.join(sa, "a")
+        .join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(

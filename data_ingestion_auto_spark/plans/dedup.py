@@ -407,16 +407,18 @@ pairs AS (
 confirmed AS (
   SELECT p.a, p.b,
          CAST(levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) AS BIGINT)
-           AS edit_dist,
+           AS lev,
          CAST(greatest(length(substr(da.text, 1, 200)),
                        length(substr(db.text, 1, 200))) AS BIGINT) AS max_len
   FROM pairs p
   JOIN documents da ON p.a = da.doc_id
   JOIN documents db ON p.b = db.doc_id
 )
-SELECT a, b, edit_dist,
-       round(CAST(edit_dist AS DOUBLE) / max_len, 6) AS rel_dist,
-       (CAST(edit_dist AS DOUBLE) / max_len <= 0.4) AS confirmed
+SELECT a, b,
+       CASE WHEN lev > 80 THEN NULL ELSE lev END AS edit_dist,
+       CASE WHEN lev > 80 THEN NULL
+            ELSE round(CAST(lev AS DOUBLE) / max_len, 6) END AS rel_dist,
+       coalesce(CAST(lev AS DOUBLE) / max_len <= 0.4, false) AS confirmed
 FROM confirmed
 ORDER BY a, b
 """,
@@ -430,8 +432,10 @@ def neardup_levenshtein_confirm(spark, sf_dir):
     set, never all-pairs (the same shape production dedup uses: cheap
     recall tier, exact precision tier). levenshtein is built-in on both
     engines with identical insert/delete/substitute semantics, so the
-    confirmation is oracled end-to-end. Pairs are the small side — they
-    broadcast into the two document text joins.
+    confirmation is oracled end-to-end. The pair joins carry no broadcast
+    hint (round 6): the candidate set grows linearly with the corpus —
+    dup-density-bounded, not structurally bounded — so AQE picks the
+    strategy at runtime.
 
     The candidate subtree is ``localCheckpoint``-ed before the joins: the
     signature DAG (shingle explode + 16-way min agg + banding) is by far
@@ -447,17 +451,29 @@ def neardup_levenshtein_confirm(spark, sf_dir):
     pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4).localCheckpoint()
     da = docs.select(F.col("doc_id").alias("a"), F.substring("text", 1, 200).alias("ta"))
     db = docs.select(F.col("doc_id").alias("b"), F.substring("text", 1, 200).alias("tb"))
-    lev = F.levenshtein("ta", "tb").cast("bigint")
+    # Banded Levenshtein with threshold 80 = 0.4 × the 200-char prefix —
+    # the largest distance any `confirmed` verdict can need, so every
+    # verdict is still exact. Beyond the band the DP short-circuits
+    # (|len_a − len_b| > 80 never runs a single DP cell), which is what
+    # keeps the verify rung linear-in-candidates when the candidate set
+    # is collision-heavy: the round-6 native-sf1 soak measured 82× LSH
+    # candidates at 10× docs (bounded-vocabulary fixture) and the uncapped
+    # DP paid full O(L²) on every false positive. edit_dist/rel_dist are
+    # NULL for pairs past the band (confirmed is false either way).
+    lev_raw = F.levenshtein("ta", "tb", 80)
+    lev = F.when(lev_raw >= 0, lev_raw).cast("bigint")
     max_len = F.greatest(F.length("ta"), F.length("tb")).cast("bigint")
     return (
-        da.join(F.broadcast(pairs), "a")
+        da.join(pairs, "a")
         .join(db, "b")
         .select(
             "a",
             "b",
             lev.alias("edit_dist"),
             F.round(lev.cast("double") / max_len, 6).alias("rel_dist"),
-            (lev.cast("double") / max_len <= 0.4).alias("confirmed"),
+            F.coalesce(lev.cast("double") / max_len <= 0.4, F.lit(False)).alias(
+                "confirmed"
+            ),
         )
         .orderBy("a", "b")
     )
@@ -509,10 +525,11 @@ def minhash_jaccard_estimate(spark, sf_dir):
     estimator, so the recall tier can grade its own candidates without
     touching the raw text. The signature table is computed once
     (localCheckpoint, same single-materialization discipline as the
-    levenshtein confirm rung); pairs broadcast into a 16-column equality
-    projection — no shingle re-derivation, no text access. At 100 TB
-    this is the cheap scoring pass that decides which candidates deserve
-    the exact verifier."""
+    levenshtein confirm rung); pairs join into a 16-column equality
+    projection (no broadcast hint — candidate sets are corpus-linear, AQE
+    decides) — no shingle re-derivation, no text access. At 100 TB this
+    is the cheap scoring pass that decides which candidates deserve the
+    exact verifier."""
     docs = T(spark, sf_dir, "documents")
     sig = D.minhash_signature(D.shingles(docs), num_perm=16).localCheckpoint()
     pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
@@ -520,7 +537,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)])
     n_eq = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16))
     return (
-        sa.join(F.broadcast(pairs), "a")
+        sa.join(pairs, "a")
         .join(sb, "b")
         .select(
             "a",

@@ -30,6 +30,9 @@ LADDER = [
     "decontamination_ngram_overlap",
     "sequence_packing_bins",
     "q9_product_type_profit",
+    "neardup_levenshtein_confirm",
+    "exact_substring_dedup_spans",
+    "semdedup_kscaled",
 ]
 
 # which input table's row count normalizes each query's scaling ratio
@@ -39,14 +42,34 @@ DRIVER_TABLE = {
     "decontamination_ngram_overlap": "documents",
     "sequence_packing_bins": "documents",
     "q9_product_type_profit": "lineitem",
+    "neardup_levenshtein_confirm": "documents",
+    "exact_substring_dedup_spans": "documents",
+    "semdedup_kscaled": "embeddings",
 }
+
+
+def _semdedup_kscaled(spark, sf_dir):
+    """SemDeDup in the paper's deployment regime (round-5 verdict #3):
+    k ∝ corpus size (k = 8 at the 2000-vector sf0.1 baseline), so the
+    expected cluster size — and with it the within-cluster quadratic pair
+    work — stays constant as the corpus grows. The registered
+    ``semdedup_clusters`` pins k=8 because its unrolled-CTE oracle must
+    be finite; this harness path exercises the k-scaling rule itself."""
+    from data_ingestion_auto_spark.plans.semdedup import semdedup_with_k
+
+    n = _rows(spark, sf_dir, "embeddings")
+    k = max(8, round(8 * n / 2000))
+    return semdedup_with_k(spark, sf_dir, k=k)
 
 
 def _run_once(spark, name: str, sf_dir: str) -> float:
     from data_ingestion_auto_spark import plans
 
     t0 = time.perf_counter()
-    df = plans.REGISTRY[name].spark(spark, sf_dir)
+    if name == "semdedup_kscaled":
+        df = _semdedup_kscaled(spark, sf_dir)
+    else:
+        df = plans.REGISTRY[name].spark(spark, sf_dir)
     try:
         df.write.mode("overwrite").format("noop").save()
     except Exception:  # noqa: BLE001 — noop sink unavailable
