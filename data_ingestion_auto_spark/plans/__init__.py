@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     contour,
     core,
     curation,
+    curation_more,
     dedup,
     dsir,
     events_analytics,
