@@ -123,22 +123,23 @@ def dsir_importance_selection(spark, sf_dir):
         .select("doc_id", "lang", F.expr(f"CAST({_BUCKET} AS BIGINT)").alias("bucket"))
     )
     doc_f = bg.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
-    tgt = bg.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count("*").alias("ct"))
-    src = bg.groupBy("bucket").agg(F.count("*").alias("cs"))
-    tot = bg.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
-        F.count("*").alias("ns"),
-    )
-    ppm = (
-        src.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.expr(
-                f"((coalesce(ct, 0) + 1) * 1000000) div (nt + {_N_BUCKETS})"
-            ).alias("p_ppm"),
-            F.expr(f"((cs + 1) * 1000000) div (ns + {_N_BUCKETS})").alias("q_ppm"),
-        )
+    # ONE per-bucket aggregation carries both distributions (ct = target
+    # bigrams, cs = all bigrams), and the corpus totals derive from its
+    # ≤1024 rows — without this the bigram-explode subtree was recomputed
+    # for tgt, src, AND tot (4 documents scans, 20 exchanges; audited
+    # round 6 → now 2 scans). The totals cross-join is the standard 1-row
+    # scalar-broadcast pattern (cf. plans/tpch_fill.py q15).
+    per_bucket = bg.groupBy("bucket").agg(
+        F.count("*").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    ).localCheckpoint()  # ≤1024 rows — materialize once; tot + ppm reuse it
+    tot = per_bucket.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
+    ppm = per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"((coalesce(ct, 0) + 1) * 1000000) div (nt + {_N_BUCKETS})"
+        ).alias("p_ppm"),
+        F.expr(f"((cs + 1) * 1000000) div (ns + {_N_BUCKETS})").alias("q_ppm"),
     )
     scored = (
         doc_f.join(F.broadcast(ppm), "bucket")

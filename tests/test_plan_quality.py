@@ -243,3 +243,31 @@ def test_stream_join_replay_pushdown_and_no_cartesian(spark, sf_dir, registry):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_scans_pruned_no_cartesian(spark, sf_dir, registry):
+    """dsir_importance_selection reads documents exactly three times, each
+    a 2-column pruned projection (doc features, bucket distributions,
+    final doc list) — the round-6 restructure folded target/source/total
+    aggregations into ONE per-bucket pass (was 4 scans / 20 exchanges).
+    The only nested-loop join is the 1-row totals broadcast."""
+    p = _plan(spark, registry["dsir_importance_selection"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("ReadSchema: struct<doc_id:bigint,text:string>") == 1
+    assert p.count("ReadSchema: struct<doc_id:bigint,lang:string>") == 1
+    # the (text, lang) distribution subtree lives in the ≤1024-row
+    # localCheckpoint — it must NOT be re-derived from a scan in the
+    # live plan (that was the 4-scan shape this pin guards against)
+    assert p.count("ReadSchema: struct<text:string,lang:string>") == 0
+
+
+def test_curation_more_single_scan_no_cartesian(spark, sf_dir, registry):
+    """Both round-6 curation queries are single-scan, per-doc-window
+    plans: no joins beyond the per-doc top-1 / survivor windows, scans
+    pruned to the needed columns."""
+    p = _plan(spark, registry["top_ngram_char_fraction"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    p2 = _plan(spark, registry["quality_aware_dedup_keep"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in p2
