@@ -139,3 +139,70 @@ def test_real_stream_stream_join_agrees_on_fixture(spark, sf_dir, tmp_path):
 
     assert seen == set().union(*expected.values())
     assert len(seen) == n_expected
+
+
+def test_stream_stream_join_state_bounded(spark, tmp_path):
+    """The watermark must actually EVICT join state: 24 hourly
+    micro-batches of one click + one purchase per hour (same user) are
+    processed with maxFilesPerTrigger=1, so the event-time watermark
+    advances batch by batch; with watermark 2 h and join span 1 h the
+    state store should hold only the last few hours of rows — never the
+    whole stream. Asserts the final batch's total state rows are a small
+    constant while 48 rows were ingested (the docstring's
+    state ∝ keys × window claim, machine-checked)."""
+    import datetime as dt
+
+    from data_ingestion_auto_spark.streaming.incremental import (
+        EVENTS_SCHEMA,
+        stream_stream_interval_join,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 5, 1)
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    n_hours = 24
+    for h in range(n_hours):
+        ts = t0 + dt.timedelta(hours=h)
+        spark.createDataFrame(
+            [(1000 + h, ts, 1, "click", 1.0, "{}")], schema
+        ).coalesce(1).write.mode("append").parquet(src_l)
+        spark.createDataFrame(
+            [(2000 + h, ts + dt.timedelta(minutes=30), 1, "buy", 1.0, "{}")], schema
+        ).coalesce(1).write.mode("append").parquet(src_r)
+
+    def one_file_stream(path):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(path)
+        )
+
+    q = (
+        stream_stream_interval_join(one_file_stream(src_l), one_file_stream(src_r))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # every same-hour click->buy pair must have been emitted
+    out = spark.read.parquet(str(tmp_path / "sink")).collect()
+    assert len(out) == n_hours and all(r.lag_seconds == 1800 for r in out)
+
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state metrics captured"
+    # 48 rows ingested; steady-state buffer = rows younger than the 2 h
+    # watermark on each side (+ the current batch) — a small constant.
+    assert state_rows[-1] <= 16, state_rows
+    assert max(state_rows) <= 20, state_rows
