@@ -5,7 +5,7 @@ join (``streaming/incremental.py::stream_stream_interval_join``) emits —
 the same pair set AND the same per-micro-batch emission timing.
 
 Method (the ``stateful_dedup_replay`` recipe): densify sf0.001's events
-by compressing 30 days into 12 hours, derive md5-deterministic arrival
+by compressing 30 days into ~6 hours, derive md5-deterministic arrival
 hours for every click/purchase, then drive the real streaming join one
 availableNow cycle per arrival hour (one new file per side per cycle,
 checkpointed state across restarts) and compare each cycle's newly-sunk
@@ -38,7 +38,7 @@ def test_real_stream_stream_join_agrees_on_fixture(spark, sf_dir, tmp_path):
         stream_stream_interval_join,
     )
 
-    # --- densified fixture: 30 days -> 12 h, same users/types/ids ---
+    # --- densified fixture: 30 days -> ~6 h, same users/types/ids ---
     src_rows = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -47,7 +47,7 @@ def test_real_stream_stream_join_agrees_on_fixture(spark, sf_dir, tmp_path):
     min_ts = min(r.ts for r in src_rows)
     t0 = dt.datetime(2024, 3, 1)
     rows = [
-        (r.event_id, t0 + (r.ts - min_ts) / 60, r.user_id, r.event_type, r.value, r.props)
+        (r.event_id, t0 + (r.ts - min_ts) / 120, r.user_id, r.event_type, r.value, r.props)
         for r in src_rows
     ]
     schema = (
@@ -148,7 +148,7 @@ def test_stream_stream_join_state_bounded(spark, tmp_path):
     advances batch by batch; with watermark 2 h and join span 1 h the
     state store should hold only the last few hours of rows — never the
     whole stream. Asserts the final batch's total state rows are a small
-    constant while 48 rows were ingested (the docstring's
+    constant while 24 rows were ingested (the docstring's
     state ∝ keys × window claim, machine-checked)."""
     import datetime as dt
 
@@ -163,7 +163,7 @@ def test_stream_stream_join_state_bounded(spark, tmp_path):
     )
     t0 = dt.datetime(2024, 5, 1)
     src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
-    n_hours = 24
+    n_hours = 12
     for h in range(n_hours):
         ts = t0 + dt.timedelta(hours=h)
         spark.createDataFrame(
@@ -202,7 +202,7 @@ def test_stream_stream_join_state_bounded(spark, tmp_path):
         if p.get("stateOperators")
     ]
     assert state_rows, "no state metrics captured"
-    # 48 rows ingested; steady-state buffer = rows younger than the 2 h
+    # 24 rows ingested; steady-state buffer = rows younger than the 2 h
     # watermark on each side (+ the current batch) — a small constant.
     assert state_rows[-1] <= 16, state_rows
     assert max(state_rows) <= 20, state_rows
