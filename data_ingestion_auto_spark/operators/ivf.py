@@ -152,3 +152,104 @@ def ivf_topk(
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _assign_grouped(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest FINE centroid within each vector's own coarse group: an
+    equi-join on group_id (per-key candidate set = that group's fine
+    centroids), map-side dist², deterministic argmin. Unlike ``_assign``
+    the centroid table is a DataFrame joined by key — nothing is
+    collected to the driver, so the total centroid count may scale with
+    the corpus."""
+    d = vectors.join(centroids, "group_id").withColumn(
+        "dist2", F.expr(_DIST2.format(a="qvec", b="cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "fine_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "group_id", "qvec", "fine_id", "dist2")
+    )
+
+
+def kmeans_grouped(
+    vectors: DataFrame,
+    k_per_group: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Data-parallel k-means WITHIN each group of pre-grouped quantized
+    vectors (``group_id``, ``qvec`` columns): the second level of the
+    hierarchical (IVF-style) clustering used when total k scales with
+    the corpus (SemDeDup's k ∝ n regime). Per Lloyd iteration the cost
+    is Σ_g n_g·k_g = n·k_per_group — independent of the number of
+    groups — versus flat k-means' n·k_total; with k_total ∝ n that is
+    the difference between linear and quadratic total work.
+
+    Same determinism contract as ``kmeans_lite``: init = each group's
+    ``k_per_group`` smallest ids, exact BIGINT dist² and integer-mean
+    updates, ties → smallest fine_id. Empty fine clusters drop out of
+    the update (same behavior as kmeans_lite's collected update).
+    Returns ((id, group_id, qvec, fine_id, dist2) assignments, the
+    final (group_id, fine_id, cvec) centroid DataFrame they were
+    assigned against)."""
+    wi = Window.partitionBy("group_id").orderBy(id_col)
+    centroids = (
+        vectors.withColumn("rn", F.row_number().over(wi))
+        .filter(F.col("rn") <= k_per_group)
+        .select(
+            "group_id", (F.col("rn") - 1).cast("int").alias("fine_id"),
+            F.col("qvec").alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _assign_grouped(vectors, centroids, id_col)
+        dims = assigned.select(
+            "group_id", "fine_id", F.posexplode("qvec").alias("pos", "v")
+        )
+        per_dim = dims.groupBy("group_id", "fine_id", "pos").agg(
+            F.expr("sum(v) div count(v)").alias("cv")
+        )
+        centroids = (
+            per_dim.groupBy("group_id", "fine_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return _assign_grouped(vectors, centroids, id_col), centroids
+
+
+def kmeans_hierarchical(
+    emb: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level k-means for the k ∝ corpus regime: a coarse
+    ``kmeans_lite`` pass with k1 ≈ √k (driver-held centroids, n·√k per
+    iteration) routes each vector to a group, then ``kmeans_grouped``
+    refines k2 = ⌈k/k1⌉ fine clusters inside every group (n·√k per
+    iteration, centroids stay distributed). Total assignment work is
+    n·O(√k) instead of flat k-means' n·k — at SemDeDup's deployment
+    scale (k ∝ n) that is the difference between O(n^1.5) and O(n²)
+    total work. Returns (id, cluster_id) with cluster_id = coarse·k2 +
+    fine (stable composite id)."""
+    import math
+
+    k1 = max(2, int(math.isqrt(k)))
+    k2 = max(2, math.ceil(k / k1))
+    coarse, _ = kmeans_lite(emb, k=k1, iters=iters, id_col=id_col, vec_col=vec_col)
+    grouped = coarse.select(
+        id_col, F.col("cluster_id").alias("group_id"), "qvec"
+    ).localCheckpoint()
+    fine, _ = kmeans_grouped(grouped, k_per_group=k2, iters=iters, id_col=id_col)
+    return fine.select(
+        id_col,
+        "qvec",
+        (F.col("group_id").cast("bigint") * k2 + F.col("fine_id")).alias("cluster_id"),
+    )

@@ -33,6 +33,7 @@ LADDER = [
     "neardup_levenshtein_confirm",
     "exact_substring_dedup_spans",
     "semdedup_kscaled",
+    "semdedup_hier",
 ]
 
 # which input table's row count normalizes each query's scaling ratio
@@ -45,6 +46,7 @@ DRIVER_TABLE = {
     "neardup_levenshtein_confirm": "documents",
     "exact_substring_dedup_spans": "documents",
     "semdedup_kscaled": "embeddings",
+    "semdedup_hier": "embeddings",
 }
 
 
@@ -62,12 +64,48 @@ def _semdedup_kscaled(spark, sf_dir):
     return semdedup_with_k(spark, sf_dir, k=k)
 
 
+def _semdedup_hier(spark, sf_dir):
+    """SemDeDup with HIERARCHICAL (two-level) k-means at the same
+    k ∝ corpus as _semdedup_kscaled: assignment cost n·O(√k) instead of
+    flat n·k — the regime for k in the tens of thousands, where flat
+    assignment is quadratic total work (operators/ivf.py::
+    kmeans_hierarchical). Same downstream pairwise gate keyed on the
+    composite cluster_id."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.operators.ivf import kmeans_hierarchical
+    from data_ingestion_auto_spark.plans.helpers import T
+    from data_ingestion_auto_spark.plans.similarity_lsh import _NEARDUP_T, _cosine_col
+
+    n = _rows(spark, sf_dir, "embeddings")
+    k = max(8, round(8 * n / 2000))
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    assigned = kmeans_hierarchical(emb, k=k, iters=2)
+    a = assigned.select(F.col("vec_id").alias("a"), F.col("qvec").alias("qa"), "cluster_id")
+    b = assigned.select(F.col("vec_id").alias("b"), F.col("qvec").alias("qb"), "cluster_id")
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a") < F.col("b"))
+        .filter(_cosine_col("qa", "qb") >= _NEARDUP_T)
+        .select("a", "b")
+    )
+    return (
+        assigned.join(pairs, assigned.vec_id == pairs.b, "left")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.coalesce(F.min("a"), F.col("vec_id")).alias("keep_id"))
+    )
+
+
 def _run_once(spark, name: str, sf_dir: str) -> float:
     from data_ingestion_auto_spark import plans
 
     t0 = time.perf_counter()
     if name == "semdedup_kscaled":
         df = _semdedup_kscaled(spark, sf_dir)
+    elif name == "semdedup_hier":
+        df = _semdedup_hier(spark, sf_dir)
     else:
         df = plans.REGISTRY[name].spark(spark, sf_dir)
     try:
