@@ -78,3 +78,43 @@ def test_retention_comparator_with_escaping(dates):
     raw_sorted = sorted(stamps)
     unq_sorted = sorted(stamps, key=lambda s: unquote(quote(s, safe="")))
     assert raw_sorted == unq_sorted
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP) for the banding property."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    a=st.text(alphabet="abcde ", max_size=60),
+    b=st.text(alphabet="abcde ", max_size=60),
+)
+def test_banded_levenshtein_verdict_invariant(a, b):
+    """Round-6 banding rule for `neardup_levenshtein_confirm`: with
+    threshold T = 0.4 × prefix_len ≥ 0.4 × max(len), declaring
+    unconfirmed whenever lev > T NEVER flips a confirmed verdict —
+    because confirmed ⇔ lev ≤ 0.4·max_len ≤ T. Property-checked against
+    a full-DP reference over arbitrary strings (the engine-side
+    equivalent is hash-verified at sf0.01; this pins the MATH the
+    banding relies on, independent of either engine)."""
+    max_len = max(len(a), len(b))
+    if max_len == 0:
+        return
+    T = 24  # 0.4 × the 60-char cap of this property's strings
+    lev = _lev(a, b)
+    banded = lev if lev <= T else None  # what the 3-arg levenshtein reports
+    confirmed_full = lev <= 0.4 * max_len
+    confirmed_banded = banded is not None and banded <= 0.4 * max_len
+    assert confirmed_full == confirmed_banded
+    # and the band can never hide a pair the length gap alone admits:
+    if abs(len(a) - len(b)) > T:
+        assert banded is None
