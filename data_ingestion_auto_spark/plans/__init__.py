@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     dedup,
     dsir,
     events_analytics,
+    hier_kmeans,
     joins2,
     layout_ops,
     lm_quality,

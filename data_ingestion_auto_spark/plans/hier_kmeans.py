@@ -1,0 +1,100 @@
+"""Driver row for the hierarchical (two-level, IVF-style) k-means tier
+(`operators/ivf.py::kmeans_hierarchical`) — the k ∝ corpus regime's
+clustering path (see SCALE.md round-6: flat Lloyd assignment is n·k per
+iteration = O(n²) total when k scales with the corpus; two-level is
+n·O(√k)).
+
+The DuckDB oracle unrolls BOTH levels exactly, the same way
+``ann_ivf_probe``'s oracle unrolls flat k-means: coarse init → assign →
+update ×2 → final assign (reusing ``semdedup._KM_CTES`` at k1=3), then
+fine init (each coarse group's 3 smallest ids) → within-group assign →
+group-wise integer-mean update ×2 → final within-group assign. Every
+distance and centroid update is exact BIGINT arithmetic with the house
+sign-correct integer division, so Spark and DuckDB agree bit-for-bit.
+cluster_id = coarse·k2 + fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+from .semdedup import _KM_CTES
+
+_COARSE_CTES = _KM_CTES.replace("LIMIT 8", "LIMIT 3")
+
+_FINE_DIST = (
+    "list_sum(list_transform(generate_series(1, len(v.qvec)),"
+    " i -> (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i])))"
+)
+
+
+def _fine_assign(src_vecs: str, cents: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT vec_id, group_id, qvec, fine_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, fine_id) AS rn
+    FROM (
+      SELECT v.vec_id, v.group_id, v.qvec, c.fine_id, {_FINE_DIST} AS dist2
+      FROM {src_vecs} v JOIN {cents} c ON v.group_id = c.group_id)
+  ) WHERE rn = 1
+)"""
+
+
+def _fine_update(src_assign: str, out_m: str, out_c: str) -> str:
+    return f"""
+{out_m} AS (
+  SELECT group_id, fine_id, pos,
+         CASE WHEN sum(v) < 0 THEN -(abs(sum(v)) // count(*)) ELSE sum(v) // count(*) END AS cv
+  FROM (SELECT group_id, fine_id, g.i AS pos, qvec[g.i] AS v
+        FROM {src_assign}, LATERAL (SELECT unnest(generate_series(1, len(qvec))) AS i) g)
+  GROUP BY 1, 2, 3
+),
+{out_c} AS (SELECT group_id, fine_id, list(cv ORDER BY pos) AS cvec FROM {out_m} GROUP BY 1, 2)"""
+
+
+@query(
+    "hierarchical_kmeans_assign",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+  FROM embeddings
+),{_COARSE_CTES},
+gv AS (SELECT vec_id, cluster_id AS group_id, qvec FROM a3),
+f0 AS (
+  SELECT group_id, CAST(rn - 1 AS INTEGER) AS fine_id, qvec AS cvec FROM (
+    SELECT group_id, qvec, row_number() OVER (PARTITION BY group_id ORDER BY vec_id) AS rn
+    FROM gv
+  ) WHERE rn <= 3
+),{_fine_assign('gv', 'f0', 'fa1')},{_fine_update('fa1', 'fm1', 'fc1')},
+{_fine_assign('gv', 'fc1', 'fa2')},{_fine_update('fa2', 'fm2', 'fc2')},
+{_fine_assign('gv', 'fc2', 'fa3')}
+SELECT vec_id,
+       CAST(group_id * 3 + fine_id AS BIGINT) AS cluster_id
+FROM fa3
+ORDER BY vec_id
+""",
+    tags=("similarity", "ann", "kmeans", "hierarchical", "embedding"),
+)
+def hierarchical_kmeans_assign(spark, sf_dir):
+    """Two-level k-means assignment over the embedding corpus (k = 9 as
+    coarse 3 × fine 3 — the oracle's unrolled CTEs must be finite; the
+    deployment regime scales both levels, see SCALE.md). Output:
+    (vec_id, cluster_id) with the composite coarse·3+fine id.
+
+    Scale: coarse assignment broadcasts 3 centroids (map-side); fine
+    assignment joins the centroid DataFrame on group_id — the centroid
+    table is never collected, so total k may grow with the corpus while
+    per-iteration cost stays n·O(√k)."""
+    from ..operators.ivf import kmeans_hierarchical
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    return (
+        kmeans_hierarchical(emb, k=9, iters=2)
+        .select("vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .orderBy("vec_id")
+    )
