@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     layout_ops,
     lm_quality,
     multimodal,
+    pq_ann,
     relational2,
     scalars,
     semdedup,
