@@ -46,10 +46,21 @@ def test_zorder_tightens_both_dims(spark, points, tmp_path):
 
     # x-sorted layout: x ranges tight, y ranges ~ the full 293 domain.
     assert _avg_ranges(plain, "y") > 250
-    # z-ordered: BOTH dims materially tighter than the full domain.
+    # z-ordered: BOTH dims materially tighter than the full domain, and
+    # the average pruning AREA (the quantity row-group skipping actually
+    # consumes for 2-D predicates) far below it. Thresholds are loose on
+    # purpose: repartitionByRange samples its bounds with a seed derived
+    # from the RDD id — a session-global counter — so the split points
+    # wobble a little depending on how many RDDs earlier tests created;
+    # a tight per-dim bound (0.6× was the round-5 value) flakes when a
+    # sampled boundary straddles a high z-bit (observed 0.606× mid-suite,
+    # green in isolation). The single-sorted baseline can never pass
+    # these: its unsorted dim stays ≈ the full domain (asserted above),
+    # pinning the qualitative claim without depending on sample luck.
     zx, zy = _avg_ranges(zord, "x"), _avg_ranges(zord, "y")
-    assert zx < 317 * 0.6, zx
-    assert zy < 293 * 0.6, zy
+    assert zx < 317 * 0.8, zx
+    assert zy < 293 * 0.8, zy
+    assert (zx / 317) * (zy / 293) < 0.3, (zx, zy)
 
 
 def test_zorder_roundtrip_and_key_bounds(spark, points, tmp_path):
