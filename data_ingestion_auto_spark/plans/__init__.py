@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     dsir,
     events_analytics,
     hier_kmeans,
+    ivfpq,
     joins2,
     layout_ops,
     lm_quality,
