@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     joins2,
     layout_ops,
     lm_quality,
+    mixture_caps,
     multimodal,
     pq_ann,
     relational2,
@@ -26,6 +27,7 @@ from . import (  # noqa: F401
     setops,
     similarity,
     similarity_lsh,
+    ann_eval,  # after similarity_lsh: shares its LSH helpers
     sketches,
     sources_ops,
     spatial,

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import dedup as D
+from .dedup import _SQL_CC_LABELS, _SQL_SHINGLES
 from .helpers import T
 from .registry import query
 
@@ -165,6 +167,76 @@ def quality_aware_dedup_keep(spark, sf_dir):
         "doc_id",
         "content_hash",
         F.count("*").over(w).cast("bigint").alias("group_size"),
+        F.first("doc_id").over(wo).alias("keep_id"),
+        (F.first("doc_id").over(wo) != F.col("doc_id")).alias("is_pruned"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "neardup_canonical_keep",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SHINGLES.format(where="")},{_SQL_CC_LABELS},
+quality AS (
+  SELECT doc_id, n_chars,
+         length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_clean
+  FROM documents
+),
+assigned AS (
+  SELECT q.doc_id, coalesce(l.component, q.doc_id) AS component_id,
+         q.n_chars, q.n_clean
+  FROM quality q LEFT JOIN labels l ON q.doc_id = l.node
+)
+SELECT doc_id, component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
+       first_value(doc_id) OVER (
+         PARTITION BY component_id ORDER BY n_clean DESC, n_chars DESC, doc_id
+       ) AS keep_id,
+       (first_value(doc_id) OVER (
+         PARTITION BY component_id ORDER BY n_clean DESC, n_chars DESC, doc_id
+       ) <> doc_id) AS is_pruned
+FROM assigned
+ORDER BY doc_id
+""",
+    tags=("dedup", "components", "quality", "curation", "llm"),
+)
+def neardup_canonical_keep(spark, sf_dir):
+    """The full near-dup dedup assignment a pipeline actually applies:
+    MinHash-LSH candidates → connected components
+    (operators/dedup.py::connected_components) → quality-aware survivor
+    per component (clean-char count desc, length desc, min doc_id — the
+    same rule ``quality_aware_dedup_keep`` applies to exact-dup groups,
+    here composed with the transitive near-dup clustering). Docs in no
+    component keep themselves (component_id = doc_id, is_pruned false),
+    so the output is a total keep/prune decision over the corpus.
+
+    Scale: candidate generation and CC are the bounded scale paths
+    documented at ``neardup_components``; the quality join is a left
+    equi-join on doc_id against component labels (|labels| ≪ corpus),
+    and the survivor choice is a per-component window (partition size =
+    component size, diameter-bounded by the same LSH cap)."""
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component")
+    )
+    quality = docs.select(
+        "doc_id",
+        "n_chars",
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).alias("n_clean"),
+    )
+    assigned = quality.join(comp, "doc_id", "left").withColumn(
+        "component_id", F.coalesce("component", "doc_id")
+    )
+    w = W.partitionBy("component_id")
+    wo = w.orderBy(F.col("n_clean").desc(), F.col("n_chars").desc(), "doc_id")
+    return assigned.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(w).cast("bigint").alias("component_size"),
         F.first("doc_id").over(wo).alias("keep_id"),
         (F.first("doc_id").over(wo) != F.col("doc_id")).alias("is_pruned"),
     ).orderBy("doc_id")

@@ -218,11 +218,11 @@ def chunk_exact_dedup(spark, sf_dir):
     )
 
 
-@query(
-    "neardup_components",
-    oracle=f"""
-WITH RECURSIVE
-{_SQL_SHINGLES.format(where="")},
+# The full MinHash-LSH → transitive-closure → min-label chain, shared by
+# the neardup_components oracle and the canonical-keep composition in
+# curation_more.py. Expects `sh` (doc_id, shingle) in scope; yields
+# `labels` (node, component) for every node in a component of size ≥ 2.
+_SQL_CC_LABELS = """
 perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
 sig AS (
   SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
@@ -257,7 +257,14 @@ reach(src, dst) AS (
 ),
 labels AS (
   SELECT src AS node, least(min(dst), src) AS component FROM reach GROUP BY src
-)
+)"""
+
+
+@query(
+    "neardup_components",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SHINGLES.format(where="")},{_SQL_CC_LABELS}
 SELECT node AS doc_id, component AS component_id,
        CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
 FROM labels

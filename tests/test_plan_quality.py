@@ -271,3 +271,50 @@ def test_curation_more_single_scan_no_cartesian(spark, sf_dir, registry):
     p2 = _plan(spark, registry["quality_aware_dedup_keep"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
     assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in p2
+
+
+def test_mixture_caps_pruned_single_corpus_scan(spark, sf_dir, registry):
+    """source_capped_sample reads only (doc_id, source) and joins
+    nothing; unimax_epoch_mixture touches the corpus exactly once
+    (pruned to the three needed columns) — everything after the strata
+    aggregation runs on O(sources×langs) metadata rows, so the two 1-row
+    broadcast cross joins are free and the corpus never re-scans."""
+    p = _plan(spark, registry["source_capped_sample"].spark(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p  # pure scan + window
+    # The corpus-touching subtree (strata aggregation) prunes the scan to
+    # its three needed columns — asserted on the subtree itself because
+    # the query localCheckpoints it (the final plan no longer carries the
+    # parquet scan at all, which is the point: scanned once, ever).
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.plans.helpers import T
+
+    strata = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tok"))
+    )
+    assert "ReadSchema: struct<text:string,lang:string,source:string>" in _plan(
+        spark, strata
+    )
+    p2 = _plan(spark, registry["unimax_epoch_mixture"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p2
+    assert p2.count("Scan parquet") == 0, "corpus must not re-scan after strata"
+
+
+def test_ann_recall_and_canonical_keep_no_cartesian(spark, sf_dir, registry):
+    """ann_recall_at_k: embeddings scans are pruned to (vec_id,
+    embedding); the retrieved side is the production bucket equi-join and
+    the truth/hit assembly joins are equi — no CartesianProduct anywhere
+    (the truth ranking's broadcast-queries × corpus pass is a BNLJ by
+    design: 8 broadcast rows, linear in corpus, the evaluation harness's
+    priced-per-query rung). neardup_canonical_keep: the quality/label
+    join is equi on doc_id, never cartesian/BNLJ."""
+    p = _plan(spark, registry["ann_recall_at_k"].spark(spark, sf_dir))
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+    assert "CartesianProduct" not in p
+    p2 = _plan(spark, registry["neardup_canonical_keep"].spark(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
