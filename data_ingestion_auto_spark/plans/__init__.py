@@ -29,8 +29,11 @@ from . import (  # noqa: F401
     similarity_lsh,
     ann_eval,  # after similarity_lsh: shares its LSH helpers
     sketches,
+    collocations,
+    sampling_more,
     sources_ops,
     spatial,
+    tokenizer,
     stateful_replay,
     stream_join_replay,
     substring_dedup,

@@ -1,0 +1,123 @@
+"""Weighted corpus sampling with unbiased subset-sum estimation —
+priority sampling (Duffield, Lund & Thorup 2007, "Priority sampling for
+estimation of arbitrary subset sums").
+
+The pipeline problem: draw a fixed-size quality- or length-weighted
+sample of documents such that downstream token-count estimates computed
+FROM the sample are unbiased — the estimator a 100 TB pipeline uses to
+audit a curation step without re-scanning the corpus. Priority sampling:
+give item i priority q_i = w_i / u_i with u_i uniform in (0,1], keep the
+k largest priorities, let tau = the (k+1)-th priority; then
+w_hat_i = max(w_i, tau) is unbiased for w_i and sums over any subset of
+the sample estimate the subset's true weight.
+
+Everything here is exact BIGINT arithmetic so both engines agree
+bit-for-bit: u_i = h_i / 2^32 with h_i the md5-derived 32-bit hash of
+doc_id shifted to [1, 2^32], and priorities live in micro-weight units —
+q_micro = (w * 10^6 * 2^32) div h. Integer truncation perturbs the
+priority by < 1 micro-unit, which only permutes ranks of near-exactly
+tied priorities — a measure-zero-style event the doc_id tie-break makes
+deterministic anyway; the estimator stays exact because tau and the
+weights share the same micro-units.
+
+At 100 TB: top-k-by-priority is a rank-and-filter (TakeOrdered — per
+partition top-k then a k-sized merge, no global sort); the hash is
+map-side; the exact corpus total rides along from the same single scan
+(one 1-row broadcast join) for fixture-scale self-grading of the
+estimator, the same ride-along pattern as `kmv_distinct_estimate`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+from .sketches import _HEX8
+
+_K = 32
+
+# md5(doc_id) -> [1, 2^32] (never 0 so u > 0); priority in micro-weight
+# units, integer-exact in both engines (div/// truncation toward zero on
+# positives).
+_H = f"({_HEX8.format(v='doc_id')} + 1)"
+_Q = f"(n_chars * 1000000 * 4294967296 div {_H})"
+_Q_SQL = f"(n_chars * 1000000 * 4294967296 // {_H})"
+
+
+@query(
+    "priority_weighted_sample",
+    oracle=f"""
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         CAST({_Q_SQL.replace("AS STRING", "AS VARCHAR")} AS BIGINT) AS priority_micro
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY priority_micro DESC, doc_id) AS rn
+  FROM pri
+),
+tau AS (SELECT priority_micro AS tau_micro FROM ranked WHERE rn = {_K + 1}),
+total AS (SELECT CAST(sum(n_chars) * 1000000 AS BIGINT) AS exact_total_micro FROM pri)
+SELECT r.doc_id, r.n_chars AS weight, r.priority_micro,
+       t.tau_micro,
+       greatest(r.n_chars * 1000000, t.tau_micro) AS est_weight_micro,
+       CAST(sum(greatest(r.n_chars * 1000000, t.tau_micro))
+            OVER () AS BIGINT) AS est_total_micro,
+       o.exact_total_micro
+FROM ranked r, tau t, total o
+WHERE r.rn <= {_K}
+ORDER BY r.priority_micro DESC, r.doc_id
+""",
+    tags=("sampling", "weighted", "priority", "llm", "estimation"),
+)
+def priority_weighted_sample(spark, sf_dir):
+    """Top-32 priority sample of documents weighted by n_chars, with the
+    unbiased Duffield-Lund-Thorup weight estimator max(w, tau) per kept
+    row and the sample-estimated corpus total vs the exact total riding
+    along — the audit a pipeline runs to check its own sample. All
+    arithmetic in exact micro-weight BIGINTs (see module docstring)."""
+    pri = T(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_Q).cast("bigint").alias("priority_micro")
+    )
+    # Top (k+1) via orderBy+limit = TakeOrdered: per-partition top-(k+1)
+    # then a (k+1)-sized merge — linear in the corpus, NO global sort or
+    # single-partition window (the oracle's row_number formulation is the
+    # naive-SQL equivalent, not the physical plan). Checkpointed: k+1
+    # rows feed both the tau extraction and the sample.
+    top = (
+        pri.orderBy(F.desc("priority_micro"), "doc_id")
+        .limit(_K + 1)
+        .localCheckpoint()
+    )
+    ranked = top.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("priority_micro"), "doc_id"))
+    )
+    # (k+1)-th priority and the exact corpus total: two 1-row broadcast
+    # sides (tau from the k+1 checkpointed rows, the total from one
+    # map-side aggregate of the scan).
+    tau = F.broadcast(
+        ranked.filter(F.col("rn") == _K + 1).select(
+            F.col("priority_micro").alias("tau_micro")
+        )
+    )
+    total = F.broadcast(
+        pri.agg((F.sum("n_chars") * 1000000).cast("bigint").alias("exact_total_micro"))
+    )
+    est = F.greatest(F.col("n_chars") * 1000000, F.col("tau_micro"))
+    return (
+        ranked.filter(F.col("rn") <= _K)
+        .crossJoin(tau)
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            "priority_micro",
+            "tau_micro",
+            est.alias("est_weight_micro"),
+            F.sum(est).over(W.partitionBy()).cast("bigint").alias("est_total_micro"),
+            "exact_total_micro",
+        )
+        .orderBy(F.desc("priority_micro"), "doc_id")
+    )

@@ -101,3 +101,88 @@ def kmv_distinct_estimate(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_CMS_W = 32  # sketch width (columns per hash row)
+_CMS_D = 4  # sketch depth (independent hash rows)
+
+_CMS_HASH = "(" + _HEX8.format(v="concat(CAST(r AS STRING), '|', token)") + f") % {_CMS_W}"
+
+
+@query(
+    "countmin_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT word AS token, CAST(count(*) AS BIGINT) AS exact_cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+hashes AS (
+  SELECT token, exact_cnt, g.r AS r,
+         {_CMS_HASH.replace("AS STRING", "AS VARCHAR")} AS col
+  FROM tok, LATERAL (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) g
+),
+cells AS (SELECT r, col, sum(exact_cnt) AS counter FROM hashes GROUP BY 1, 2),
+est AS (
+  SELECT h.token, h.exact_cnt, min(c.counter) AS est
+  FROM hashes h JOIN cells c USING (r, col)
+  GROUP BY 1, 2
+)
+SELECT token, exact_cnt,
+       CAST(est AS BIGINT) AS cms_estimate,
+       CAST(est - exact_cnt AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_cnt DESC, token
+LIMIT 15
+""",
+    tags=("sketch", "heavy-hitters", "countmin", "approx", "text", "llm"),
+)
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over corpus
+    tokens, self-graded: build a {_CMS_D}x{_CMS_W} counter grid with md5
+    row-hashes, estimate each candidate token's frequency as the min over
+    its {_CMS_D} cells, and report the top-15 tokens with the exact count
+    riding along — overestimate >= 0 always (the CMS one-sided-error
+    guarantee, visible in the result wherever the 31-word vocab collides
+    in a 32-wide row). Same make-the-approximation-deterministic pattern
+    as `kmv_distinct_estimate`: md5 hashing means both engines build the
+    IDENTICAL sketch, so the estimate itself is oracle-checkable.
+
+    At 100 TB: the sketch is d*w = {_CMS_D * _CMS_W} mergeable counters —
+    the (r, col) aggregation partial-aggregates map-side into at most
+    d*w cells per task, so sketch construction costs one token-explode
+    scan and a constant-size exchange regardless of corpus size (this is
+    why CMS is the heavy-hitter tool at scale: the exact groupBy's
+    shuffle is vocab-sized, the sketch's is constant). The exact count
+    here rides along for fixture-scale self-grading, as KMV's
+    exact_distinct does."""
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        # vocab-sized; checkpointed because the hashes subtree feeds both
+        # the cell aggregation and the probe join — without this the
+        # corpus token-explode would scan twice.
+        .localCheckpoint()
+    )
+    hashes = tok.select(
+        "token", "exact_cnt", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    ).withColumn("col", F.expr(_CMS_HASH))
+    cells = hashes.groupBy("r", "col").agg(F.sum("exact_cnt").alias("counter"))
+    est = (
+        hashes.join(cells, ["r", "col"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("counter").alias("est"))
+    )
+    return (
+        est.select(
+            "token",
+            "exact_cnt",
+            F.col("est").cast("bigint").alias("cms_estimate"),
+            (F.col("est") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(15)
+    )

@@ -1,0 +1,160 @@
+"""Distributed BPE tokenizer training — the merge-step loop (Sennrich et
+al. 2016, "Neural Machine Translation of Rare Words with Subword Units").
+
+A 100 TB training-data pipeline trains its tokenizer on the corpus it
+just curated; the expensive part is exactly one distributed pass — the
+word-frequency aggregation (a map-side-combinable groupBy over the token
+explode). Every BPE merge round after that runs on the *vocabulary*
+table (distinct words × frequencies — millions of rows at web scale, 31
+here), not the corpus: per round one map over the vocab (adjacent-pair
+explode), one tiny aggregation, one argmax, one string rewrite. That is
+the textbook shape (Sennrich's reference implementation keeps a word
+freq dict and merges in it) re-expressed as R unrolled declarative
+rounds; the corpus is scanned exactly once, plan-pinned in
+tests/test_plan_quality.py.
+
+Merge semantics match the reference implementation: all non-overlapping
+occurrences of the best pair, scanned left-to-right, merge in the same
+round ("a a a" with best pair (a,a) -> "aa a"). The rewrite uses the
+space-doubling trick so a plain `replace` can match symbol-bounded
+pairs: double every separator, replace " l  r " with " lr ", collapse —
+`replace` scans left-to-right non-overlapping in both engines, so Spark
+and DuckDB produce identical vocabularies and therefore identical merge
+tables. Ties in the argmax break on (pair_count DESC, left, right) —
+binary string order in both engines.
+
+The DuckDB oracle unrolls all R rounds into chained CTEs with a Python
+generator, the same pattern as the k-means unrolls in hier_kmeans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .helpers import T
+from .registry import query
+
+_R = 6  # merge rounds learned (fixed so the oracle can unroll)
+
+# ---------------------------------------------------------------- oracle
+
+_SQL_W0 = """
+w0 AS (
+  SELECT concat(regexp_replace(word, '(.)', '\\1 ', 'g'), '</w>') AS sym, cnt
+  FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+  )
+)"""
+
+
+def _sql_round(r: int) -> str:
+    prev = f"w{r - 1}"
+    return f"""
+p{r} AS (
+  SELECT s[i] AS ls, s[i + 1] AS rs, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(sym, ' ') AS s, cnt FROM {prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT ls, rs, pair_count FROM p{r} ORDER BY pair_count DESC, ls, rs LIMIT 1),
+w{r} AS (
+  SELECT trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                              ' ' || b.ls || '  ' || b.rs || ' ',
+                              ' ' || b.ls || b.rs || ' '),
+                      '  ', ' ')) AS sym, cnt
+  FROM {prev}, b{r} b
+)"""
+
+
+_SQL_MERGES = "\nUNION ALL\n".join(
+    f"SELECT CAST({r} AS INTEGER) AS merge_rank, ls AS left_sym, rs AS right_sym,"
+    f" ls || rs AS merged, pair_count FROM b{r}"
+    for r in range(1, _R + 1)
+)
+
+_ORACLE = (
+    "WITH "
+    + _SQL_W0
+    + ","
+    + ",".join(_sql_round(r) for r in range(1, _R + 1))
+    + f"\nSELECT * FROM (\n{_SQL_MERGES}\n) ORDER BY merge_rank"
+)
+
+# ----------------------------------------------------------------- spark
+
+_PAIRS = (
+    "explode(transform(sequence(0, size(s) - 2), i -> struct(s[i] AS ls, s[i + 1] AS rs)))"
+)
+
+
+def _merge_apply(words: DataFrame, best: DataFrame) -> DataFrame:
+    """Rewrite every vocab word by merging the round's best pair (the
+    space-doubling replace; see module docstring)."""
+    b = F.broadcast(best.select(F.col("ls").alias("_bl"), F.col("rs").alias("_br")))
+    doubled = F.concat(F.lit(" "), F.replace(F.col("sym"), F.lit(" "), F.lit("  ")), F.lit(" "))
+    pat = F.concat(F.lit(" "), F.col("_bl"), F.lit("  "), F.col("_br"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("_bl"), F.col("_br"), F.lit(" "))
+    return (
+        words.crossJoin(b)
+        .select(
+            F.trim(F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))).alias("sym"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "bpe_merge_steps",
+    oracle=_ORACLE,
+    tags=("tokenizer", "bpe", "text", "llm"),
+)
+def bpe_merge_steps(spark, sf_dir):
+    """First 6 BPE merges learned from the corpus: one corpus scan builds
+    the word-frequency table (localCheckpoint-ed — every later round runs
+    on vocab-sized data), then 6 rounds of adjacent-pair count → argmax →
+    left-to-right merge rewrite. Returns the merge table
+    (merge_rank, left_sym, right_sym, merged, pair_count) — the artifact
+    a tokenizer trainer persists. Reference scope: the reference has no
+    tokenizer tier; this extends the LLM-pipeline surface (SURVEY §2
+    extensions) following Sennrich et al. 2016's algorithm."""
+    words = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.concat(
+                F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>")
+            ).alias("sym"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(1, _R + 1):
+        pair_counts = (
+            words.withColumn("s", F.split("sym", " "))
+            .select("cnt", F.expr(_PAIRS).alias("p"))
+            .select("cnt", "p.ls", "p.rs")
+            .groupBy("ls", "rs")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        )
+        best = pair_counts.orderBy(F.desc("pair_count"), "ls", "rs").limit(1).localCheckpoint()
+        merges.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("ls").alias("left_sym"),
+                F.col("rs").alias("right_sym"),
+                F.concat("ls", "rs").alias("merged"),
+                "pair_count",
+            )
+        )
+        if r < _R:
+            words = _merge_apply(words, best).localCheckpoint()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")

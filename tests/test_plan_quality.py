@@ -318,3 +318,52 @@ def test_ann_recall_and_canonical_keep_no_cartesian(spark, sf_dir, registry):
     p2 = _plan(spark, registry["neardup_canonical_keep"].spark(spark, sf_dir), "simple")
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_bpe_and_countmin_single_corpus_scan(spark, sf_dir, registry):
+    """bpe_merge_steps: the corpus feeds exactly one word-frequency
+    aggregation which is localCheckpoint-ed — every merge round runs on
+    vocab-sized data and the final plan carries NO parquet scan (the
+    1-row best-pair sides are broadcast, so their cross joins are free).
+    countmin_heavy_hitters: the token-exact aggregation is checkpointed
+    for the same reason (its subtree feeds both the cell aggregation and
+    the probe join); the cells join is equi on (r, col). Both corpus
+    subtrees prune the documents scan to text only."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.plans.helpers import T
+
+    wf = T(spark, sf_dir, "documents").select(F.explode(F.split("text", " ")).alias("w"))
+    assert "ReadSchema: struct<text:string>" in _plan(spark, wf)
+
+    p = _plan(spark, registry["bpe_merge_steps"].spark(spark, sf_dir))
+    assert p.count("Scan parquet") == 0, "corpus must not re-scan after word freq"
+    assert "CartesianProduct" not in p
+
+    p2 = _plan(spark, registry["countmin_heavy_hitters"].spark(spark, sf_dir))
+    assert p2.count("Scan parquet") == 0, "corpus must not re-scan after token counts"
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_priority_sample_and_pmi_scale_shapes(spark, sf_dir, registry):
+    """priority_weighted_sample: the sample side is TakeOrdered (top-k
+    merge, no global Sort before the limit) over a scan pruned to
+    (doc_id, n_chars); the tau/total sides are 1-row broadcasts (their
+    cross joins are BNLJ by design and free). collocation_pmi_topk: the
+    count tables are checkpointed so the final plan re-scans nothing;
+    the unigram joins are equi; no CartesianProduct."""
+    pri = registry["priority_weighted_sample"].spark(spark, sf_dir)
+    pri_plan = _plan(spark, pri)
+    # The top-(k+1) TakeOrdered ran at checkpoint time; what remains is
+    # the 33-row ExistingRDD plus the exact-total subtree, whose scan
+    # prunes to n_chars alone.
+    assert "Scan ExistingRDD" in pri_plan
+    assert "ReadSchema: struct<n_chars:bigint>" in pri_plan
+    assert pri_plan.count("Scan parquet") == 1, "only the exact-total scan remains"
+    assert "CartesianProduct" not in pri_plan
+
+    p = _plan(spark, registry["collocation_pmi_topk"].spark(spark, sf_dir))
+    assert p.count("Scan parquet") == 0, "count tables must be checkpointed"
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p

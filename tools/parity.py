@@ -22,6 +22,14 @@ from data_ingestion_auto_spark.sources.tables import TABLES  # noqa: E402
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound DuckDB's footprint when it shares a process with the Spark
+    # JVM: 32 worker threads x aggressive buffer growth occasionally
+    # trips native allocation failures on this host (observed as
+    # jemalloc EAGAIN warnings / libc aborts mid-suite). Results are
+    # unaffected — DuckDB output is deterministic at any thread count and
+    # the comparison is order-insensitive.
+    con.execute("SET threads = 8")
+    con.execute("SET memory_limit = '24GB'")
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
