@@ -47,6 +47,12 @@ DRIVER_TABLE = {
     "exact_substring_dedup_spans": "documents",
     "semdedup_kscaled": "embeddings",
     "semdedup_hier": "embeddings",
+    # round-6 corpus-scan tier (not in the default ladder; pass on the
+    # command line to soak them)
+    "bpe_merge_steps": "documents",
+    "countmin_heavy_hitters": "documents",
+    "collocation_pmi_topk": "documents",
+    "priority_weighted_sample": "documents",
 }
 
 
