@@ -1,0 +1,125 @@
+"""Incremental near-dup assignment — dedup an arriving batch against the
+existing corpus index WITHOUT re-deduplicating the corpus.
+
+This is the shape a 100 TB ingest actually runs: the corpus's banded
+MinHash-LSH index (doc_id, band, band_hash) is a stored, append-only
+table bucketed on (band, band_hash); each new batch computes signatures
+for ITS documents only and equi-joins them against the index buckets.
+Old-vs-old pairs are never generated — per-ingest work is
+O(batch shingles) + O(bucket-overlap candidates), independent of corpus
+pair count. The hot-bucket rank-and-cap from `operators/dedup.py::
+lsh_candidates` applies to the stored index too (a production index
+persists at most `max_bucket` members per bucket — a bucket beyond that
+is boilerplate, not near-duplication).
+
+Fixture mapping: the "new batch" is the deterministic ~25% of documents
+whose md5(doc_id) starts with hex 0-3 (SF-independent — a fixed id
+split would leave some SFs with an empty batch); the index side is
+everything. Assignment rule: a new document duplicates the smallest
+partner id among (any old document) ∪ (new documents with smaller id)
+sharing at least one band bucket; otherwise it is new-unique and keeps
+itself. The Spark plan computes the full banded index here because the
+fixture has no stored one — `localCheckpoint` stands in for the
+materialized index table, which is exactly what production would read.
+
+Reference scope: the reference engine has no incremental dedup; this
+extends the LLM-pipeline dedup tier (COVERAGE.md) with its ingest-time
+path, composed from the round-1 LSH operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from .dedup import _SQL_SHINGLES
+from .helpers import T
+from .registry import query
+
+_MAX_BUCKET = 1000
+_NEW = "('0','1','2','3')"  # md5(doc_id) first-nibble batch membership
+
+
+@query(
+    "incremental_lsh_dedup_assign",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT doc_id, band, band_hash,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {_NEW} AS is_new
+  FROM (
+    SELECT doc_id, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= {_MAX_BUCKET}
+),
+cand AS (
+  SELECT n.doc_id AS doc_id, min(o.doc_id) AS dup_of
+  FROM capped n JOIN capped o
+    ON n.band = o.band AND n.band_hash = o.band_hash
+   AND (NOT o.is_new OR o.doc_id < n.doc_id)
+  WHERE n.is_new
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(c.dup_of, d.doc_id) AS dup_of,
+       (c.dup_of IS NOT NULL) AS is_dup
+FROM (SELECT doc_id FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {_NEW}) d
+LEFT JOIN cand c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("dedup", "minhash", "lsh", "incremental", "llm"),
+)
+def incremental_lsh_dedup_assign(spark, sf_dir):
+    """Per new-batch document: the canonical partner it duplicates (min
+    partner id over shared LSH buckets against the stored index +
+    earlier batch members), or itself if new-unique. See module
+    docstring for the production index mapping."""
+    docs = T(spark, sf_dir, "documents")
+    banded = D.band_signature(D.minhash_signature(D.shingles(docs)))
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    w = W.partitionBy("band", "band_hash").orderBy("doc_id")
+    # The capped banded index — in production a stored bucketed table;
+    # checkpointed so the signature DAG runs once for both join sides.
+    capped = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MAX_BUCKET)
+        .select("doc_id", "band", "band_hash", is_new.alias("is_new"))
+        .localCheckpoint()
+    )
+    n = capped.filter("is_new").select(
+        F.col("doc_id").alias("n_id"), "band", "band_hash"
+    )
+    o = capped.select(
+        F.col("doc_id").alias("o_id"), "band", "band_hash", "is_new"
+    )
+    cand = (
+        n.join(o, ["band", "band_hash"])
+        .filter(~F.col("is_new") | (F.col("o_id") < F.col("n_id")))
+        .groupBy("n_id")
+        .agg(F.min("o_id").alias("dup_of_hit"))
+    )
+    batch = docs.filter(is_new).select("doc_id")
+    return (
+        batch.join(cand, batch.doc_id == cand.n_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_hit", "doc_id").alias("dup_of"),
+            F.col("dup_of_hit").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -367,3 +367,14 @@ def test_priority_sample_and_pmi_scale_shapes(spark, sf_dir, registry):
     assert p.count("Scan parquet") == 0, "count tables must be checkpointed"
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_incremental_dedup_equi_probe_no_cartesian(spark, sf_dir, registry):
+    """incremental_lsh_dedup_assign: the index probe is an equi-join on
+    (band, band_hash) — the bucketed-index co-location shape — with the
+    batch/order predicate as a post-join filter, never a cartesian or
+    BNLJ; the batch-side documents scan prunes to doc_id alone."""
+    p = _plan(spark, registry["incremental_lsh_dedup_assign"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ReadSchema: struct<doc_id:bigint>" in p
