@@ -53,6 +53,7 @@ DRIVER_TABLE = {
     "countmin_heavy_hitters": "documents",
     "collocation_pmi_topk": "documents",
     "priority_weighted_sample": "documents",
+    "incremental_lsh_dedup_assign": "documents",
 }
 
 
