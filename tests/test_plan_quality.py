@@ -360,7 +360,11 @@ def test_priority_sample_and_pmi_scale_shapes(spark, sf_dir, registry):
     # prunes to n_chars alone.
     assert "Scan ExistingRDD" in pri_plan
     assert "ReadSchema: struct<n_chars:bigint>" in pri_plan
-    assert pri_plan.count("Scan parquet") == 1, "only the exact-total scan remains"
+    # count scans in simple mode — formatted mode prints each scan twice
+    # (tree node + detail section)
+    assert _plan(spark, pri, "simple").count("Scan parquet") == 1, (
+        "only the exact-total scan remains"
+    )
     assert "CartesianProduct" not in pri_plan
 
     p = _plan(spark, registry["collocation_pmi_topk"].spark(spark, sf_dir))
