@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     ann_eval,  # after similarity_lsh: shares its LSH helpers
     sketches,
     collocations,
+    export_pipeline,
     incremental_dedup,
     sampling_more,
     sources_ops,

@@ -373,6 +373,21 @@ def test_priority_sample_and_pmi_scale_shapes(spark, sf_dir, registry):
     assert "TakeOrderedAndProject" in p
 
 
+def test_export_pipeline_no_cartesian_text_stays_mapside(spark, sf_dir, registry):
+    """training_export_pipeline: the canonical id set is checkpointed so
+    the dedup window's output — not text — feeds the later stages; the
+    n-gram subtree re-derives from pruned (doc_id, text) scans (the
+    decontamination_ngram_overlap shape); eval n-grams broadcast; no
+    cartesian products anywhere."""
+    p = _plan(spark, registry["training_export_pipeline"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert schemas and all(s == "struct<doc_id:bigint,text:string>" for s in schemas)
+
+
 def test_incremental_dedup_equi_probe_no_cartesian(spark, sf_dir, registry):
     """incremental_lsh_dedup_assign: the index probe is an equi-join on
     (band, band_hash) — the bucketed-index co-location shape — with the
