@@ -54,6 +54,7 @@ DRIVER_TABLE = {
     "collocation_pmi_topk": "documents",
     "priority_weighted_sample": "documents",
     "incremental_lsh_dedup_assign": "documents",
+    "training_export_pipeline": "documents",
 }
 
 
