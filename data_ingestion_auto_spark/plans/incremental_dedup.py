@@ -123,3 +123,79 @@ def incremental_lsh_dedup_assign(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_NOV_NGRAM = 3
+
+
+@query(
+    "batch_ngram_novelty",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {_NEW} AS is_new
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, is_new,
+         array_to_string(w[i : i + {_NOV_NGRAM - 1}], ' ') AS ng
+  FROM w,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {_NOV_NGRAM - 1}, 0))) AS i) s
+),
+corpus AS (SELECT DISTINCT ng FROM g WHERE NOT is_new)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(count(*) FILTER (WHERE c.ng IS NULL) AS BIGINT) AS n_novel,
+       CAST(count(*) FILTER (WHERE c.ng IS NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty_ratio
+FROM g LEFT JOIN corpus c USING (ng)
+WHERE g.is_new
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    tags=("text", "novelty", "incremental", "llm", "observability"),
+)
+def batch_ngram_novelty(spark, sf_dir):
+    """Ingest observability companion to `incremental_lsh_dedup_assign`
+    (same md5-deterministic ~25% batch slice): per new document, how
+    many of its distinct word 3-grams the existing corpus has never
+    seen — the novelty metric a pipeline tracks per ingest to catch
+    both stale re-crawls (novelty → 0) and scraper breakage (novelty
+    → 1). The corpus side is a hash-aggregated DISTINCT n-gram set
+    joined on ng — a plain shuffle equi-join, deliberately NOT a
+    broadcast: at 100 TB the corpus n-gram set is itself corpus-sized
+    (contrast decontamination, whose eval side is tiny and broadcast).
+    novelty_ratio = one IEEE divide of two exact BIGINTs — bit-identical
+    in both engines."""
+    docs = T(spark, sf_dir, "documents")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    ws = docs.select(
+        "doc_id", F.split("text", " ").alias("w"), is_new.alias("is_new")
+    )
+    ng_expr = (
+        f"CASE WHEN size(w) >= {_NOV_NGRAM} THEN "
+        f"transform(sequence(1, size(w) - {_NOV_NGRAM - 1}), "
+        "i -> concat_ws(' ', "
+        + ", ".join(f"element_at(w, i + {j})" for j in range(_NOV_NGRAM))
+        + ")) ELSE array() END"
+    )
+    g = ws.select(
+        "doc_id", "is_new", F.explode(F.expr(ng_expr)).alias("ng")
+    ).distinct()
+    corpus = g.filter(~F.col("is_new")).select("ng").distinct().withColumn(
+        "seen", F.lit(1)
+    )
+    novel = F.count(F.when(F.col("seen").isNull(), 1))
+    return (
+        g.filter("is_new")
+        .join(corpus, "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count("*").cast("double")).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -392,8 +392,19 @@ def test_incremental_dedup_equi_probe_no_cartesian(spark, sf_dir, registry):
     """incremental_lsh_dedup_assign: the index probe is an equi-join on
     (band, band_hash) — the bucketed-index co-location shape — with the
     batch/order predicate as a post-join filter, never a cartesian or
-    BNLJ; the batch-side documents scan prunes to doc_id alone."""
+    BNLJ; the batch-side documents scan prunes to doc_id alone.
+    batch_ngram_novelty: the corpus n-gram set joins on ng as a plain
+    shuffle equi-join (it is corpus-sized — a broadcast hint here would
+    be the unbounded-side mistake), scans pruned to (doc_id, text)."""
     p = _plan(spark, registry["incremental_lsh_dedup_assign"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "ReadSchema: struct<doc_id:bigint>" in p
+
+    p2 = _plan(spark, registry["batch_ngram_novelty"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", p2)
+    assert schemas and all(s == "struct<doc_id:bigint,text:string>" for s in schemas)
