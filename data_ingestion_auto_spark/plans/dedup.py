@@ -614,3 +614,72 @@ def neardup_triangles(spark, sf_dir):
         .select("x", "y", "z")
         .orderBy("x", "y", "z")
     )
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="WHERE doc_id < 200")},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common,
+       CAST(sa.n_shingles AS BIGINT) AS na,
+       CAST(sb.n_shingles AS BIGINT) AS nb,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE) AS cont_a_in_b,
+       CAST(n_common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE) AS cont_b_in_a
+FROM inter i
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE),
+               CAST(n_common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE)) >= 0.7
+ORDER BY a, b
+""",
+    tags=("dedup", "containment", "ngram"),
+)
+def ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT pairs (Broder 1997's second
+    resemblance measure): containment(A in B) = |A∩B| / |A| over the
+    5-gram shingle sets. Catches what symmetric Jaccard misses — a short
+    document wholly quoted inside a long one scores containment ≈ 1 with
+    Jaccard ≈ |A|/|B| ≈ 0 — the sub-document duplication case
+    (boilerplate inclusion, quote farms) a dedup pipeline must treat
+    differently from near-identity. Same bounded-subset exact-verifier
+    role as `ngram_jaccard_pairs` (the shingle self-join is quadratic in
+    bucket size; the LSH tier is the scale path); both containment
+    directions are single IEEE divides of exact BIGINTs — bit-identical
+    cross-engine (no round() at half boundaries). Threshold: either
+    direction >= 0.7."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = D.shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_shingles").alias("nb"))
+    cont_a = F.col("n_common").cast("double") / F.col("na").cast("double")
+    cont_b = F.col("n_common").cast("double") / F.col("nb").cast("double")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.greatest(cont_a, cont_b) >= 0.7)
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            cont_a.alias("cont_a_in_b"),
+            cont_b.alias("cont_b_in_a"),
+        )
+        .orderBy("a", "b")
+    )
