@@ -27,8 +27,14 @@ from .registry import query
 _MIN_SUPPORT = 20
 _TOPK = 20
 
+# Guard the size-1 case: Spark's sequence(0, -1) is the DESCENDING
+# [0, -1] (DuckDB's generate_series(1, 0) is empty), so an unguarded
+# explode would hit s[-1] — INVALID_ARRAY_INDEX under ANSI mode, silent
+# null pairs otherwise. CASE to an empty array, matching the oracle.
 _PAIRS = (
-    "explode(transform(sequence(0, size(s) - 2), i -> struct(s[i] AS l, s[i + 1] AS r)))"
+    "explode(CASE WHEN size(s) >= 2"
+    " THEN transform(sequence(0, size(s) - 2), i -> struct(s[i] AS l, s[i + 1] AS r))"
+    " ELSE array() END)"
 )
 
 _RATIO = (

@@ -40,10 +40,24 @@ _K = 32
 
 # md5(doc_id) -> [1, 2^32] (never 0 so u > 0); priority in micro-weight
 # units, integer-exact in both engines (div/// truncation toward zero on
-# positives).
+# positives). The naive n_chars * 1e6 * 2^32 intermediate overflows
+# BIGINT once n_chars >= 2148, so compute the SAME floor via the exact
+# decomposition floor(w*2^32*1e6/H) = q*1e6 + floor(r*1e6/H) with
+# (q, r) = divmod(w*2^32, H): w*2^32 is safe for any w < 2^31 (2 GB of
+# text), r*1e6 < 2^32*1e6 < 2^63, and q*1e6 only overflows when the
+# priority VALUE itself exceeds BIGINT — which requires u < w/(2147*2^32),
+# probability ~1e-7 even for megabyte documents (vs deterministic
+# overflow at 2 KB before). Values are bit-identical to the naive form
+# wherever that form didn't overflow (multiplication commutes).
 _H = f"({_HEX8.format(v='doc_id')} + 1)"
-_Q = f"(n_chars * 1000000 * 4294967296 div {_H})"
-_Q_SQL = f"(n_chars * 1000000 * 4294967296 // {_H})"
+_Q = (
+    f"(((n_chars * 4294967296) div {_H}) * 1000000"
+    f" + (((n_chars * 4294967296) % {_H}) * 1000000) div {_H})"
+)
+_Q_SQL = (
+    f"(((n_chars * 4294967296) // {_H}) * 1000000"
+    f" + (((n_chars * 4294967296) % {_H}) * 1000000) // {_H})"
+)
 
 
 @query(

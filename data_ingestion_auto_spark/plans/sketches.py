@@ -47,7 +47,7 @@ _HEX8 = "".join(
     oracle=f"""
 WITH hashed AS (
   SELECT DISTINCT l_returnflag,
-         {_HEX8.replace("AS STRING", "AS VARCHAR").format(v="l_partkey")} AS h
+         ({_HEX8.replace("AS STRING", "AS VARCHAR").format(v="l_partkey")} + 1) AS h
   FROM lineitem
 ),
 ranked AS (
@@ -79,8 +79,12 @@ def kmv_distinct_estimate(spark, sf_dir):
     count window over the same partitioning, giving the oracle the
     realized relative error (~5-15% at k=64)."""
     li = T(spark, sf_dir, "lineitem")
+    # +1 shifts the hash into [1, 2^32] (mirrors sampling_more's _H) so
+    # h_k can never be 0 — an eight-zero-nibble md5 prefix (p = 2^-32
+    # per key) would otherwise divide by zero, with engine-divergent
+    # Inf/error behavior.
     hashed = li.select(
-        "l_returnflag", F.expr(_HEX8.format(v="l_partkey")).alias("h")
+        "l_returnflag", (F.expr(_HEX8.format(v="l_partkey")) + 1).alias("h")
     ).distinct()
     w = W.partitionBy("l_returnflag").orderBy("h")
     wc = W.partitionBy("l_returnflag")

@@ -84,8 +84,15 @@ _ORACLE = (
 
 # ----------------------------------------------------------------- spark
 
+# Guard the single-symbol case: once a vocab word merges down to one
+# symbol (e.g. 'a </w>' -> 'a</w>'), Spark's sequence(0, -1) yields the
+# descending [0, -1] and s[-1] throws under ANSI mode (DuckDB's
+# generate_series(1, 0) is simply empty). CASE to an empty array so
+# later merge rounds stay bit-identical to the oracle.
 _PAIRS = (
-    "explode(transform(sequence(0, size(s) - 2), i -> struct(s[i] AS ls, s[i + 1] AS rs)))"
+    "explode(CASE WHEN size(s) >= 2"
+    " THEN transform(sequence(0, size(s) - 2), i -> struct(s[i] AS ls, s[i + 1] AS rs))"
+    " ELSE array() END)"
 )
 
 
