@@ -79,7 +79,13 @@ R2_ANCHOR = {
 # instead of absorbing the change. Re-anchor protocol lives in BASELINE.md.
 PROBE_PLAN_DIGEST = {
     "q1_pricing_summary": "69966896683b974a1130e3bbef022363",
-    "regional_revenue": "3205f69314b06502c18d4b375add49b1",
+    # Re-pinned round 7: the customer-side F.broadcast HINT was removed
+    # (SF-proportional side, AQE's call — VERDICT r6 "What's wrong" #1).
+    # The optimized LOGICAL plan loses its ResolvedHint node, but the
+    # PHYSICAL plan at the anchor scale is byte-identical modulo plan_id
+    # (stats-based planning still broadcasts customer; diff checked at
+    # sf0.1 before re-pinning), so the r2 anchor TIME remains valid.
+    "regional_revenue": "58a2ceb5240cea8cd44e195186bfd84a",
     "top_orders_by_revenue": "92b4ffa60f408fafbb23e52e34ba44b0",
 }
 

@@ -48,6 +48,14 @@ def cosine_topk(
 
     queries is broadcast (small); the corpus never shuffles until the
     per-query top-k window. Output: (query_id, cand_id, cosine, rank).
+
+    Scale bound: the broadcast side is the FIXED PROBE SET, not data —
+    callers pass a handful of query vectors (ground-truth verification,
+    recall grading), so the hint is structural, not SF-proportional.
+    This brute-force tier is the exactness oracle the ANN tiers
+    (sign-LSH, multi-probe, IVF, IVF-PQ in plans/similarity_lsh.py,
+    operators/ivf.py, plans/ivfpq.py) are graded against; it is NOT the
+    100 TB scale path — the bucketed/routed tiers are.
     """
     c = quantized(corpus, id_col, vec_col)
     q = (

@@ -45,7 +45,9 @@ def rollup_revenue(spark, sf_dir):
     re = T(spark, sf_dir, "region")
     joined = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        # customer is SF-proportional — no hint, AQE decides; nation/
+        # region are structurally constant (25/5 rows) and keep theirs.
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
     )
@@ -136,7 +138,8 @@ def pivot_segment_status(spark, sf_dir):
     (count FILTER), the portable form of `.pivot()`."""
     od = T(spark, sf_dir, "orders")
     cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    # customer is SF-proportional — no broadcast hint, AQE decides.
+    joined = od.join(cu, od.o_custkey == cu.c_custkey)
     return (
         joined.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(

@@ -54,10 +54,13 @@ ORDER BY m.mktsegment, m.month
 def flagship_revenue_anomaly(spark, sf_dir):
     """Current-vs-climatology anomaly join (A1 + J1 + F13).
 
-    Physical plan: lineitem⋈orders shuffles on orderkey; customer is
-    broadcast (bounded per-SF cardinality vs lineitem); the per-(segment,
-    month-of-year) normals table is tiny (≤ 5×12 rows at any scale) and is
-    broadcast back against the monthly aggregate — the climatology join
+    Physical plan: lineitem⋈orders shuffles on orderkey; customer grows
+    with SF (150k×SF rows), so it carries NO broadcast hint — AQE picks
+    broadcast while it fits (it does at bench scale; the plan pin
+    asserts the realized BroadcastHashJoin) and degrades to a shuffle
+    join at the scale where a forced broadcast would be the bug. The
+    per-(segment, month-of-year) normals table is structurally tiny
+    (≤ 5×12 rows at any scale) and keeps its hint — the climatology join
     never shuffles regardless of data volume.
     """
     li = T(spark, sf_dir, "lineitem")
@@ -65,7 +68,7 @@ def flagship_revenue_anomaly(spark, sf_dir):
     cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .select(
             F.col("c_mktsegment").alias("mktsegment"),
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
@@ -174,11 +177,13 @@ ORDER BY region, nation
     tags=("join", "agg", "broadcast"),
 )
 def regional_revenue(spark, sf_dir):
-    """Five-way star join (SURVEY §2.4 general surface). All dimension
-    tables (customer, nation, region) broadcast — the only shuffle in the
-    whole plan is lineitem⋈orders on orderkey, then the partial-aggregated
-    shuffle to (region, nation). At 100 TB the fact-fact join dominates;
-    everything else stays broadcast.
+    """Five-way star join (SURVEY §2.4 general surface). nation/region
+    are structurally constant (25/5 rows) and carry broadcast hints;
+    customer is SF-proportional, so broadcast-vs-shuffle is AQE's call
+    (broadcast at bench scale, shuffle once it outgrows the threshold).
+    The only guaranteed shuffle is lineitem⋈orders on orderkey, then the
+    partial-aggregated shuffle to (region, nation). At 100 TB the
+    fact-fact join dominates.
     """
     li = T(spark, sf_dir, "lineitem")
     od = T(spark, sf_dir, "orders")
@@ -187,7 +192,7 @@ def regional_revenue(spark, sf_dir):
     re = T(spark, sf_dir, "region")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -57,7 +57,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     the classic correlated-min, expressed as a row_number window with a
     deterministic (cost, suppkey) tie-break instead of a re-aggregating
     self-join: one window over the already-shuffled catalog, no second
-    scan. Dimensions (supplier⋈nation⋈region, filtered part) broadcast.
+    scan. nation/region keep broadcast hints (constant cardinality);
+    the supplier slice and filtered part are SF-proportional — AQE
+    decides broadcast-vs-shuffle for them.
 
     The displayed unit_cost TRUNCATES to 4 decimals (floor of an
     identical double is engine-portable) rather than rounding: an sf0.1
@@ -88,8 +90,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     w = Window.partitionBy("p_partkey").orderBy("unit_cost", "l_suppkey")
     return (
-        cat.join(F.broadcast(eu), cat.l_suppkey == eu.s_suppkey)
-        .join(F.broadcast(parts), cat.l_partkey == parts.p_partkey)
+        # eu (region-restricted supplier slice) and parts (filtered
+        # part slice) are SF-proportional — no hints, AQE decides.
+        cat.join(eu, cat.l_suppkey == eu.s_suppkey)
+        .join(parts, cat.l_partkey == parts.p_partkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -127,8 +131,9 @@ def q9_product_type_profit(spark, sf_dir):
     p_retailprice * l_quantity * 0.1 — same expression structure
     (revenue minus quantity-scaled cost), summed in exact DECIMAL(38,6)
     so both engines agree bit-for-bit. The '%widget' part filter prunes
-    before the joins; part/supplier/nation broadcast; lineitem⋈orders is
-    the one fact-fact shuffle."""
+    before the joins; nation keeps its broadcast hint, part/supplier are
+    SF-proportional (AQE decides); lineitem⋈orders is the one fact-fact
+    shuffle."""
     li = T(spark, sf_dir, "lineitem")
     od = T(spark, sf_dir, "orders")
     parts = T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget"))
@@ -139,9 +144,11 @@ def q9_product_type_profit(spark, sf_dir):
         " - p_retailprice * l_quantity * 0.1 AS DECIMAL(38,6))"
     )
     return (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        # parts (name-filtered slice) and sup (full supplier) are
+        # SF-proportional — no hints, AQE decides; nation keeps its.
+        li.join(parts, li.l_partkey == parts.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(F.expr(f"CAST(round(sum({profit}), 2) AS DOUBLE)").alias("profit"))
@@ -180,7 +187,9 @@ def q11_important_parts(spark, sf_dir):
     sup = T(spark, sf_dir, "supplier")
     nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     vals = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        # supplier is SF-proportional — no hint, AQE decides; the
+        # 1-nation filter keeps its hint (nation is constant-sized).
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -221,8 +230,8 @@ def q20_promotion_suppliers(spark, sf_dir):
     """TPC-H q20 shape (potential part promotion): suppliers who moved
     more than a threshold quantity of promo-candidate ('%widget') parts
     in 1996 — the nested subquery chain (parts IN → quantities per
-    (supplier, part) HAVING → suppliers IN) expressed as broadcast
-    semi-joins. The date predicate reaches the lineitem scan; quantity
+    (supplier, part) HAVING → suppliers IN) expressed as semi-join
+    shapes whose build sides AQE broadcasts while they fit. The date predicate reaches the lineitem scan; quantity
     sums are per-(supplier, part) with map-side combine; the final hot
     supplier set broadcasts into the supplier dimension."""
     li = T(spark, sf_dir, "lineitem")
@@ -232,7 +241,8 @@ def q20_promotion_suppliers(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        # promo is a name-filtered part slice — SF-proportional, no hint.
+        .join(promo, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("q"))
     )
@@ -240,7 +250,9 @@ def q20_promotion_suppliers(spark, sf_dir):
     sup = T(spark, sf_dir, "supplier")
     nat = T(spark, sf_dir, "nation")
     return (
-        sup.join(F.broadcast(hot), sup.s_suppkey == hot.l_suppkey)
+        # hot is a HAVING-selected supplier-key set — selectivity-
+        # bounded, not structural: no hint, AQE decides.
+        sup.join(hot, sup.s_suppkey == hot.l_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .select("s_name", "n_name", "s_acctbal")
         .orderBy("s_name")

@@ -114,7 +114,8 @@ def q14_promo_revenue_share(spark, sf_dir):
         F.lit(0).cast("decimal(38,6)")
     )
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        # part is SF-proportional — no broadcast hint, AQE decides.
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(promo).cast("double") / F.sum(rev_dec).cast("double"), 4
@@ -147,8 +148,10 @@ def q16_supplier_part_variety(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad_supp = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 3000).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        # bad_supp (selectivity-bounded supplier subset) and pa (part,
+        # SF-proportional) carry no hints — AQE decides.
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(pa, F.col("l_partkey") == pa.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
@@ -191,7 +194,8 @@ def q18_large_volume_customers(spark, sf_dir):
     cu = T(spark, sf_dir, "customer").select("c_custkey")
     return (
         big.join(od, big.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        # customer is SF-proportional — no broadcast hint, AQE decides.
+        .join(cu, od.o_custkey == cu.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",

@@ -65,7 +65,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     ).select("s_suppkey", "s_nationkey", "n_name")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        # su is a region-restricted supplier slice — SF-proportional, so
+        # no broadcast hint (AQE decides); asia_nations keeps its hint.
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(cu, (od.o_custkey == cu.c_custkey) & (su.s_nationkey == cu.c_nationkey))
         .groupBy("n_name")
         .agg(dec_sum(REVENUE, "revenue"))
@@ -117,7 +119,9 @@ def q7_nation_pair_volume(spark, sf_dir):
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     od = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        # su is a nation-restricted supplier slice — SF-proportional,
+        # no broadcast hint (AQE decides).
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -160,8 +164,9 @@ def q8_market_share(spark, sf_dir):
     """Q8 shape: one nation's share of a filtered market by year. Both the
     numerator and denominator sum exact decimals in ONE aggregate pass
     (conditional sum), then a single double divide — no second scan or
-    self-join for the ratio. Part/supplier/nation/region broadcast; the
-    only shuffles are the two fact joins."""
+    self-join for the ratio. nation/region keep broadcast hints (constant
+    cardinality); part/supplier are SF-proportional so AQE decides; the
+    only guaranteed shuffles are the two fact joins."""
     pa = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     od = T(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
@@ -182,10 +187,12 @@ def q8_market_share(spark, sf_dir):
         F.lit(0).cast("decimal(38,6)")
     )
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        # pa (type-filtered part slice) and su (full supplier) are
+        # SF-proportional — no hints, AQE decides; n2 (nation) keeps its.
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(n2), su.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -312,7 +319,8 @@ def q15_top_supplier(spark, sf_dir):
     su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
-        .join(F.broadcast(su), F.col("supplier_no") == su.s_suppkey)
+        # supplier is SF-proportional — no hint, AQE decides.
+        .join(su, F.col("supplier_no") == su.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -346,7 +354,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
     micro-units: qty*5*cnt < sum, no float rounding on either engine."""
     pa = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    brand_li = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).select(
+    # pa is a brand-filtered part slice — SF-proportional, no hint.
+    brand_li = li.join(pa, li.l_partkey == pa.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     agg = brand_li.groupBy("l_partkey").agg(
@@ -388,7 +397,9 @@ def q19_disjunctive_predicates(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        # pa is a brand/size-filtered part slice — SF-proportional,
+        # no hint (AQE decides).
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .filter(cond)
         .agg(F.count("*").alias("n"), dec_sum(REVENUE, "revenue"))
     )
@@ -435,7 +446,8 @@ def q21_lone_returning_supplier(spark, sf_dir):
         l1.join(od, l1.l_orderkey == od.o_orderkey)
         .join(stats, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1))
-        .join(F.broadcast(su), l1.l_suppkey == su.s_suppkey)
+        # supplier is SF-proportional — no hint, AQE decides.
+        .join(su, l1.l_suppkey == su.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

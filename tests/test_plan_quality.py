@@ -41,10 +41,33 @@ def test_q3_all_three_scans_filtered_and_pruned(spark, sf_dir, registry):
 
 
 def test_flagship_broadcasts_every_dimension(spark, sf_dir, registry):
-    p = _plan(spark, registry["flagship_revenue_anomaly"].spark(spark, sf_dir), "simple")
+    df = registry["flagship_revenue_anomaly"].spark(spark, sf_dir)
+    p = _plan(spark, df, "simple")
     # dims and normals broadcast; the only SortMergeJoin allowed is a
     # fact-fact join (lineitem ⋈ orders)
     assert p.count("BroadcastHashJoin") >= 3
+    # ...but the customer broadcast must come from the OPTIMIZER's size
+    # stats (static planner here, AQE at runtime), NOT a forced hint:
+    # customer is SF-proportional (150k×SF rows), and a hint would force
+    # a multi-hundred-MB driver-mediated broadcast at 100×. The only
+    # hint allowed in this plan is the structurally tiny (≤ 5×12 row)
+    # normals side.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+
+
+def test_star_join_dims_broadcast_without_sf_hints(spark, sf_dir, registry):
+    """regional_revenue five-way star: nation/region keep their hints
+    (constant 25/5 rows); customer carries NONE, yet the optimizer still
+    broadcasts it at this scale from parquet size stats — the plan you
+    want at every scale (broadcast while small, shuffle join once
+    customer outgrows the threshold)."""
+    df = registry["regional_revenue"].spark(spark, sf_dir)
+    p = _plan(spark, df, "simple")
+    assert p.count("BroadcastHashJoin") >= 3
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly the nation + region hints — none on customer
+    assert analyzed.count("ResolvedHint") == 2
 
 
 def test_lsh_cap_reuses_group_exchange(spark, registry):
@@ -198,6 +221,32 @@ def test_bench_calibration_probes_plan_pinned(spark, sf_dir, registry):
             f"probe {name} plan drifted ({got} != {want}); re-anchor per "
             "BASELINE.md before trusting host_factor"
         )
+
+
+def test_suffix_repeat_spans_pruned_no_cartesian_no_global_window(
+    spark, sf_dir, registry
+):
+    """The suffix-array variant reads only (doc_id, text); every join is
+    hash/broadcast (a cartesian over suffix rows would be corpus²); and
+    — the construction's whole point — the suffix-sort windows run
+    partitioned on spark_partition_id, so the ONLY single-partition
+    windows in the plan are the ≤ _P_SA-row boundary-seam rankings,
+    never a data-sized one. The data-sized windows are the per-pid
+    rank/lag/lead (pre-checkpoint) and the per-doc island merges."""
+    df = registry["suffix_repeat_spans"].spark(spark, sf_dir)
+    p = _plan(spark, df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # final plan consumes the checkpointed suffix adjacency, not a re-run
+    # of the suffix explode
+    assert "ExistingRDD" in p
+    # no single-partition window over data-sized input in the final plan:
+    # every Window node here partitions by doc_id (island merge)
+    simple = _plan(spark, df, "simple")
+    for line in simple.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "doc_id" in line, line
 
 
 def test_substring_dedup_scan_pruned_and_no_cartesian(spark, sf_dir, registry):
