@@ -413,3 +413,102 @@ def connected_components(
                     pass
             else:
                 shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stored band index — the production ingest path.
+# (`plans/incremental_dedup.py` is the oracled query twin; these are the
+# operators a real pipeline calls. Reference scope: the reference engine
+# has no incremental dedup — this is LLM-pipeline tier, see COVERAGE.md.)
+
+
+def write_band_index(
+    banded: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    buckets: int = 16,
+    max_bucket: int = 1000,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Materialize the capped (id, band, band_hash) LSH index as a table
+    BUCKETED on (band, band_hash) — the physical layout that makes every
+    future ingest probe join shuffle-free on the index side.
+
+    Hot-bucket cap applies at write time (same rank-and-cap as
+    `lsh_candidates`, same argument: a bucket beyond ``max_bucket`` is
+    boilerplate, not near-duplication), so the stored index is bounded
+    per bucket by construction. ``mode='append'`` is the daily-ingest
+    call: append the accepted batch's banded rows; bucketing spec is
+    preserved across appends (Spark enforces it for saveAsTable).
+
+    At 100 TB: the index is shingle-band-sized, NOT pair-sized; writing
+    it costs one shuffle into ``buckets`` files per partition, and every
+    subsequent probe reads only the matching buckets with zero Exchange
+    on this side (pinned by tests/test_incremental_index.py).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash").orderBy(id_col)
+    capped = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .select(id_col, "band", "band_hash")
+    )
+    writer = capped.write.format("parquet").mode(mode).bucketBy(
+        buckets, "band", "band_hash"
+    ).sortBy("band", "band_hash", id_col)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def probe_band_index(
+    spark,
+    batch_banded: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign an arriving batch against the STORED band index: for each
+    batch document, the smallest partner id among (any indexed document)
+    ∪ (batch documents with smaller id) sharing a band bucket — or
+    itself if new-unique. Same assignment rule as the oracled
+    `incremental_lsh_dedup_assign` query; this variant reads the real
+    bucketed table.
+
+    Plan shape (machine-pinned): the probe side shuffles once into the
+    index's bucket count; the index side is a bare bucketed scan with NO
+    Exchange — per-ingest cost is O(batch shingles) + O(bucket overlap),
+    independent of corpus size. The batch-internal earlier-id partners
+    come from a SEPARATE batch-vs-batch join (batch-sized on both sides)
+    whose candidate hits union with the index hits AFTER the joins —
+    unioning raw rows into the index side would discard its bucketed
+    output partitioning and force the Exchange this layout exists to
+    avoid.
+    """
+    idx = spark.table(table).select(
+        F.col(id_col).alias("o_id"), "band", "band_hash"
+    )
+    batch = batch_banded.select(
+        F.col(id_col).alias("n_id"), "band", "band_hash"
+    ).localCheckpoint()
+    idx_cand = batch.join(idx, ["band", "band_hash"]).select("n_id", "o_id")
+    self_side = batch.select(
+        F.col("n_id").alias("o_id"), "band", "band_hash"
+    )
+    self_cand = (
+        batch.join(self_side, ["band", "band_hash"])
+        .filter(F.col("o_id") < F.col("n_id"))
+        .select("n_id", "o_id")
+    )
+    cand = (
+        idx_cand.unionByName(self_cand)
+        .groupBy("n_id")
+        .agg(F.min("o_id").alias("dup_of_hit"))
+    )
+    ids = batch.select("n_id").distinct()
+    return ids.join(cand, "n_id", "left").select(
+        F.col("n_id").alias(id_col),
+        F.coalesce("dup_of_hit", "n_id").alias("dup_of"),
+        F.col("dup_of_hit").isNotNull().alias("is_dup"),
+    )

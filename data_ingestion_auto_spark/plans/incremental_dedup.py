@@ -20,7 +20,13 @@ partner id among (any old document) ∪ (new documents with smaller id)
 sharing at least one band bucket; otherwise it is new-unique and keeps
 itself. The Spark plan computes the full banded index here because the
 fixture has no stored one — `localCheckpoint` stands in for the
-materialized index table, which is exactly what production would read.
+materialized index table inside this ORACLED query. The real stored
+path exists too: `operators/dedup.py::write_band_index` materializes
+the capped index as a parquet table bucketed on (band, band_hash) and
+`probe_band_index` joins a batch against it with ZERO Exchange on the
+index side — machine-pinned (against a non-bucketed control copy) in
+tests/test_incremental_index.py, with result equality to an
+independent per-doc reference.
 
 Reference scope: the reference engine has no incremental dedup; this
 extends the LLM-pipeline dedup tier (COVERAGE.md) with its ingest-time

@@ -1,0 +1,147 @@
+"""The stored-band-index ingest path (operators/dedup.py::
+write_band_index / probe_band_index) — VERDICT r6 "What's missing" #5.
+
+`incremental_lsh_dedup_assign` (plans/incremental_dedup.py) is the
+oracled query twin; it simulates the stored index with localCheckpoint
+because the fixture ships no index table. These tests materialize the
+REAL thing — a parquet table bucketed on (band, band_hash) — and
+machine-check the two claims the docstrings make:
+
+1. correctness: probing the stored index assigns every batch document
+   the same canonical partner as an independent per-doc Python
+   reference computed from the collected banded rows;
+2. physics: the probe join reads the index side with ZERO Exchange —
+   demonstrated self-calibratingly by planning the identical join
+   against a NON-bucketed copy of the same table and asserting it needs
+   exactly one more band-keyed Exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_auto_spark.operators import dedup as D
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def banded_split(spark, sf_dir):
+    """(corpus_banded, batch_banded) using the same md5 first-nibble
+    batch rule as the oracled query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    banded = D.band_signature(D.minhash_signature(D.shingles(docs)))
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    corpus = banded.filter(~is_new).localCheckpoint()
+    batch = banded.filter(is_new).localCheckpoint()
+    return corpus, batch
+
+
+def test_probe_against_stored_index_matches_reference(
+    spark, banded_split, tmp_path
+):
+    corpus, batch = banded_split
+    spark.sql("DROP TABLE IF EXISTS t_band_idx")
+    D.write_band_index(
+        corpus, "t_band_idx", buckets=8, path=str(tmp_path / "idx")
+    )
+    got = {
+        r.doc_id: (r.dup_of, r.is_dup)
+        for r in D.probe_band_index(spark, batch, "t_band_idx").collect()
+    }
+
+    # independent per-doc reference from the collected banded rows
+    corpus_rows = corpus.collect()
+    batch_rows = batch.collect()
+    bucket_to_old: dict[tuple, list[int]] = {}
+    for r in corpus_rows:
+        bucket_to_old.setdefault((r.band, r.band_hash), []).append(r.doc_id)
+    bucket_to_new: dict[tuple, list[int]] = {}
+    batch_ids = set()
+    for r in batch_rows:
+        bucket_to_new.setdefault((r.band, r.band_hash), []).append(r.doc_id)
+        batch_ids.add(r.doc_id)
+    want = {}
+    by_doc: dict[int, set[tuple]] = {}
+    for r in batch_rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.band, r.band_hash))
+    for doc_id, bks in by_doc.items():
+        partners = []
+        for bk in bks:
+            partners += bucket_to_old.get(bk, [])
+            partners += [i for i in bucket_to_new.get(bk, []) if i < doc_id]
+        want[doc_id] = (min(partners), True) if partners else (doc_id, False)
+
+    assert got == want
+    assert len(got) == len(batch_ids)
+    # the fixture's engineered near-dups must make this non-trivial
+    assert any(v[1] for v in got.values())
+
+
+def test_probe_index_side_is_exchange_free(spark, banded_split, tmp_path):
+    """Plan the SAME probe against (a) the bucketed index and (b) a
+    non-bucketed copy of identical rows: (b) must carry exactly one more
+    band-keyed Exchange — the one the bucketed layout eliminates on the
+    index side. Also pin that (a) actually reads bucketed."""
+    corpus, batch = banded_split
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_b")
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_flat")
+    D.write_band_index(
+        corpus, "t_band_idx_b", buckets=8, path=str(tmp_path / "idx_b")
+    )
+    # identical rows, no bucketing spec
+    spark.table("t_band_idx_b").write.format("parquet").option(
+        "path", str(tmp_path / "idx_flat")
+    ).saveAsTable("t_band_idx_flat")
+
+    def n_band_exchanges(table):
+        p = _plan(D.probe_band_index(spark, batch, table))
+        return sum(
+            1 for line in p.splitlines() if "Exchange hashpartitioning(band" in line
+        )
+
+    # At sf0.001 every side fits the broadcast threshold and the planner
+    # broadcasts everything (0 exchanges both ways — vacuous). Turn auto
+    # broadcast off so the plan shows the SHUFFLE shape this layout is
+    # about: at 100 TB neither the corpus index nor a real batch is
+    # broadcastable.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_bucketed = _plan(D.probe_band_index(spark, batch, "t_band_idx_b"))
+        assert "Bucketed: true" in p_bucketed
+        n_b = n_band_exchanges("t_band_idx_b")
+        n_flat = n_band_exchanges("t_band_idx_flat")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert n_flat == n_b + 1, (n_b, n_flat)
+
+
+def test_append_mode_grows_index_and_keeps_bucketing(
+    spark, banded_split, tmp_path
+):
+    """The daily-ingest call: append the accepted batch's banded rows.
+    The table stays bucketed (next probe still exchange-free on the
+    index side) and the appended rows are visible to the next probe."""
+    corpus, batch = banded_split
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_a")
+    D.write_band_index(
+        corpus, "t_band_idx_a", buckets=8, path=str(tmp_path / "idx_a")
+    )
+    n0 = spark.table("t_band_idx_a").count()
+    D.write_band_index(
+        batch, "t_band_idx_a", buckets=8, mode="append", path=str(tmp_path / "idx_a")
+    )
+    assert spark.table("t_band_idx_a").count() > n0
+    p = _plan(D.probe_band_index(spark, batch, "t_band_idx_a"))
+    assert "Bucketed: true" in p
+    # with the batch now indexed, every batch doc hits at least itself is
+    # NOT the rule (probe excludes nothing on the index side) — instead
+    # every doc must now be marked dup-of-(<= itself)
+    res = D.probe_band_index(spark, batch, "t_band_idx_a")
+    assert res.filter(F.col("dup_of") > F.col("doc_id")).count() == 0
