@@ -1,0 +1,270 @@
+"""Suffix-array ExactSubstr — ARBITRARY-length duplicated-substring
+detection (Lee et al. 2022 §4), upgrading `substring_dedup.py`'s
+fixed-width-window variant to the paper's actual semantics: every
+maximal substring of ≥ T tokens that occurs twice anywhere in the
+corpus, whatever its length.
+
+Construction, Spark-first
+-------------------------
+The paper builds one suffix array over the concatenated corpus on a
+single machine. The distributed equivalent used here exploits that
+documents are length-bounded (every real LLM pipeline shards documents
+to ≤ seq_len tokens before this step, and the fixture's documents are
+≤ ~100 words), so per-document suffixes are bounded arrays and can be
+SORTED DIRECTLY:
+
+1. explode every document into its (doc_id, i, suffix) rows — suffix =
+   the token array from position i to the document end. Only positions
+   that can start a ≥T repeat participate (i ≤ len−T), and no suffix
+   crosses a document boundary, which is exactly the sentinel property
+   the single-machine construction gets from unique separators;
+2. build the suffix array as a DISTRIBUTED sort: `repartitionByRange`
+   on the (suffix, doc_id, i) key, then per-partition rank/lag/lead
+   windows keyed on `spark_partition_id()` — every partition sorts in
+   parallel, NO single-partition global window. Because the range
+   partitioner totally orders partitions, global adjacency = local
+   adjacency plus one boundary pair per consecutive non-empty partition
+   (≤ P−1 rows, computed from each partition's first/last row and
+   broadcast back). Partition boundaries are sampled and therefore not
+   deterministic — the RESULT is: any split of a totally sorted
+   sequence into ordered chunks plus its boundary pairs reconstructs
+   the same adjacency relation;
+3. per suffix, the maximal repeat starting there is
+   max(LCP(prev), LCP(next)) over suffix-array neighbors — the
+   standard suffix-array property that the longest match of a suffix
+   against the whole corpus is achieved at an adjacent SA entry. LCP is
+   a first-mismatch scan over zipped token arrays, identical in both
+   engines (`zip_with`+`array_position` / `list_zip`+`list_position`,
+   null-padding making the shorter-is-prefix case fall out);
+4. positions with repeat ≥ T merge into maximal per-document islands
+   (the same gaps-and-islands machinery as the fixed-window variant),
+   giving the tokens ExactSubstr-cut would remove.
+
+Unbounded documents would swap step 2's direct suffix sort for
+prefix-doubling (Manber–Myers: log(len) rounds of rank-pair
+re-ranking, each a sort/join carrying integer ranks only) — same
+adjacency interface, no suffix materialization; not needed while the
+corpus contract bounds document length.
+
+The DuckDB oracle replays the construction in its naive global form
+(one window over ORDER BY suffix — the logical spec of step 2, not its
+physical plan) and the identical LCP/island arithmetic; every output
+column is an exact integer, so the parity hash is bit-stable.
+
+At 100 TB: the suffix explode is ~tokens × avg-suffix-length/2 bytes —
+bounded by the document-length cap (cap/2 × corpus bytes; the paper
+pays the same ×8-byte-per-token suffix array). One range exchange
+sorts it; windows are per-partition; the boundary fix-up is ≤ P rows;
+islands shuffle per-document. Nothing is driver-side and nothing is
+quadratic.
+
+Reference anchor: reference dedup is file-level state skips
+(ingest/__init__.py:118-135); substring dedup belongs to the
+training-data tier this engine adds (SURVEY §2 LLM-ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+
+_T = 15  # min repeat length in tokens (paper: 50 BPE tokens at corpus scale)
+_P_SA = 32  # suffix-sort range partitions
+
+# token-level longest-common-prefix of two array<string> columns; 0 when
+# the neighbor is NULL (sequence ends). zip_with pads the shorter array
+# with NULLs, so a proper prefix mismatches at min_len+1 and
+# array_position()-1 = min_len; position 0 (no mismatch) means the
+# arrays are identical → LCP = full size.
+_LCP = (
+    "CASE WHEN {b} IS NULL THEN 0 ELSE CASE WHEN array_position("
+    "zip_with({a}, {b}, (x, y) -> CASE WHEN x <=> y THEN 0 ELSE 1 END), 1) = 0 "
+    "THEN size({a}) ELSE array_position("
+    "zip_with({a}, {b}, (x, y) -> CASE WHEN x <=> y THEN 0 ELSE 1 END), 1) - 1 END END"
+)
+
+_LCP_SQL = (
+    "CASE WHEN {b} IS NULL THEN 0 ELSE CASE WHEN list_position("
+    "list_transform(list_zip({a}, {b}), z -> CASE WHEN z[1] IS NOT DISTINCT FROM z[2] THEN 0 ELSE 1 END), 1) = 0 "
+    "THEN len({a}) ELSE list_position("
+    "list_transform(list_zip({a}, {b}), z -> CASE WHEN z[1] IS NOT DISTINCT FROM z[2] THEN 0 ELSE 1 END), 1) - 1 END END"
+)
+
+
+@query(
+    "suffix_repeat_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+suf AS (
+  SELECT doc_id, i, w[i + 1:] AS suf
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(w) - {_T})) AS i) g
+  WHERE len(w) >= {_T}
+),
+adj AS (
+  SELECT doc_id, i, suf,
+         lag(suf) OVER so AS prev_suf,
+         lead(suf) OVER so AS next_suf
+  FROM suf WINDOW so AS (ORDER BY suf, doc_id, i)
+),
+reps AS (
+  SELECT doc_id, i, i + rep_len - 1 AS j, rep_len FROM (
+    SELECT doc_id, i,
+           greatest({_LCP_SQL.format(a="suf", b="prev_suf")},
+                    {_LCP_SQL.format(a="suf", b="next_suf")}) AS rep_len
+    FROM adj
+  ) WHERE rep_len >= {_T}
+),
+islands AS (
+  SELECT doc_id, i, j, rep_len,
+         CASE WHEN i > coalesce(max(j) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_start
+  FROM reps
+),
+grouped AS (
+  SELECT doc_id, i, j, rep_len,
+         sum(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM islands
+),
+isl AS (
+  SELECT doc_id, island, max(j) - min(i) + 1 AS span_tokens
+  FROM grouped GROUP BY doc_id, island
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_rep_islands, sum(span_tokens) AS n_rep_tokens
+  FROM isl GROUP BY doc_id
+),
+per AS (
+  SELECT doc_id, count(*) AS n_rep_starts, max(rep_len) AS max_rep_len
+  FROM reps GROUP BY doc_id
+)
+SELECT per.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(per.n_rep_starts AS BIGINT) AS n_rep_starts,
+       CAST(cov.n_rep_islands AS BIGINT) AS n_rep_islands,
+       CAST(cov.n_rep_tokens AS BIGINT) AS n_rep_tokens,
+       CAST(per.max_rep_len AS BIGINT) AS max_rep_len
+FROM per
+JOIN cov ON per.doc_id = cov.doc_id
+JOIN toks t ON per.doc_id = t.doc_id
+ORDER BY per.doc_id
+""",
+    tags=("llm-dedup", "exact-substring", "suffix-array", "lee-2022"),
+)
+def suffix_repeat_spans(spark, sf_dir):
+    """Per document (those with any hit): accounting of MAXIMAL
+    arbitrary-length substrings of ≥ {_T} tokens repeated anywhere in
+    the corpus — n_rep_starts (positions starting such a repeat),
+    n_rep_islands / n_rep_tokens (merged coverage — what
+    ExactSubstr-cut removes), max_rep_len (the longest repeat). Built
+    on a distributed suffix sort with boundary-pair adjacency fix-up;
+    see module docstring for the construction and the scale argument."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n_tokens", F.size("w"))
+    )
+    suf = (
+        toks.filter(F.col("n_tokens") >= _T)
+        # explicit repartition before the explode: AQE coalesces the tiny
+        # pre-explode stage to 1 partition otherwise (NOTES_r1 gotcha)
+        .repartition(_P_SA, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_tokens") - _T)).alias("i"),
+            "w",
+        )
+        .select("doc_id", "i", F.expr("slice(w, i + 1, size(w) - i)").alias("suf"))
+    )
+    # ---- distributed suffix array: range-partitioned sort + per-partition
+    # windows on spark_partition_id (parallel), boundary pairs fix the seam.
+    s = suf.repartitionByRange(_P_SA, "suf", "doc_id", "i").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wo = W.partitionBy("pid").orderBy("suf", "doc_id", "i")
+    wc = W.partitionBy("pid")
+    s2 = s.select(
+        "doc_id",
+        "i",
+        "suf",
+        "pid",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+        F.lag("suf").over(wo).alias("prev_suf"),
+        F.lead("suf").over(wo).alias("next_suf"),
+    ).localCheckpoint()  # feeds the main scan AND the two boundary scans
+    firsts = s2.filter(F.col("rn") == 1).select("pid", F.col("suf").alias("fsuf"))
+    lasts = s2.filter(F.col("rn") == F.col("cnt")).select(
+        F.col("pid").alias("lpid"), F.col("suf").alias("lsuf")
+    )
+    wseq = W.orderBy("pid")  # ≤ _P_SA rows — driver-scale, not data-scale
+    f2 = firsts.withColumn("seq", F.row_number().over(wseq))
+    l2 = lasts.withColumn("seq", F.row_number().over(W.orderBy("lpid")))
+    bnd = (
+        f2.join(l2, f2.seq == l2.seq + 1)
+        .select("pid", "lpid", F.expr(_LCP.format(a="fsuf", b="lsuf")).alias("blcp"))
+        .localCheckpoint()
+    )
+    bnd_first = bnd.select("pid", F.col("blcp").alias("blcp_f"))
+    bnd_last = bnd.select(F.col("lpid").alias("pid"), F.col("blcp").alias("blcp_l"))
+    lcp_prev = F.expr(_LCP.format(a="suf", b="prev_suf"))
+    lcp_next = F.expr(_LCP.format(a="suf", b="next_suf"))
+    reps = (
+        s2.join(F.broadcast(bnd_first), "pid", "left")
+        .join(F.broadcast(bnd_last), "pid", "left")
+        .select(
+            "doc_id",
+            "i",
+            F.greatest(
+                F.when(F.col("rn") == 1, F.coalesce("blcp_f", F.lit(0))).otherwise(
+                    lcp_prev
+                ),
+                F.when(
+                    F.col("rn") == F.col("cnt"), F.coalesce("blcp_l", F.lit(0))
+                ).otherwise(lcp_next),
+            ).alias("rep_len"),
+        )
+        .filter(F.col("rep_len") >= _T)
+        .withColumn("j", F.col("i") + F.col("rep_len") - 1)
+    )
+    # ---- gaps-and-islands merge, per document (same machinery as the
+    # fixed-window variant in substring_dedup.py)
+    wdoc = W.partitionBy("doc_id").orderBy("i")
+    prevmax = F.max("j").over(wdoc.rowsBetween(W.unboundedPreceding, -1))
+    grouped = reps.withColumn(
+        "is_start", (F.col("i") > F.coalesce(prevmax, F.lit(-1))).cast("int")
+    ).withColumn(
+        "island", F.sum("is_start").over(wdoc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    isl = grouped.groupBy("doc_id", "island").agg(
+        (F.max("j") - F.min("i") + 1).alias("span_tokens")
+    )
+    cov = isl.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_rep_islands"),
+        F.sum("span_tokens").cast("bigint").alias("n_rep_tokens"),
+    )
+    per = reps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_rep_starts"),
+        F.max("rep_len").cast("bigint").alias("max_rep_len"),
+    )
+    return (
+        per.join(cov, "doc_id")
+        .join(toks.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rep_starts",
+            "n_rep_islands",
+            "n_rep_tokens",
+            "max_rep_len",
+        )
+        .orderBy("doc_id")
+    )
