@@ -52,11 +52,35 @@ N_LABELS = 10
 SEED = 20260814  # independent of the driver's seed=42 by design
 
 
-def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
-    n_words = rng.integers(10, 101, size=n_docs)
-    texts = [
-        " ".join(rng.choice(VOCAB, size=k).tolist()) for k in n_words
-    ]
+# --zipf mode (round-7 verdict #5): genuinely skewed keys, everywhere a
+# real crawl is skewed. Uniform fixtures never stress the rank-and-cap /
+# salting paths because every bucket and group stays near the mean.
+ZIPF_LEN_A = 1.2  # truncated-Pareto length exponent
+ZIPF_LEN_MIN, ZIPF_LEN_MAX = 10, 400
+ZIPF_SRC_A = 1.1  # source-popularity exponent (head source ~25% of docs)
+ZIPF_VOCAB_A = 1.0  # classic Zipf over word ranks ("the" dominates)
+
+
+def _bounded_pareto(rng, n, a, lo, hi):
+    u = rng.random(n)
+    return (lo / (1.0 - u * (1.0 - (lo / hi) ** a)) ** (1.0 / a)).astype(int)
+
+
+def gen_documents(
+    n_docs: int, rng: np.random.Generator, zipf: bool = False
+) -> pa.Table:
+    if zipf:
+        n_words = _bounded_pareto(rng, n_docs, ZIPF_LEN_A, ZIPF_LEN_MIN, ZIPF_LEN_MAX)
+        vp = 1.0 / np.arange(1, len(VOCAB) + 1) ** ZIPF_VOCAB_A
+        vp /= vp.sum()
+        texts = [
+            " ".join(rng.choice(VOCAB, size=k, p=vp).tolist()) for k in n_words
+        ]
+    else:
+        n_words = rng.integers(10, 101, size=n_docs)
+        texts = [
+            " ".join(rng.choice(VOCAB, size=k).tolist()) for k in n_words
+        ]
     # 5% of doc ids become near-dups of a uniformly-chosen OTHER doc
     # (base + " dup") — dup-of-dup chains and exact-dup collisions emerge
     # naturally when a base is picked twice, as observed in the fixture.
@@ -67,7 +91,12 @@ def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
             base += 1  # never self
         texts[d] = texts[base] + " dup"
     langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
-    sources = [f"src{int(s)}" for s in rng.integers(0, N_SOURCES, size=n_docs)]
+    if zipf:
+        sp = 1.0 / np.arange(1, N_SOURCES + 1) ** ZIPF_SRC_A
+        sp /= sp.sum()
+        sources = [f"src{int(s)}" for s in rng.choice(N_SOURCES, size=n_docs, p=sp)]
+    else:
+        sources = [f"src{int(s)}" for s in rng.integers(0, N_SOURCES, size=n_docs)]
     return pa.table(
         {
             "doc_id": pa.array(range(n_docs), pa.int64()),
@@ -94,14 +123,14 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, ".scratch", "sf1_native"
-    )
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
-    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    args = [a for a in sys.argv[1:] if a != "--zipf"]
+    zipf = "--zipf" in sys.argv[1:]
+    out_dir = args[0] if args else os.path.join(REPO, ".scratch", "sf1_native")
+    n_docs = int(args[1]) if len(args) > 1 else 50_000
+    n_vecs = int(args[2]) if len(args) > 2 else 20_000
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    docs = gen_documents(n_docs, rng)
+    docs = gen_documents(n_docs, rng, zipf=zipf)
     # directory-style parquet so load_table's spark.read.parquet sees the
     # same layout as the driver fixtures
     ddir = os.path.join(out_dir, "documents.parquet")

@@ -55,6 +55,10 @@ DRIVER_TABLE = {
     "priority_weighted_sample": "documents",
     "incremental_lsh_dedup_assign": "documents",
     "training_export_pipeline": "documents",
+    # round-7 skew-soak additions
+    "suffix_repeat_spans": "documents",
+    "source_capped_sample": "documents",
+    "unimax_epoch_mixture": "documents",
 }
 
 
@@ -162,12 +166,21 @@ def main() -> None:
     from data_ingestion_auto_spark.session import get_session
 
     spark = get_session("soak")
-    base = "/root/testdata/sf0.1"
-    # warm-up primes JVM/codegen so the base-vs-target ratio is fair
-    _run_once(spark, "q9_product_type_profit", base)
+    # base for the per-10x ratio: override with SPARK_SOAK_BASE when the
+    # target's generative process differs from the driver fixture (e.g.
+    # the --zipf skew fixtures must compare zipf-1x vs zipf-10x, not
+    # uniform-vs-zipf).
+    base = os.environ.get("SPARK_SOAK_BASE", "/root/testdata/sf0.1")
+    # warm-up primes JVM/codegen so the base-vs-target ratio is fair —
+    # always against the driver fixture (an overridden base dir may carry
+    # only documents/embeddings, not the relational tables)
+    _run_once(spark, "q9_product_type_profit", "/root/testdata/sf0.1")
 
+    # only the driver tables of the REQUESTED queries — an overridden
+    # base/target dir may carry only documents/embeddings
+    needed = {DRIVER_TABLE[q] for q in queries} | {"documents"}
     table_rows = {
-        sf: {t: _rows(spark, sf, t) for t in set(DRIVER_TABLE.values())}
+        sf: {t: _rows(spark, sf, t) for t in needed}
         for sf in (base, target)
     }
     results: dict[str, dict[str, float]] = {}
