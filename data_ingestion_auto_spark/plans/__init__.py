@@ -38,6 +38,7 @@ from . import (  # noqa: F401
     tokenizer,
     stateful_replay,
     stream_join_replay,
+    ann_filtered,
     substring_dedup,
     substring_sa,
     text,

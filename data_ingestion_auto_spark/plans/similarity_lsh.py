@@ -44,9 +44,9 @@ def _q(rel: str, i: int, spark: bool = False) -> str:
     return f"CAST(round(CAST({acc} AS DOUBLE) * 10000.0) AS BIGINT)"
 
 
-def _bucket_sql(rel: str, spark: bool = False) -> str:
+def _bucket_sql(rel: str, spark: bool = False, planes: int = _PLANES) -> str:
     bits = []
-    for j in range(_PLANES):
+    for j in range(planes):
         terms = " + ".join(
             f"{'' if _SIGNS[j][i] > 0 else '-'}{_q(rel, i, spark)}" for i in range(_DIM)
         )
@@ -77,9 +77,9 @@ def _zip_dot(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
 
-def _bucket_from_qvec(col: str = "qvec") -> str:
+def _bucket_from_qvec(col: str = "qvec", planes: int = _PLANES) -> str:
     bits = []
-    for j in range(_PLANES):
+    for j in range(planes):
         arr = "array(" + ", ".join(f"{s}L" for s in _SIGNS[j]) + ")"
         bits.append(
             f"CASE WHEN {_zip_dot(col, arr)} >= 0 THEN '1' ELSE '0' END"
