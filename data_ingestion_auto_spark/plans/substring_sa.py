@@ -190,19 +190,21 @@ def suffix_repeat_spans(spark, sf_dir):
         "pid", F.spark_partition_id()
     )
     wo = W.partitionBy("pid").orderBy("suf", "doc_id", "i")
-    wc = W.partitionBy("pid")
+    # lag/lead double as the partition-edge markers (NULL neighbor ⇔
+    # first/last row of the pid) — no row_number/count windows needed,
+    # so the one ordered window pass is the only window over the data.
     s2 = s.select(
         "doc_id",
         "i",
         "suf",
         "pid",
-        F.row_number().over(wo).alias("rn"),
-        F.count("*").over(wc).alias("cnt"),
         F.lag("suf").over(wo).alias("prev_suf"),
         F.lead("suf").over(wo).alias("next_suf"),
     ).localCheckpoint()  # feeds the main scan AND the two boundary scans
-    firsts = s2.filter(F.col("rn") == 1).select("pid", F.col("suf").alias("fsuf"))
-    lasts = s2.filter(F.col("rn") == F.col("cnt")).select(
+    firsts = s2.filter(F.col("prev_suf").isNull()).select(
+        "pid", F.col("suf").alias("fsuf")
+    )
+    lasts = s2.filter(F.col("next_suf").isNull()).select(
         F.col("pid").alias("lpid"), F.col("suf").alias("lsuf")
     )
     wseq = W.orderBy("pid")  # ≤ _P_SA rows — driver-scale, not data-scale
@@ -224,11 +226,11 @@ def suffix_repeat_spans(spark, sf_dir):
             "doc_id",
             "i",
             F.greatest(
-                F.when(F.col("rn") == 1, F.coalesce("blcp_f", F.lit(0))).otherwise(
-                    lcp_prev
-                ),
                 F.when(
-                    F.col("rn") == F.col("cnt"), F.coalesce("blcp_l", F.lit(0))
+                    F.col("prev_suf").isNull(), F.coalesce("blcp_f", F.lit(0))
+                ).otherwise(lcp_prev),
+                F.when(
+                    F.col("next_suf").isNull(), F.coalesce("blcp_l", F.lit(0))
                 ).otherwise(lcp_next),
             ).alias("rep_len"),
         )
