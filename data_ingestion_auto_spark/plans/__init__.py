@@ -39,6 +39,7 @@ from . import (  # noqa: F401
     stateful_replay,
     stream_join_replay,
     ann_filtered,
+    classifier,
     substring_dedup,
     substring_sa,
     text,

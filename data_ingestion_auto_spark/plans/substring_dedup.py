@@ -167,3 +167,156 @@ def exact_substring_dedup_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "exact_substring_cut",
+    oracle=f"""
+WITH toks0 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id, unnest(generate_series(0, len(w) - {_W})) AS i
+  FROM toks0 WHERE len(w) >= {_W}
+),
+hashed AS (
+  SELECT s.doc_id, s.i,
+         md5(array_to_string(t.w[s.i + 1 : s.i + {_W}], ' ')) AS h
+  FROM spans s JOIN toks0 t ON s.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+  FROM hashed
+),
+marked AS (
+  SELECT doc_id, i, i + {_W} - 1 AS j FROM ranked WHERE rn > 1
+),
+isl0 AS (
+  SELECT doc_id, i, j,
+         CASE WHEN i > coalesce(max(j) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_start
+  FROM marked
+),
+isl1 AS (
+  SELECT doc_id, i, j,
+         sum(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl0
+),
+isl AS (
+  SELECT doc_id, min(i) AS s, max(j) AS e FROM isl1 GROUP BY doc_id, island
+),
+tok AS (
+  SELECT doc_id, g.i - 1 AS p, w[g.i] AS tk
+  FROM toks0, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tk FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM isl
+                    WHERE isl.doc_id = t.doc_id AND t.p BETWEEN isl.s AND isl.e)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tk, ' ' ORDER BY p) AS text_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       coalesce(a.n_kept, 0) AS n_kept,
+       CAST(len(t.w) AS BIGINT) - coalesce(a.n_kept, 0) AS n_cut,
+       coalesce(a.text_kept, '') AS text_kept
+FROM toks0 t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("llm-dedup", "exact-substring", "cut", "lee-2022"),
+)
+def exact_substring_cut(spark, sf_dir):
+    """ExactSubstr-CUT — the paper's actual output, not just the
+    accounting: every corpus-duplicated W-token span is removed from
+    every document EXCEPT its canonical occurrence (the group's
+    smallest (doc_id, i) — rank 1 in a per-fingerprint window, so
+    occurrences with rank ≥ 2 are by construction members of a
+    duplicated group, no separate count filter). Non-canonical spans
+    merge into maximal per-document islands; covered tokens are cut
+    via a LEFT ANTI range join of the token explode against the
+    (bounded, per-doc) island list; the surviving text reassembles in
+    token order. Every duplicated W-gram therefore survives exactly
+    once in the output corpus — the deduplicated training set a
+    pipeline ships.
+
+    At 100 TB: the only additions over `exact_substring_dedup_spans`
+    are the per-fingerprint rank window (same exchange as the dup
+    hash-agg) and the token∕island anti join, which is per-document
+    (islands per doc are few and bounded by doc length). Text moves
+    once into the reassembly groupBy — the same per-doc shuffle any
+    rewrite pays."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    hashed = (
+        docs.filter(F.size("w") >= _W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("w") - _W)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice("w", F.col("i") + 1, _W))).alias("h"),
+        )
+    )
+    wh = Window.partitionBy("h").orderBy("doc_id", "i")
+    marked = (
+        hashed.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "i", (F.col("i") + _W - 1).alias("j"))
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = marked.withColumn(
+        "is_start",
+        F.when(F.col("i") > F.coalesce(F.max("j").over(prev), F.lit(-1)), 1).otherwise(0),
+    ).withColumn("island", F.sum("is_start").over(run))
+    isl = grouped.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), F.max("j").alias("e")
+    )
+    tok = docs.select("doc_id", F.posexplode("w").alias("p", "tk"))
+    kept = tok.join(
+        isl,
+        (tok.doc_id == isl.doc_id) & (tok.p >= isl.s) & (tok.p <= isl.e),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tk"))), lambda x: x["tk"]
+            ),
+        ).alias("text_kept"),
+    )
+    return (
+        docs.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_cut"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+        .orderBy("doc_id")
+    )

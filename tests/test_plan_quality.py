@@ -249,6 +249,29 @@ def test_suffix_repeat_spans_pruned_no_cartesian_no_global_window(
             assert "doc_id" in line, line
 
 
+def test_classifier_weights_broadcast_and_pruned(spark, sf_dir, registry):
+    """Model-as-data inference: the weights table must BROADCAST into
+    the feature join (a shuffle here would move corpus-sized features
+    to model-sized weights — backwards), and the documents scan reads
+    only (doc_id, text)."""
+    p = _plan(
+        spark, registry["hashed_linear_classifier_scores"].spark(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "CartesianProduct" not in p
+
+
+def test_substring_cut_pruned_no_cartesian(spark, sf_dir, registry):
+    """The cut rung reads only (doc_id, text); the token/island range
+    anti-join must stay keyed on doc_id (per-document islands), never a
+    cartesian over the token explode."""
+    p = _plan(spark, registry["exact_substring_cut"].spark(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_substring_dedup_scan_pruned_and_no_cartesian(spark, sf_dir, registry):
     """exact_substring_dedup_spans reads only (doc_id, text) of the
     5-column documents table, and the dup-fingerprint join must be an
