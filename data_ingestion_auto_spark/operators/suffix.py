@@ -80,12 +80,23 @@ def suffix_order_ranks(positions: DataFrame) -> DataFrame:
     `plans/substring_sa.py` gets by sorting materialized suffix arrays,
     without ever materializing them (prefix doubling — see module
     docstring)."""
+    return suffix_rank_levels(positions)[-1][1]
+
+
+def suffix_rank_levels(positions: DataFrame) -> list[tuple[int, DataFrame]]:
+    """Prefix-doubling rank LEVELS: [(span, ranks)] where each ranks
+    DataFrame (doc_id, i, r) orders suffixes by their first ``span``
+    tokens (end-sentinel padded — see module docstring). The last level
+    is full suffix order (what `suffix_order_ranks` returns); keeping
+    the ladder enables the O(log L) LCP walk (`suffix_lcp`) without
+    ever materializing a suffix."""
     max_len = positions.agg(F.max("i")).collect()[0][0] + 1
     cur = (
         _dense_rank(positions.select("doc_id", "i", "tok"), ["tok"], "r")
         .select("doc_id", "i", "r")
         .localCheckpoint()
     )
+    levels = [(1, cur)]
     span = 1
     while span < max_len:
         shifted = cur.select(
@@ -98,4 +109,80 @@ def suffix_order_ranks(positions: DataFrame) -> DataFrame:
             .localCheckpoint()
         )
         span *= 2
-    return cur
+        levels.append((span, cur))
+    return levels
+
+
+def suffix_lcp(
+    pairs: DataFrame, levels: list[tuple[int, DataFrame]], lengths: DataFrame
+) -> DataFrame:
+    """Token-level LCP of suffix pairs via the rank-level walk — the
+    standard Manber–Myers descent: for spans from largest to smallest,
+    if both suffixes' rank-at-offset agree, the common prefix extends by
+    that span. Each level costs two equi-joins on (doc, position) over
+    the PAIR set (never the corpus), so arbitrary-length LCP is
+    O(log max_len) joins with only integers moving.
+
+    Equal-rank at a level where a suffix ends inside the span means the
+    suffixes are identical to their ends — the walk may overshoot
+    there, so the result clamps to both suffixes' remaining lengths
+    (exactness proved by tests/test_suffix_ranks.py against directly
+    materialized suffixes).
+
+    pairs: (a_doc, a_i, b_doc, b_i); lengths: (doc_id, n_tokens).
+    Returns pairs + lcp."""
+    cur = pairs.withColumn("done", F.lit(0))
+    for span, df in sorted(levels, key=lambda t: -t[0]):
+        ra = df.select(
+            F.col("doc_id").alias("_rad"),
+            F.col("i").alias("_rai"),
+            F.col("r").alias("_ra"),
+        )
+        rb = df.select(
+            F.col("doc_id").alias("_rbd"),
+            F.col("i").alias("_rbi"),
+            F.col("r").alias("_rb"),
+        )
+        cur = (
+            cur.join(
+                ra,
+                (F.col("a_doc") == F.col("_rad"))
+                & (F.col("a_i") + F.col("done") == F.col("_rai")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col("b_doc") == F.col("_rbd"))
+                & (F.col("b_i") + F.col("done") == F.col("_rbi")),
+                "left",
+            )
+            .withColumn(
+                "done",
+                F.col("done")
+                + F.when(
+                    F.col("_ra").isNotNull() & (F.col("_ra") == F.col("_rb")),
+                    F.lit(span),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_rad", "_rai", "_ra", "_rbd", "_rbi", "_rb")
+            .localCheckpoint()
+        )
+    la = lengths.select(
+        F.col("doc_id").alias("a_doc"), F.col("n_tokens").alias("_na")
+    )
+    lb = lengths.select(
+        F.col("doc_id").alias("b_doc"), F.col("n_tokens").alias("_nb")
+    )
+    return (
+        cur.join(la, "a_doc")
+        .join(lb, "b_doc")
+        .withColumn(
+            "lcp",
+            F.least(
+                F.col("done"),
+                F.col("_na") - F.col("a_i"),
+                F.col("_nb") - F.col("b_i"),
+            ),
+        )
+        .drop("done", "_na", "_nb")
+    )

@@ -65,3 +65,58 @@ def test_dense_rank_helper_is_parallel(spark):
     out = _dense_rank(df, ["k"], "r")
     got = {(r.k, r.r) for r in out.select("k", "r").distinct().collect()}
     assert got == {(k, k + 1) for k in range(97)}
+
+
+def test_lcp_walk_matches_direct_lcp(spark, corpus):
+    """The rank-level LCP walk (suffix_lcp) must equal directly computed
+    token LCP on a deterministic pair sample — including the overshoot
+    clamp cases (equal suffixes of different docs, prefix-of-longer)."""
+    from data_ingestion_auto_spark.operators.suffix import (
+        suffix_lcp,
+        suffix_rank_levels,
+    )
+
+    rows = corpus.collect()
+    docs = {r.doc_id: r.w for r in rows}
+    ids = sorted(docs)
+    # deterministic pair sample: consecutive doc pairs at a few offsets
+    # (mostly LCP 0) PLUS the fixture's engineered near-dup pairs (shared
+    # 15-token prefixes → long LCPs exercising the multi-level descent
+    # and the overshoot clamp)
+    pair_rows = []
+    for a, b in zip(ids, ids[1:]):
+        for ai, bi in ((0, 0), (1, 0), (0, 2), (3, 3)):
+            if ai < len(docs[a]) and bi < len(docs[b]):
+                pair_rows.append((a, ai, b, bi))
+    by_prefix: dict[tuple, list[int]] = {}
+    for d, w in docs.items():
+        if len(w) >= 15:
+            by_prefix.setdefault(tuple(w[:15]), []).append(d)
+    for group in by_prefix.values():
+        if len(group) > 1:
+            a, b = sorted(group)[:2]
+            pair_rows += [(a, 0, b, 0), (a, 2, b, 2), (a, 0, b, 1)]
+    pairs = spark.createDataFrame(
+        pair_rows, "a_doc long, a_i int, b_doc long, b_i int"
+    )
+    positions = corpus.select("doc_id", F.posexplode("w").alias("i", "tok"))
+    lengths = corpus.select("doc_id", F.size("w").alias("n_tokens"))
+    got = {
+        (r.a_doc, r.a_i, r.b_doc, r.b_i): r.lcp
+        for r in suffix_lcp(pairs, suffix_rank_levels(positions), lengths).collect()
+    }
+
+    def direct(a, ai, b, bi):
+        sa, sb = docs[a][ai:], docs[b][bi:]
+        n = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    assert len(got) == len(pair_rows)
+    for (a, ai, b, bi) in pair_rows:
+        assert got[(a, ai, b, bi)] == direct(a, ai, b, bi), (a, ai, b, bi)
+    # the near-dup fixture must exercise a long-LCP pair
+    assert max(got.values()) >= 15

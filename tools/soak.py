@@ -59,6 +59,9 @@ DRIVER_TABLE = {
     "suffix_repeat_spans": "documents",
     "source_capped_sample": "documents",
     "unimax_epoch_mixture": "documents",
+    "hashed_linear_classifier_scores": "documents",
+    "exact_substring_cut": "documents",
+    "ann_filtered_lsh": "embeddings",
 }
 
 
