@@ -40,6 +40,7 @@ from . import (  # noqa: F401
     stream_join_replay,
     ann_filtered,
     classifier,
+    graph,
     substring_dedup,
     substring_sa,
     text,

@@ -190,3 +190,116 @@ def countmin_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("exact_cnt"), "token")
         .limit(15)
     )
+
+
+_KMV_H = "(" + _HEX8 + " + 1)"
+
+
+@query(
+    "kmv_set_operations",
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE year(o_orderdate) = 1995
+),
+b AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE year(o_orderdate) = 1996
+),
+ha AS (SELECT k, ({_HEX8.replace("AS STRING", "AS VARCHAR").format(v="k")} + 1) AS h FROM a),
+hb AS (SELECT k, ({_HEX8.replace("AS STRING", "AS VARCHAR").format(v="k")} + 1) AS h FROM b),
+sa AS (SELECT h FROM ha ORDER BY h LIMIT {_K}),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT {_K}),
+su AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT {_K}
+),
+uk AS (SELECT max(h) AS h_k FROM su),
+rho AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both FROM su
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+),
+ex AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (k)) AS exact_intersection,
+         (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS exact_union
+)
+SELECT ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersection,
+       round(({_K} - 1.0) * 4294967296.0 / uk.h_k, 6) AS kmv_union_est,
+       rho.n_both,
+       round((CAST(rho.n_both AS DOUBLE) / {_K}.0)
+             * (({_K} - 1.0) * 4294967296.0 / uk.h_k), 6) AS kmv_intersection_est
+FROM ex, uk, rho
+""",
+    tags=("sketch", "distinct", "kmv", "set-algebra", "approx"),
+)
+def kmv_set_operations(spark, sf_dir):
+    """KMV sketch SET ALGEBRA — the property that makes sketches the
+    100 TB distinct-count tool: two independently-built sketches (the
+    distinct 1995-ordering and 1996-ordering customer sets) merge into
+    the union's sketch by keeping the k smallest of their combined
+    hashes (associative, commutative — any shard tree works), and the
+    intersection estimates from the SAME two sketches via the theta-
+    sketch rule: ρ = fraction of the union sketch's k values present in
+    both inputs, |A∩B| ≈ ρ·|A∪B|. No re-scan of the base data for
+    either operation — the entire set algebra runs on 2×{_K} hashes.
+    md5 hashing keeps the sketches bit-identical across engines, so the
+    ESTIMATES are oracle-checkable (the kmv_distinct_estimate pattern);
+    exact counts ride along for self-grading.
+
+    At 100 TB: each sketch is a per-shard top-k-by-hash with a k-row
+    merge (map-side partial TakeOrdered); union/intersection never
+    touch the base table again — the reason a warehouse stores sketches
+    per partition and answers cross-partition distinct queries from
+    them."""
+    od = T(spark, sf_dir, "orders")
+
+    def hashed_keys(year: int):
+        return (
+            od.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+            .select("k", (F.expr(_HEX8.format(v="k")) + 1).alias("h"))
+            .localCheckpoint()
+        )
+
+    ha, hb = hashed_keys(1995), hashed_keys(1996)
+    sa = ha.select("h").orderBy("h").limit(_K).localCheckpoint()
+    sb = hb.select("h").orderBy("h").limit(_K).localCheckpoint()
+    su = (
+        sa.unionByName(sb).distinct().orderBy("h").limit(_K).localCheckpoint()
+    )
+    uk = su.agg(F.max("h").alias("h_k"))
+    n_both = (
+        su.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    exact = (
+        ha.select("k")
+        .unionByName(hb.select("k"))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("exact_union"))
+        .crossJoin(ha.agg(F.count("*").cast("bigint").alias("exact_a")))
+        .crossJoin(hb.agg(F.count("*").cast("bigint").alias("exact_b")))
+        .crossJoin(
+            ha.join(hb, "k", "left_semi")
+            .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+        )
+    )
+    est_union = (_K - 1.0) * 4294967296.0 / F.col("h_k")
+    return (
+        exact.crossJoin(F.broadcast(uk))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            F.round(est_union, 6).alias("kmv_union_est"),
+            "n_both",
+            F.round(
+                (F.col("n_both").cast("double") / float(_K)) * est_union, 6
+            ).alias("kmv_intersection_est"),
+        )
+    )

@@ -272,6 +272,18 @@ def test_substring_cut_pruned_no_cartesian(spark, sf_dir, registry):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_pagerank_message_passing_no_cartesian(spark, sf_dir, registry):
+    """PageRank rounds are edge⋈rank equi-joins aggregated on the
+    destination key — never a cartesian; the final plan consumes the
+    checkpointed edge/rank tables, not a re-run of the LSH signature
+    DAG."""
+    p = _plan(spark, registry["neardup_pagerank"].spark(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "explode(transform(sequence" not in p
+    assert "ExistingRDD" in p
+
+
 def test_substring_dedup_scan_pruned_and_no_cartesian(spark, sf_dir, registry):
     """exact_substring_dedup_spans reads only (doc_id, text) of the
     5-column documents table, and the dup-fingerprint join must be an

@@ -62,6 +62,8 @@ DRIVER_TABLE = {
     "hashed_linear_classifier_scores": "documents",
     "exact_substring_cut": "documents",
     "ann_filtered_lsh": "embeddings",
+    "neardup_pagerank": "documents",
+    "kmv_set_operations": "orders",
 }
 
 
