@@ -251,7 +251,15 @@ def kmv_set_operations(spark, sf_dir):
     merge (map-side partial TakeOrdered); union/intersection never
     touch the base table again — the reason a warehouse stores sketches
     per partition and answers cross-partition distinct queries from
-    them."""
+    them.
+
+    Small-set bound: if an input has fewer than k distinct keys its
+    sketch IS the exact hashed set and the (k-1)·2³²/h_k estimator is
+    biased — standard KMV behavior (real implementations switch to
+    exact counting below k). Both engines compute the identical biased
+    value, so parity is unaffected; every fixture SF has ≥ k distinct
+    keys per year (verified at sf0.001), and the exact counts ride
+    along either way."""
     od = T(spark, sf_dir, "orders")
 
     def hashed_keys(year: int):
