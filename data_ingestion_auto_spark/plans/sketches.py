@@ -311,3 +311,118 @@ def kmv_set_operations(spark, sf_dir):
             ).alias("kmv_intersection_est"),
         )
     )
+
+
+@query(
+    "hashed_sample_quantiles",
+    oracle=f"""
+WITH rowkey AS (
+  SELECT l_returnflag, l_extendedprice,
+         ({_HEX8.replace("AS STRING", "AS VARCHAR").format(v="CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")}) AS h
+  FROM lineitem
+),
+samp AS (
+  SELECT l_returnflag, l_extendedprice FROM rowkey WHERE h % 16 = 0
+),
+r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM samp
+),
+est AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS est_p50,
+         max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_extendedprice END) AS est_p90,
+         CAST(max(n) AS BIGINT) AS sample_n
+  FROM r GROUP BY l_returnflag
+),
+rx AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+exact AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS exact_p50,
+         max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_extendedprice END) AS exact_p90,
+         CAST(max(n) AS BIGINT) AS exact_n
+  FROM rx GROUP BY l_returnflag
+)
+SELECT e.l_returnflag, e.sample_n, x.exact_n,
+       e.est_p50, x.exact_p50, e.est_p90, x.exact_p90
+FROM est e JOIN exact x ON e.l_returnflag = x.l_returnflag
+ORDER BY e.l_returnflag
+""",
+    tags=("sketch", "quantile", "sampling", "approx"),
+)
+def hashed_sample_quantiles(spark, sf_dir):
+    """Quantile ESTIMATION graduated from rows-only to hash-checkable:
+    `order_value_deciles_binned` stays rows-only because
+    percentile_approx's sketch internals are engine-specific — this
+    query shows the deterministic alternative a distributed store
+    actually uses. A fixed md5 Bernoulli row-sample (h % 16 == 0 on the
+    (orderkey, linenumber) row key — the SAME rows in any engine, any
+    shard order, any merge tree: mergeable by construction) feeds an
+    exact rank-based quantile rule (rn == (n+1) div 2 for p50,
+    (9n+9) div 10 for p90 — integer arithmetic, no interpolation, so
+    both engines pick the identical element). Exact full-data quantiles
+    by the same rule ride along for self-grading, the KMV pattern.
+
+    At 100 TB: the sample predicate pushes into the scan's projection
+    (map-only), the per-group sample is ~n/16 rows through one shuffle,
+    and samples from different partitions union without bias — the
+    mergeability that engine-internal quantile sketches achieve with
+    far more machinery. The exact twin costs a full per-group sort and
+    exists here only as the oracle-side grading reference."""
+    li = T(spark, sf_dir, "lineitem")
+    hexpr = _HEX8.format(
+        v="concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))"
+    )
+    samp = li.select(
+        "l_returnflag", "l_extendedprice", F.expr(hexpr).alias("h")
+    ).filter(F.expr("h % 16 = 0"))
+
+    def rank_quantiles(df, p50, p90, n_name):
+        w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        wc = W.partitionBy("l_returnflag")
+        r = df.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        return r.groupBy("l_returnflag").agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("l_extendedprice"))
+            ).alias(p50),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("l_extendedprice")
+                )
+            ).alias(p90),
+            F.max("n").cast("bigint").alias(n_name),
+        )
+
+    est = rank_quantiles(
+        samp.select("l_returnflag", "l_extendedprice"), "est_p50", "est_p90", "sample_n"
+    )
+    exact = rank_quantiles(
+        li.select("l_returnflag", "l_extendedprice"), "exact_p50", "exact_p90", "exact_n"
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "sample_n",
+            "exact_n",
+            "est_p50",
+            "exact_p50",
+            "est_p90",
+            "exact_p90",
+        )
+        .orderBy("l_returnflag")
+    )

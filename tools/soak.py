@@ -64,6 +64,7 @@ DRIVER_TABLE = {
     "ann_filtered_lsh": "embeddings",
     "neardup_pagerank": "documents",
     "kmv_set_operations": "orders",
+    "hashed_sample_quantiles": "lineitem",
 }
 
 
