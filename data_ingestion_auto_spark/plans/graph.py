@@ -128,3 +128,93 @@ def neardup_pagerank(spark, sf_dir):
         .orderBy(F.desc("pagerank_micro"), "doc_id")
         .limit(_TOPN)
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+WITH {_SQL_LSH_PAIRS},
+assign AS (
+  SELECT doc_id,
+         CASE WHEN h < 13 THEN 'train' WHEN h < 14 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS h
+    FROM documents
+  )
+),
+straddle AS (
+  SELECT sa.split AS split_a, sb.split AS split_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs p
+  JOIN assign sa ON p.a = sa.doc_id
+  JOIN assign sb ON p.b = sb.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM assign GROUP BY 1)
+SELECT s.split_a, s.split_b, s.n_pairs,
+       za.n_docs AS n_docs_a, zb.n_docs AS n_docs_b,
+       (s.split_a <> s.split_b) AS is_leakage
+FROM straddle s
+JOIN sizes za ON s.split_a = za.split
+JOIN sizes zb ON s.split_b = zb.split
+ORDER BY s.split_a, s.split_b
+""",
+    tags=("dedup", "splits", "leakage", "llm", "audit"),
+)
+def split_leakage_audit(spark, sf_dir):
+    """Train/val/test split LEAKAGE audit — the eval-integrity check a
+    pipeline runs before shipping splits: assign every document a split
+    by a deterministic hash (second md5 nibble: 13/16 train, 1/16 val,
+    2/16 test — content-independent, so near-dups do NOT automatically
+    co-locate), then count near-dup candidate pairs by (split_a,
+    split_b). Off-diagonal rows ARE the leakage: a test document whose
+    near-duplicate sits in train inflates eval scores exactly like
+    benchmark contamination. The fix this audit motivates is
+    group-aware splitting (assign by the canonical id from
+    `neardup_canonical_keep` instead of the raw doc_id) — this query is
+    the measurement that makes that decision.
+
+    At 100 TB: split assignment is a map-only projection; the audit
+    joins the (dup-density-bounded) candidate pair set against it —
+    two hash joins and a tiny groupBy, no new scan of text."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4).localCheckpoint()
+    h = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1),
+        )
+        - 1
+    ).cast("bigint")
+    assign = docs.select(
+        "doc_id",
+        F.when(h < 13, "train").when(h < 14, "val").otherwise("test").alias("split"),
+    ).localCheckpoint()
+    sizes = assign.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    sa = assign.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    za = sizes.select(F.col("split").alias("split_a"), F.col("n_docs").alias("n_docs_a"))
+    zb = sizes.select(F.col("split").alias("split_b"), F.col("n_docs").alias("n_docs_b"))
+    return (
+        straddle.join(F.broadcast(za), "split_a")
+        .join(F.broadcast(zb), "split_b")
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -65,6 +65,7 @@ DRIVER_TABLE = {
     "neardup_pagerank": "documents",
     "kmv_set_operations": "orders",
     "hashed_sample_quantiles": "lineitem",
+    "split_leakage_audit": "documents",
 }
 
 
