@@ -437,24 +437,51 @@ def write_band_index(
 
     Hot-bucket cap applies at write time (same rank-and-cap as
     `lsh_candidates`, same argument: a bucket beyond ``max_bucket`` is
-    boilerplate, not near-duplication), so the stored index is bounded
-    per bucket by construction. ``mode='append'`` is the daily-ingest
-    call: append the accepted batch's banded rows; bucketing spec is
-    preserved across appends (Spark enforces it for saveAsTable).
+    boilerplate, not near-duplication), and it holds ACROSS appends by
+    induction: ``mode='overwrite'`` caps within the write;
+    ``mode='append'`` (the daily-ingest call) first measures each
+    bucket's remaining capacity ``max_bucket - n_existing`` from the
+    stored table and admits only that many incoming rows per bucket, so
+    a stored bucket never exceeds ``max_bucket`` no matter how many
+    daily batches land on it. Admission policy: earlier ingests win;
+    within one batch, smallest id wins (same ordering as the cap
+    itself). The bucketing spec is preserved across appends (Spark
+    enforces it for saveAsTable).
 
     At 100 TB: the index is shingle-band-sized, NOT pair-sized; writing
     it costs one shuffle into ``buckets`` files per partition, and every
     subsequent probe reads only the matching buckets with zero Exchange
-    on this side (pinned by tests/test_incremental_index.py).
+    on this side (pinned by tests/test_incremental_index.py). The
+    append-capacity count is a groupBy on exactly the bucket keys of an
+    already-bucketed table — one map-side-combined, Exchange-free scan
+    of (band, band_hash) pairs per ingest, no rewrite of stored files.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "band_hash").orderBy(id_col)
-    capped = (
-        banded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_bucket)
-        .select(id_col, "band", "band_hash")
-    )
+    ranked = banded.withColumn("rn", F.row_number().over(w))
+    spark = banded.sparkSession
+    if mode == "append" and spark.catalog.tableExists(table):
+        # Remaining per-bucket capacity from the stored table. Grouping
+        # keys == bucket keys, so this aggregation runs on the bucketed
+        # scan's own partitioning with no Exchange.
+        existing = (
+            spark.table(table)
+            .groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n_existing"))
+        )
+        capped = (
+            ranked.join(existing, ["band", "band_hash"], "left")
+            .filter(
+                F.col("rn")
+                <= max_bucket - F.coalesce(F.col("n_existing"), F.lit(0))
+            )
+            .select(id_col, "band", "band_hash")
+        )
+    else:
+        capped = ranked.filter(F.col("rn") <= max_bucket).select(
+            id_col, "band", "band_hash"
+        )
     writer = capped.write.format("parquet").mode(mode).bucketBy(
         buckets, "band", "band_hash"
     ).sortBy("band", "band_hash", id_col)
@@ -470,11 +497,13 @@ def probe_band_index(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Assign an arriving batch against the STORED band index: for each
-    batch document, the smallest partner id among (any indexed document)
-    ∪ (batch documents with smaller id) sharing a band bucket — or
-    itself if new-unique. Same assignment rule as the oracled
-    `incremental_lsh_dedup_assign` query; this variant reads the real
-    bucketed table.
+    batch document, the smallest partner id among (any indexed document
+    other than itself) ∪ (batch documents with smaller id) sharing a
+    band bucket — or itself if new-unique. Same assignment rule as the
+    oracled `incremental_lsh_dedup_assign` query; this variant reads
+    the real bucketed table, and the self-exclusion makes re-ingesting
+    an already-indexed batch idempotent (a doc never reports itself as
+    its own duplicate).
 
     Plan shape (machine-pinned): the probe side shuffles once into the
     index's bucket count; the index side is a bare bucketed scan with NO
@@ -492,7 +521,13 @@ def probe_band_index(
     batch = batch_banded.select(
         F.col(id_col).alias("n_id"), "band", "band_hash"
     ).localCheckpoint()
-    idx_cand = batch.join(idx, ["band", "band_hash"]).select("n_id", "o_id")
+    # o_id != n_id: on RE-ingest of an already-indexed batch a document
+    # finds its own index rows; self is never a duplicate partner.
+    idx_cand = (
+        batch.join(idx, ["band", "band_hash"])
+        .filter(F.col("o_id") != F.col("n_id"))
+        .select("n_id", "o_id")
+    )
     self_side = batch.select(
         F.col("n_id").alias("o_id"), "band", "band_hash"
     )

@@ -90,7 +90,10 @@ def suffix_rank_levels(positions: DataFrame) -> list[tuple[int, DataFrame]]:
     is full suffix order (what `suffix_order_ranks` returns); keeping
     the ladder enables the O(log L) LCP walk (`suffix_lcp`) without
     ever materializing a suffix."""
-    max_len = positions.agg(F.max("i")).collect()[0][0] + 1
+    max_i = positions.agg(F.max("i")).collect()[0][0]
+    if max_i is None:  # empty corpus: one level of zero rows, no ladder
+        return [(1, positions.select("doc_id", "i", F.lit(0).alias("r")))]
+    max_len = max_i + 1
     cur = (
         _dense_rank(positions.select("doc_id", "i", "tok"), ["tok"], "r")
         .select("doc_id", "i", "r")

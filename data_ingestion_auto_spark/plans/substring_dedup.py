@@ -244,8 +244,10 @@ def exact_substring_cut(spark, sf_dir):
     merge into maximal per-document islands; covered tokens are cut
     via a LEFT ANTI range join of the token explode against the
     (bounded, per-doc) island list; the surviving text reassembles in
-    token order. Every duplicated W-gram therefore survives exactly
-    once in the output corpus — the deduplicated training set a
+    token order. Every duplicated W-gram therefore survives AT MOST
+    once in the output corpus (a canonical occurrence can itself be
+    cut when it overlaps a different fingerprint's non-canonical
+    island in the same document) — the deduplicated training set a
     pipeline ships.
 
     At 100 TB: the only additions over `exact_substring_dedup_spans`

@@ -140,8 +140,116 @@ def test_append_mode_grows_index_and_keeps_bucketing(
     assert spark.table("t_band_idx_a").count() > n0
     p = _plan(D.probe_band_index(spark, batch, "t_band_idx_a"))
     assert "Bucketed: true" in p
-    # with the batch now indexed, every batch doc hits at least itself is
-    # NOT the rule (probe excludes nothing on the index side) — instead
-    # every doc must now be marked dup-of-(<= itself)
+    # appended rows are visible: batch docs now find batch partners via
+    # the index regardless of id order (self excluded — o_id != n_id),
+    # so the dup count is >= the corpus-only probe's and nothing is its
+    # own partner.
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_a0")
+    D.write_band_index(
+        corpus, "t_band_idx_a0", buckets=8, path=str(tmp_path / "idx_a0")
+    )
+    n_dup_corpus_only = (
+        D.probe_band_index(spark, batch, "t_band_idx_a0")
+        .filter(F.col("is_dup"))
+        .count()
+    )
     res = D.probe_band_index(spark, batch, "t_band_idx_a")
-    assert res.filter(F.col("dup_of") > F.col("doc_id")).count() == 0
+    assert res.filter(F.col("is_dup")).count() >= n_dup_corpus_only
+    assert (
+        res.filter((F.col("dup_of") == F.col("doc_id")) & F.col("is_dup")).count()
+        == 0
+    )
+
+
+def test_append_mode_enforces_cap_against_stored_contents(spark, tmp_path):
+    """ADVICE r8 #1 (medium): a hot (band, band_hash) bucket must stay
+    <= max_bucket across daily appends, not just within one write.
+    Build a synthetic hot bucket, write with max_bucket=5, append more
+    rows into the same bucket twice — the stored bucket never exceeds
+    the cap, and rows landing in un-full buckets are still admitted."""
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_cap")
+
+    def banded(ids, band=0, band_hash="hot"):
+        return spark.createDataFrame(
+            [(i, band, band_hash) for i in ids],
+            "doc_id long, band int, band_hash string",
+        )
+
+    # initial write: 8 rows into one bucket, cap 5 -> 5 stored
+    D.write_band_index(
+        banded(range(8)), "t_band_idx_cap", buckets=4, max_bucket=5,
+        path=str(tmp_path / "idx_cap"),
+    )
+    assert spark.table("t_band_idx_cap").count() == 5
+
+    # daily append #1: 6 more rows into the SAME bucket -> full, 0 admitted
+    D.write_band_index(
+        banded(range(100, 106)), "t_band_idx_cap", buckets=4, max_bucket=5,
+        mode="append", path=str(tmp_path / "idx_cap"),
+    )
+    assert spark.table("t_band_idx_cap").count() == 5
+
+    # daily append #2: a DIFFERENT bucket plus more hot rows — only the
+    # fresh bucket admits (capped within the batch), hot stays at 5
+    mixed = banded(range(200, 210)).unionByName(
+        banded(range(300, 308), band=1, band_hash="cold")
+    )
+    D.write_band_index(
+        mixed, "t_band_idx_cap", buckets=4, max_bucket=5,
+        mode="append", path=str(tmp_path / "idx_cap"),
+    )
+    per_bucket = {
+        (r.band, r.band_hash): r.n
+        for r in spark.table("t_band_idx_cap")
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_bucket == {(0, "hot"): 5, (1, "cold"): 5}
+    # earlier ingests win; within a batch smallest id wins
+    hot_ids = sorted(
+        r.doc_id
+        for r in spark.table("t_band_idx_cap").filter("band_hash = 'hot'").collect()
+    )
+    assert hot_ids == [0, 1, 2, 3, 4]
+
+
+def test_append_capacity_count_is_exchange_free(spark, tmp_path):
+    """The append-capacity aggregation groups on exactly the bucket
+    keys of the bucketed table — pin that it carries no Exchange."""
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_cf")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"h{i % 3}") for i in range(30)],
+        "doc_id long, band int, band_hash string",
+    )
+    D.write_band_index(
+        df, "t_band_idx_cf", buckets=4, path=str(tmp_path / "idx_cf")
+    )
+    counts = (
+        spark.table("t_band_idx_cf")
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_existing"))
+    )
+    assert "Exchange" not in _plan(counts)
+
+
+def test_reingest_never_self_matches(spark, banded_split, tmp_path):
+    """ADVICE r8 #3 (low): re-ingesting a batch that is already in the
+    index must not mark a doc as a duplicate OF ITSELF — the probe
+    excludes o_id == n_id, so dup_of == doc_id implies is_dup=false."""
+    corpus, batch = banded_split
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_ri")
+    D.write_band_index(
+        corpus, "t_band_idx_ri", buckets=8, path=str(tmp_path / "idx_ri")
+    )
+    D.write_band_index(
+        batch, "t_band_idx_ri", buckets=8, mode="append",
+        path=str(tmp_path / "idx_ri"),
+    )
+    res = D.probe_band_index(spark, batch, "t_band_idx_ri")
+    assert (
+        res.filter((F.col("dup_of") == F.col("doc_id")) & F.col("is_dup")).count()
+        == 0
+    )
+    # and a doc with a genuine earlier partner still reports it
+    assert res.filter(F.col("is_dup")).count() > 0

@@ -120,3 +120,16 @@ def test_lcp_walk_matches_direct_lcp(spark, corpus):
         assert got[(a, ai, b, bi)] == direct(a, ai, b, bi), (a, ai, b, bi)
     # the near-dup fixture must exercise a long-LCP pair
     assert max(got.values()) >= 15
+
+
+def test_empty_input_yields_one_empty_level(spark):
+    """ADVICE r8 (low): empty positions used to raise TypeError
+    (None + 1) at the max-length probe; now it returns a single empty
+    rank level and suffix_order_ranks returns an empty frame."""
+    from data_ingestion_auto_spark.operators.suffix import suffix_rank_levels
+
+    empty = spark.createDataFrame([], "doc_id long, i int, tok string")
+    levels = suffix_rank_levels(empty)
+    assert len(levels) == 1 and levels[0][0] == 1
+    assert levels[0][1].count() == 0
+    assert suffix_order_ranks(empty).count() == 0
