@@ -1,0 +1,40 @@
+"""Durable lineage cuts for DATA-SIZED iterative state (VERDICT r7 #3).
+
+``localCheckpoint()`` truncates lineage by caching the partitions on the
+executors that computed them — fast, but NON-fault-tolerant: on a real
+cluster a lost executor loses the only copy of its partitions and the
+job dies (the lineage that would recompute them was just cut). That is
+an acceptable trade for bounded-small state (seam rows, per-partition
+offsets, k centroids — driver-scale, recomputable in ms) but not for
+data-sized state inside an iterative algorithm, where the cut is load-
+bearing precisely because recomputation is what we can't afford.
+
+``ckpt`` therefore routes data-sized cuts through the session's RELIABLE
+checkpoint directory (DFS-backed, survives executor loss) whenever one
+is configured — production sessions call
+``spark.sparkContext.setCheckpointDir`` with cluster storage. A session
+without one (e.g. the driver-contract vanilla local session) falls back
+to ``localCheckpoint``, where single-JVM local mode makes executor loss
+a process death anyway, so nothing is lost by the fallback there.
+
+The third lineage-cut pattern in this engine — explicit parquet round-
+trips in the connected-components loop (operators/dedup.py) — stays as
+is: it was chosen over checkpointing for the measured stats-compounding
+reason documented there, and parquet on cluster storage is already
+fault-tolerant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ckpt(df: DataFrame) -> DataFrame:
+    """Cut lineage on DATA-SIZED state: reliable ``checkpoint()`` when
+    the session has a checkpoint dir, else ``localCheckpoint()`` (local
+    mode / driver-contract sessions). Eager either way — callers rely
+    on the cut happening before they mutate loop state."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()

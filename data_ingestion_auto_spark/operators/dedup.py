@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..checkpoints import ckpt
 
 
 def content_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -389,9 +390,9 @@ def connected_components(
                 # deleted; the final table is one (node, component) row
                 # per connected node — bounded, and its origin stats are
                 # a real parquet scan, so no estimate compounding.
-                result = labels.select(
+                result = ckpt(labels.select(
                     F.col("node"), F.col("label").alias("component")
-                ).localCheckpoint()
+                ))
                 return result
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds "
@@ -518,9 +519,9 @@ def probe_band_index(
     idx = spark.table(table).select(
         F.col(id_col).alias("o_id"), "band", "band_hash"
     )
-    batch = batch_banded.select(
+    batch = ckpt(batch_banded.select(
         F.col(id_col).alias("n_id"), "band", "band_hash"
-    ).localCheckpoint()
+    ))
     # o_id != n_id: on RE-ingest of an already-indexed batch a document
     # finds its own index rows; self is never a duplicate partner.
     idx_cand = (

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoints import ckpt
 
 _QUANT = "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
 _DIST2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
@@ -83,7 +84,7 @@ def kmeans_lite(
     # truncation also keeps the per-iteration plan flat. On a real
     # cluster use a reliable checkpoint() dir so executor loss can't
     # drop blocks mid-iteration.
-    vectors = quantize(emb, id_col, vec_col).localCheckpoint()
+    vectors = ckpt(quantize(emb, id_col, vec_col))
     init = (
         vectors.orderBy(id_col)
         .limit(k)
@@ -201,7 +202,7 @@ def kmeans_grouped(
             "group_id", (F.col("rn") - 1).cast("int").alias("fine_id"),
             F.col("qvec").alias("cvec"),
         )
-        .localCheckpoint()
+        .transform(ckpt)
     )
     for _ in range(iters):
         assigned = _assign_grouped(vectors, centroids, id_col)
@@ -218,7 +219,7 @@ def kmeans_grouped(
                     "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
                 ).alias("cvec")
             )
-            .localCheckpoint()
+            .transform(ckpt)
         )
     return _assign_grouped(vectors, centroids, id_col), centroids
 
@@ -244,9 +245,9 @@ def kmeans_hierarchical(
     k1 = max(2, int(math.isqrt(k)))
     k2 = max(2, math.ceil(k / k1))
     coarse, _ = kmeans_lite(emb, k=k1, iters=iters, id_col=id_col, vec_col=vec_col)
-    grouped = coarse.select(
+    grouped = ckpt(coarse.select(
         id_col, F.col("cluster_id").alias("group_id"), "qvec"
-    ).localCheckpoint()
+    ))
     fine, _ = kmeans_grouped(grouped, k_per_group=k2, iters=iters, id_col=id_col)
     return fine.select(
         id_col,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .helpers import T
+from ..checkpoints import ckpt
 from .registry import query
 
 _MIN_SUPPORT = 20
@@ -88,7 +89,7 @@ def collocation_pmi_topk(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("c"))
         # vocab-sized, referenced three times (left join, right join,
         # n_tok total) — checkpoint so the corpus scans once for it.
-        .localCheckpoint()
+        .transform(ckpt)
     )
     big = (
         docs.select(F.split("text", " ").alias("s"))
@@ -97,7 +98,7 @@ def collocation_pmi_topk(spark, sf_dir):
         .groupBy("l", "r")
         .agg(F.count("*").cast("bigint").alias("c_ab"))
         # bigram-type-sized, referenced twice (rows + n_pairs total).
-        .localCheckpoint()
+        .transform(ckpt)
     )
     tot = F.broadcast(
         uni.agg(F.sum("c").alias("n_tok")).crossJoin(

@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..checkpoints import ckpt
 from .helpers import T
 from .registry import query
 
@@ -477,7 +478,7 @@ def neardup_levenshtein_confirm(spark, sf_dir):
         raw.withColumn("vrk", F.row_number().over(wv))
         .filter(F.col("vrk") <= 20)
         .drop("vrk")
-        .localCheckpoint()
+        .transform(ckpt)  # docs x 20 rows: data-sized -> durable cut
     )
     da = docs.select(F.col("doc_id").alias("a"), F.substring("text", 1, 200).alias("ta"))
     db = docs.select(F.col("doc_id").alias("b"), F.substring("text", 1, 200).alias("tb"))
@@ -561,7 +562,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     is the cheap scoring pass that decides which candidates deserve the
     exact verifier."""
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16).localCheckpoint()
+    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
     pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
     sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)])
     sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)])
@@ -626,8 +627,8 @@ def neardup_triangles(spark, sf_dir):
     subtree is computed once from a checkpointed signature and reused
     via localCheckpoint for the three-way self-join."""
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16).localCheckpoint()
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4).localCheckpoint()
+    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
+    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
     e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))

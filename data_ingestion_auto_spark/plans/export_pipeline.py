@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .helpers import T
+from ..checkpoints import ckpt
 from .registry import query
 from .training_export import _BENCH_MOD, _BIN_TOKENS, _N_SHARDS, _NGRAM
 
@@ -102,7 +103,8 @@ def training_export_pipeline(spark, sf_dir):
         .select("doc_id", "lang", "tokens")
         # id/lang/tokens only — referenced by the n-gram semi-join and
         # the packing stage; the corpus text never shuffles.
-        .localCheckpoint()
+        # Data-sized -> durable cut (checkpoints.ckpt).
+        .transform(ckpt)
     )
     ws = docs.select("doc_id", F.split("text", " ").alias("w"))
     ng_expr = (

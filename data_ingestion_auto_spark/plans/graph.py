@@ -34,6 +34,7 @@ from ..operators import dedup as D
 from .dedup import _SQL_SHINGLES
 from .helpers import T
 from .registry import query
+from ..checkpoints import ckpt
 
 _ROUNDS = 3
 _TOPN = 50
@@ -100,13 +101,12 @@ def neardup_pagerank(spark, sf_dir):
     oracle-checkable (see module docstring)."""
     docs = T(spark, sf_dir, "documents")
     sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4).localCheckpoint()
-    edges = (
+    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    edges = ckpt(
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
     )
-    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("deg")).localCheckpoint()
+    deg = ckpt(edges.groupBy("u").agg(F.count("*").cast("bigint").alias("deg")))
     pr = deg.select("u", F.lit(1000000).cast("bigint").alias("pr"))
     for _ in range(_ROUNDS):
         contrib = (
@@ -114,13 +114,12 @@ def neardup_pagerank(spark, sf_dir):
             .join(deg, "u")
             .select("v", F.expr("pr div deg").alias("c"))
         )
-        pr = (
+        pr = ckpt(
             contrib.groupBy("v")
             .agg(
                 F.expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").alias("pr")
             )
             .select(F.col("v").alias("u"), "pr")
-            .localCheckpoint()
         )
     return (
         pr.join(deg, "u")
@@ -180,7 +179,7 @@ def split_leakage_audit(spark, sf_dir):
     two hash joins and a tiny groupBy, no new scan of text."""
     docs = T(spark, sf_dir, "documents")
     sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4).localCheckpoint()
+    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
     h = (
         F.instr(
             F.lit("0123456789abcdef"),
@@ -191,7 +190,8 @@ def split_leakage_audit(spark, sf_dir):
     assign = docs.select(
         "doc_id",
         F.when(h < 13, "train").when(h < 14, "val").otherwise("test").alias("split"),
-    ).localCheckpoint()
+    )
+    assign = ckpt(assign)
     sizes = assign.groupBy("split").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )

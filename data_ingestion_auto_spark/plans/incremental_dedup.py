@@ -39,6 +39,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..checkpoints import ckpt
 from .dedup import _SQL_SHINGLES
 from .helpers import T
 from .registry import query
@@ -105,7 +106,7 @@ def incremental_lsh_dedup_assign(spark, sf_dir):
         banded.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MAX_BUCKET)
         .select("doc_id", "band", "band_hash", is_new.alias("is_new"))
-        .localCheckpoint()
+        .transform(ckpt)  # corpus-linear index rows -> durable cut
     )
     n = capped.filter("is_new").select(
         F.col("doc_id").alias("n_id"), "band", "band_hash"

@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .helpers import T
+from ..checkpoints import ckpt
 from .registry import query
 
 _K = 64
@@ -168,8 +169,8 @@ def countmin_heavy_hitters(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("exact_cnt"))
         # vocab-sized; checkpointed because the hashes subtree feeds both
         # the cell aggregation and the probe join — without this the
-        # corpus token-explode would scan twice.
-        .localCheckpoint()
+        # corpus token-explode would scan twice. Vocab-sized -> durable.
+        .transform(ckpt)
     )
     hashes = tok.select(
         "token", "exact_cnt", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")

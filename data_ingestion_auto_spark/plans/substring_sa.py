@@ -40,11 +40,15 @@ SORTED DIRECTLY:
    (the same gaps-and-islands machinery as the fixed-window variant),
    giving the tokens ExactSubstr-cut would remove.
 
-Unbounded documents would swap step 2's direct suffix sort for
+Unbounded documents swap step 2's direct suffix sort for
 prefix-doubling (Manber–Myers: log(len) rounds of rank-pair
 re-ranking, each a sort/join carrying integer ranks only) — same
-adjacency interface, no suffix materialization; not needed while the
-corpus contract bounds document length.
+adjacency interface, no suffix materialization. That variant is
+REGISTERED here too (`suffix_repeat_spans_unbounded`, built on
+operators/suffix.py) and shares this oracle; the direct sort stays the
+default while the corpus contract bounds document length (fewer
+passes), the prefix-doubling plan is the one that survives book-length
+documents.
 
 The DuckDB oracle replays the construction in its naive global form
 (one window over ORDER BY suffix — the logical spec of step 2, not its
@@ -68,6 +72,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoints import ckpt
 from .helpers import T
 from .registry import query
 
@@ -94,9 +99,10 @@ _LCP_SQL = (
 )
 
 
-@query(
-    "suffix_repeat_spans",
-    oracle=f"""
+# Shared oracle: the logical spec (one global ORDER BY suffix window +
+# LCP/island arithmetic) is construction-independent — the direct-sort
+# and prefix-doubling variants must both reproduce it bit-exactly.
+_SA_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -156,7 +162,12 @@ FROM per
 JOIN cov ON per.doc_id = cov.doc_id
 JOIN toks t ON per.doc_id = t.doc_id
 ORDER BY per.doc_id
-""",
+"""
+
+
+@query(
+    "suffix_repeat_spans",
+    oracle=_SA_ORACLE,
     tags=("llm-dedup", "exact-substring", "suffix-array", "lee-2022"),
 )
 def suffix_repeat_spans(spark, sf_dir):
@@ -193,14 +204,18 @@ def suffix_repeat_spans(spark, sf_dir):
     # lag/lead double as the partition-edge markers (NULL neighbor ⇔
     # first/last row of the pid) — no row_number/count windows needed,
     # so the one ordered window pass is the only window over the data.
-    s2 = s.select(
-        "doc_id",
-        "i",
-        "suf",
-        "pid",
-        F.lag("suf").over(wo).alias("prev_suf"),
-        F.lead("suf").over(wo).alias("next_suf"),
-    ).localCheckpoint()  # feeds the main scan AND the two boundary scans
+    s2 = ckpt(
+        s.select(
+            "doc_id",
+            "i",
+            "suf",
+            "pid",
+            F.lag("suf").over(wo).alias("prev_suf"),
+            F.lead("suf").over(wo).alias("next_suf"),
+        )
+    )  # data-sized (full suffix adjacency): durable cut — feeds the
+    # main scan AND the two boundary scans; bnd below stays
+    # localCheckpoint (≤ _P_SA seam rows, driver-scale)
     firsts = s2.filter(F.col("prev_suf").isNull()).select(
         "pid", F.col("suf").alias("fsuf")
     )
@@ -237,8 +252,15 @@ def suffix_repeat_spans(spark, sf_dir):
         .filter(F.col("rep_len") >= _T)
         .withColumn("j", F.col("i") + F.col("rep_len") - 1)
     )
-    # ---- gaps-and-islands merge, per document (same machinery as the
-    # fixed-window variant in substring_dedup.py)
+    return _island_accounting(reps, toks)
+
+
+def _island_accounting(reps, toks):
+    """Shared tail of both suffix-array variants: merge repeat starts
+    (doc_id, i, j, rep_len) into maximal per-document islands
+    (gaps-and-islands, same machinery as the fixed-window variant in
+    substring_dedup.py) and emit the per-document accounting row. All
+    windows here partition by doc_id — per-document, never global."""
     wdoc = W.partitionBy("doc_id").orderBy("i")
     prevmax = F.max("j").over(wdoc.rowsBetween(W.unboundedPreceding, -1))
     grouped = reps.withColumn(
@@ -270,3 +292,98 @@ def suffix_repeat_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "suffix_repeat_spans_unbounded",
+    oracle=_SA_ORACLE,
+    tags=("llm-dedup", "exact-substring", "suffix-array", "prefix-doubling",
+          "lee-2022"),
+)
+def suffix_repeat_spans_unbounded(spark, sf_dir):
+    """Same output as `suffix_repeat_spans`, built WITHOUT the
+    ≤ seq_len document contract: the prefix-doubling construction
+    (operators/suffix.py) never materializes a suffix, so per-position
+    state is a constant number of integers whatever the document
+    length.
+
+    Construction: (1) rank all token positions of eligible documents by
+    full suffix order via Manber–Myers prefix doubling with a base span
+    of 8 (`suffix_rank_levels(docs=…, base_span=8)` — the base level
+    dense-ranks 8-token array slices in ONE pass, then
+    log2(max_len/8) doubling rounds of integer pairs, every other one
+    a free arithmetic combine); (2) restrict to
+    repeat-eligible starts (i ≤ len − T, matching the oracle's suffix
+    set) and assign each a global suffix-array position
+    (`sa_positions` — range-partitioned parallel ranking + broadcast
+    offsets; NO global window, NO seam fix-up: adjacency is a plain
+    self equi-join on pos = pos − 1); (3) LCP of each adjacent pair via
+    the O(log max_len) rank-level walk (`suffix_lcp` — two integer
+    equi-joins per level over the PAIR set, one lazy plan, plus one
+    ≤8-token direct compare settling the base-span residue); each
+    pair's LCP feeds BOTH members, so
+    rep_len(p) = max(LCP(prev), LCP(next)) exactly as in the direct
+    variant; (4) the shared gaps-and-islands accounting tail.
+
+    At 100 TB with UNBOUNDED documents: the direct variant's suffix
+    explode is Θ(Σ len²) bytes and dies on a book-length document; this
+    plan moves Θ(Σ len · log max_len) integers and nothing else — the
+    escape hatch the module docstring promises. Ladder state cuts
+    lineage through the durable checkpoint dir when configured
+    (checkpoints.ckpt).
+
+    Equivalence with `suffix_repeat_spans` on the bounded fixture is
+    pinned by tests/test_suffix_ranks.py; both share the DuckDB oracle
+    (the construction-independent logical spec)."""
+    from ..operators.suffix import (
+        _adaptive_np,
+        sa_positions,
+        suffix_lcp,
+        suffix_rank_levels,
+    )
+
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n_tokens", F.size("w"))
+    )
+    elig = toks.filter(F.col("n_tokens") >= _T)
+    # explicit repartition before the in-operator explode (same
+    # AQE-coalesce gotcha as the direct variant)
+    docs = elig.repartition(_P_SA, "doc_id").select("doc_id", "w")
+    levels = suffix_rank_levels(docs=docs, base_span=8)
+    ranks = levels[-1][1]
+    lengths = elig.select("doc_id", "n_tokens")
+    starts = (
+        ranks.join(lengths, "doc_id")
+        .filter(F.col("i") <= F.col("n_tokens") - _T)
+        .select("doc_id", "i", "r")
+    )
+    # starts count from the doc-level lengths (cheap agg) sizes the
+    # SA-position sort the same adaptive way as the ladder
+    n_starts = lengths.agg(
+        F.sum(F.col("n_tokens") - F.lit(_T) + 1)
+    ).collect()[0][0]
+    sa = sa_positions(starts, np=_adaptive_np(n_starts or 0))
+    a = sa.select(
+        F.col("doc_id").alias("a_doc"), F.col("i").alias("a_i"), "pos"
+    )
+    b = sa.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("i").alias("b_i"),
+        (F.col("pos") + 1).alias("pos"),
+    )
+    pairs = a.join(b, "pos").drop("pos")
+    lp = suffix_lcp(pairs, levels, lengths, docs=docs)
+    contrib = lp.select(
+        F.col("a_doc").alias("doc_id"), F.col("a_i").alias("i"), "lcp"
+    ).unionByName(
+        lp.select(F.col("b_doc").alias("doc_id"), F.col("b_i").alias("i"), "lcp")
+    )
+    reps = (
+        contrib.groupBy("doc_id", "i")
+        .agg(F.max("lcp").alias("rep_len"))
+        .filter(F.col("rep_len") >= _T)
+        .withColumn("j", F.col("i") + F.col("rep_len") - 1)
+    )
+    return _island_accounting(reps, toks)

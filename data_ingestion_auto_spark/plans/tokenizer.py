@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .helpers import T
+from ..checkpoints import ckpt
 from .registry import query
 
 _R = 6  # merge rounds learned (fixed so the oracle can unroll)
@@ -138,7 +139,8 @@ def bpe_merge_steps(spark, sf_dir):
             ).alias("sym"),
             "cnt",
         )
-        .localCheckpoint()
+        # vocab-sized (Heap's law: huge on a web corpus) -> durable cut
+        .transform(ckpt)
     )
     merges = []
     for r in range(1, _R + 1):
@@ -160,7 +162,7 @@ def bpe_merge_steps(spark, sf_dir):
             )
         )
         if r < _R:
-            words = _merge_apply(words, best).localCheckpoint()
+            words = ckpt(_merge_apply(words, best))
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)

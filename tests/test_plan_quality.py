@@ -249,6 +249,29 @@ def test_suffix_repeat_spans_pruned_no_cartesian_no_global_window(
             assert "doc_id" in line, line
 
 
+def test_suffix_unbounded_pruned_no_cartesian_no_global_window(
+    spark, sf_dir, registry
+):
+    """The prefix-doubling (unbounded-document) suffix-array variant:
+    scans pruned to (doc_id, text); every join hash/broadcast (the LCP
+    walk and SA adjacency are integer equi-joins — a cartesian would be
+    corpus²); the rank ladders feed in as checkpointed frames
+    (ExistingRDD), so the only windows left in the final plan are the
+    per-_pid parallel rankings / ≤ np-row broadcast-offset scans of
+    `_dense_rank` and the per-doc island merges — NO data-sized global
+    window anywhere (the whole point of replacing the direct sort)."""
+    df = registry["suffix_repeat_spans_unbounded"].spark(spark, sf_dir)
+    p = _plan(spark, df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ExistingRDD" in p
+    simple = _plan(spark, df, "simple")
+    for line in simple.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "_pid" in line or "doc_id" in line, line
+
+
 def test_classifier_weights_broadcast_and_pruned(spark, sf_dir, registry):
     """Model-as-data inference: the weights table must BROADCAST into
     the feature join (a shuffle here would move corpus-sized features

@@ -133,3 +133,82 @@ def test_empty_input_yields_one_empty_level(spark):
     assert len(levels) == 1 and levels[0][0] == 1
     assert levels[0][1].count() == 0
     assert suffix_order_ranks(empty).count() == 0
+
+
+def test_base_span_ladder_matches_base1(spark, corpus):
+    """The base-span-8 ladder (array-slice base + alternating arithmetic
+    combine) must induce the SAME final suffix order and tie classes as
+    the base-1 per-token ladder."""
+    from collections import defaultdict
+
+    from data_ingestion_auto_spark.operators.suffix import suffix_rank_levels
+
+    positions = corpus.select("doc_id", F.posexplode("w").alias("i", "tok"))
+    r1 = {(r.doc_id, r.i): r.r for r in suffix_order_ranks(positions).collect()}
+    r8 = {
+        (r.doc_id, r.i): r.r
+        for r in suffix_rank_levels(docs=corpus, base_span=8)[-1][1].collect()
+    }
+    assert set(r1) == set(r8)
+    ks = sorted(r1)
+    assert sorted(ks, key=lambda k: (r1[k], k)) == sorted(
+        ks, key=lambda k: (r8[k], k)
+    )
+    t1, t8 = defaultdict(set), defaultdict(set)
+    for k in ks:
+        t1[r1[k]].add(k)
+        t8[r8[k]].add(k)
+    assert sorted(t1.values(), key=lambda s: min(s)) == sorted(
+        t8.values(), key=lambda s: min(s)
+    )
+
+
+def test_lcp_walk_base_span_matches_direct(spark, corpus):
+    """suffix_lcp over the base-8 ladder (descent stops at span 8, the
+    residue settled by the ≤8-token tail compare) must equal direct
+    token LCP — including same-doc pairs and the overshoot clamp."""
+    from data_ingestion_auto_spark.operators.suffix import (
+        suffix_lcp,
+        suffix_rank_levels,
+    )
+
+    rows = corpus.collect()
+    docs = {r.doc_id: r.w for r in rows}
+    ids = sorted(docs)
+    pair_rows = []
+    for a, b in zip(ids, ids[1:]):
+        for ai, bi in ((0, 0), (1, 0), (0, 2), (3, 3), (5, 9)):
+            if ai < len(docs[a]) and bi < len(docs[b]):
+                pair_rows.append((a, ai, b, bi))
+    # same-doc pairs too (adjacency pairs in the real query include them)
+    for d, w in docs.items():
+        if len(w) > 12:
+            pair_rows += [(d, 0, d, 1), (d, 2, d, 7)]
+    by_prefix: dict[tuple, list[int]] = {}
+    for d, w in docs.items():
+        if len(w) >= 15:
+            by_prefix.setdefault(tuple(w[:15]), []).append(d)
+    for group in by_prefix.values():
+        if len(group) > 1:
+            a, b = sorted(group)[:2]
+            pair_rows += [(a, 0, b, 0), (a, 2, b, 2), (a, 0, b, 1), (a, 9, b, 9)]
+    pairs = spark.createDataFrame(
+        pair_rows, "a_doc long, a_i int, b_doc long, b_i int"
+    )
+    lengths = corpus.select("doc_id", F.size("w").alias("n_tokens"))
+    levels = suffix_rank_levels(docs=corpus, base_span=8)
+    got = {
+        (r.a_doc, r.a_i, r.b_doc, r.b_i): r.lcp
+        for r in suffix_lcp(pairs, levels, lengths, docs=corpus).collect()
+    }
+
+    def direct(a, ai, b, bi):
+        n = 0
+        for u, v in zip(docs[a][ai:], docs[b][bi:]):
+            if u != v:
+                break
+            n += 1
+        return n
+
+    for a, ai, b, bi in pair_rows:
+        assert got[(a, ai, b, bi)] == direct(a, ai, b, bi), (a, ai, b, bi)

@@ -57,6 +57,8 @@ DRIVER_TABLE = {
     "training_export_pipeline": "documents",
     # round-7 skew-soak additions
     "suffix_repeat_spans": "documents",
+    # round-9: unbounded-document prefix-doubling variant
+    "suffix_repeat_spans_unbounded": "documents",
     "source_capped_sample": "documents",
     "unimax_epoch_mixture": "documents",
     "hashed_linear_classifier_scores": "documents",
