@@ -175,6 +175,7 @@ def lsh_candidates(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
+    count_bands: bool = False,
 ) -> DataFrame:
     """Band the wide signature and emit candidate pairs sharing any band
     bucket. band_hash = md5 of the band's minhashes in perm order —
@@ -190,6 +191,15 @@ def lsh_candidates(
     array and the pair expansion are bounded by construction; a bucket that
     big is boilerplate, not near-duplication, so dropping its tail loses no
     real signal. Overflow is observable via ``lsh_bucket_stats``.
+
+    ``count_bands=True`` returns (a, b, n_bands) where n_bands is the
+    number of bands the pair collides in (1..bands) — signature
+    agreement, the cheap confidence score downstream budget caps rank
+    by (round-9: ranking a verify budget by n_bands instead of
+    smallest-id raised confirmed-pair recall 0.77 -> 0.85 at identical
+    work on the zipf-10x fixture; see SCALE.md). Same shuffle as the
+    default distinct — a pair appears exactly once per shared band, so
+    the groupBy count IS the band-agreement count.
     """
     banded = band_signature(sig, id_col, bands, rows_per_band)
     # Pairs via per-bucket array combinations, NOT a self-join: a self-join
@@ -217,6 +227,10 @@ def lsh_candidates(
             )
         ).alias("p")
     ).select("p.a", "p.b")
+    if count_bands:
+        return pairs.groupBy("a", "b").agg(
+            F.count("*").cast("int").alias("n_bands")
+        )
     return pairs.distinct()
 
 

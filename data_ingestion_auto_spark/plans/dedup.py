@@ -409,13 +409,15 @@ capped AS (
   ) WHERE rn <= 1000
 ),
 pairs AS (
-  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  SELECT b1.doc_id AS a, b2.doc_id AS b, count(*) AS n_bands
   FROM capped b1 JOIN capped b2
     ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+  GROUP BY 1, 2
 ),
 vcap AS (
   SELECT a, b FROM (
-    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS vrk FROM pairs
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY n_bands DESC, b) AS vrk
+    FROM pairs
   ) WHERE vrk <= 20
 ),
 confirmed AS (
@@ -462,22 +464,26 @@ def neardup_levenshtein_confirm(spark, sf_dir):
     that the confirm plan contains no shingle-explode subtree."""
     docs = T(spark, sf_dir, "documents")
     sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    raw = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    raw = D.lsh_candidates(sig, bands=4, rows_per_band=4, count_bands=True)
     # Per-doc verify budget (round-7 Zipf skew soak): under genuinely
     # skewed shingle keys the candidate set inflated 111× for 10× docs
     # (5,845 → 647,772 pairs) and the verify rung went super-linear
     # (per-10× 2.58) even with the banded DP — the cost is pair-COUNT-
     # bound, not per-pair-bound. Each document therefore verifies only
-    # its 20 smallest-id partners: total verify work is ≤ docs × 20 for
-    # ANY key distribution, and the smallest-id ordering is exactly what
-    # canonical assignment consumes (the smallest confirmed partner).
+    # a budget of 20 partners, RANKED BY SIGNATURE AGREEMENT (shared-
+    # band count desc, then smallest id): total verify work is
+    # ≤ docs × 20 for ANY key distribution. Round-9 recall measurement
+    # on the zipf-10× fixture (SCALE.md): smallest-id ranking kept
+    # 2,786 of 3,626 true confirmed pairs (recall 0.77 — hot buckets
+    # spray low-id spurious candidates that evict true near-dups);
+    # band-count ranking keeps 3,080 (recall 0.85) at IDENTICAL work.
     # Measured: 326k capped pairs at zipf-10×, per-10× back under the
-    # gate. The oracle replays the cap (vcap CTE).
-    wv = W.partitionBy("a").orderBy("b")
+    # gate. The oracle replays the cap and its ranking (vcap CTE).
+    wv = W.partitionBy("a").orderBy(F.desc("n_bands"), "b")
     pairs = (
         raw.withColumn("vrk", F.row_number().over(wv))
         .filter(F.col("vrk") <= 20)
-        .drop("vrk")
+        .drop("vrk", "n_bands")
         .transform(ckpt)  # docs x 20 rows: data-sized -> durable cut
     )
     da = docs.select(F.col("doc_id").alias("a"), F.substring("text", 1, 200).alias("ta"))
