@@ -172,18 +172,37 @@ def _correctness_rows() -> dict[str, dict]:
 
 
 def build_ledger() -> dict[str, dict]:
-    """Stamp each driver-checked query with its CURRENT fingerprint.
+    """Stamp driver-checked queries with the fingerprint of the code
+    their gate actually ran.
 
-    Only valid when the working tree equals the snapshot the gate ran
-    against (round start, pre-edit) — tools/fingerprints enforces the
-    workflow by being the only writer.
+    The working tree equals the snapshot of the NEWEST gate round only
+    (that is the precondition both writers enforce), so CURRENT
+    fingerprints are stamped for that round's rows alone. A row whose
+    last check is an OLDER round keeps the fingerprint its own stamp
+    recorded back then (carried forward from the committed ledger):
+    stamping it with today's fingerprint would claim the old gate
+    verified code it never ran, and would erase rotation's "changed"
+    signal for queries edited since (round-8 ADVICE, medium — the r8
+    autostamp did exactly that and the gate then sampled the 50 stalest
+    queries instead of the 27 helper-touched ones). An older row with
+    no previously stamped fingerprint gets ``None`` — never equal to a
+    current fingerprint, so it stays in the "changed" rotation class
+    until a gate re-checks it.
     """
     fps = current_fingerprints()
+    prev = load_ledger()
+    rows = _correctness_rows()
+    newest = max((r["round"] for r in rows.values()), default=0)
     ledger = {}
-    for name, row in _correctness_rows().items():
+    for name, row in rows.items():
         if name not in fps:  # query was renamed/removed since that round
             continue
-        ledger[name] = {"fingerprint": fps[name], "round": row["round"], "mode": row["mode"]}
+        if row["round"] == newest:
+            fp = fps[name]
+        else:
+            old = prev.get(name)
+            fp = old.get("fingerprint") if isinstance(old, dict) else None
+        ledger[name] = {"fingerprint": fp, "round": row["round"], "mode": row["mode"]}
     return ledger
 
 

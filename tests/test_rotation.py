@@ -174,3 +174,43 @@ def test_fingerprint_closure_reaches_transitive_helpers():
         assert "data_ingestion_auto_spark.sources.tables" in rotation._import_closure(
             mod
         ), mod
+
+
+def test_ledger_carries_old_fingerprints_for_stale_rounds(monkeypatch):
+    """Round-9 (ADVICE r8, medium): build_ledger must stamp CURRENT
+    fingerprints only for rows of the NEWEST gate round (the one whose
+    snapshot equals the tree). A query last checked in an older round
+    keeps the fingerprint its own stamp recorded — so a helper-touched
+    query survives an autostamp still classified "changed" and the next
+    gate samples it before merely-stale green queries."""
+    monkeypatch.setattr(
+        rotation,
+        "_correctness_rows",
+        lambda: {
+            "fresh": {"round": 9, "mode": "hash"},
+            "stale_edited": {"round": 7, "mode": "hash"},
+            "stale_unstamped": {"round": 6, "mode": "hash"},
+        },
+    )
+    fps = {"fresh": "fA", "stale_edited": "fB_new", "stale_unstamped": "fC"}
+    monkeypatch.setattr(rotation, "current_fingerprints", lambda: fps)
+    monkeypatch.setattr(
+        rotation,
+        "load_ledger",
+        lambda: {
+            "fresh": {"fingerprint": "fA_old", "round": 8, "mode": "hash"},
+            "stale_edited": {"fingerprint": "fB_r7", "round": 7, "mode": "hash"},
+            # stale_unstamped: no prior ledger row at all
+        },
+    )
+    ledger = rotation.build_ledger()
+    # newest-round row: stamped with the CURRENT fingerprint
+    assert ledger["fresh"]["fingerprint"] == "fA"
+    # older round, edited since its stamp: keeps the round-7 fingerprint,
+    # NOT today's — it must stay visibly "changed"
+    assert ledger["stale_edited"]["fingerprint"] == "fB_r7"
+    # older round, never stamped: None, never equal to any current fp
+    assert ledger["stale_unstamped"]["fingerprint"] is None
+    # rotation consequence: both stale rows outrank the fresh green row
+    order = sorted(fps, key=lambda n: rotation.sort_key(n, ledger, fps))
+    assert order == ["stale_unstamped", "stale_edited", "fresh"]
