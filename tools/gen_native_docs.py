@@ -108,8 +108,28 @@ def gen_documents(
     )
 
 
-def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
-    m = rng.standard_normal((n_vecs, DIM)).astype(np.float32)
+def gen_embeddings(
+    n_vecs: int, rng: np.random.Generator, zipf: bool = False
+) -> pa.Table:
+    if zipf:
+        # Skewed CLUSTER-SIZE distribution (round-8 verdict #7): a
+        # 16-component Gaussian mixture with Zipf(1) weights — the head
+        # component holds ~30% of all vectors (1/H_16 = 0.296), the tail
+        # components a couple percent each — so k-means / IVF assignment
+        # sees one genuinely hot cluster. Unit-norm centers, sigma 0.25
+        # within-cluster noise, L2-normalized output (same embedding
+        # contract as the uniform mode).
+        k = 16
+        w = 1.0 / np.arange(1, k + 1)
+        w /= w.sum()
+        centers = rng.standard_normal((k, DIM)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        comp = rng.choice(k, size=n_vecs, p=w)
+        m = centers[comp] + 0.25 * rng.standard_normal((n_vecs, DIM)).astype(
+            np.float32
+        )
+    else:
+        m = rng.standard_normal((n_vecs, DIM)).astype(np.float32)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     return pa.table(
         {
@@ -140,7 +160,9 @@ def main() -> None:
     edir = os.path.join(out_dir, "embeddings.parquet")
     shutil.rmtree(edir, ignore_errors=True)
     os.makedirs(edir, exist_ok=True)
-    pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(edir, "part-0.parquet"))
+    pq.write_table(
+        gen_embeddings(n_vecs, rng, zipf=zipf), os.path.join(edir, "part-0.parquet")
+    )
     print(f"wrote {n_docs} docs + {n_vecs} vecs to {out_dir}")
 
 

@@ -59,6 +59,12 @@ DRIVER_TABLE = {
     "suffix_repeat_spans": "documents",
     # round-9: unbounded-document prefix-doubling variant
     "suffix_repeat_spans_unbounded": "documents",
+    # round-9: embedding tier under skewed cluster sizes (zipf --zipf
+    # fixtures now draw embeddings from a Zipf-weighted mixture: head
+    # cluster ~30% of vectors)
+    "semdedup_clusters": "embeddings",
+    "hierarchical_kmeans_assign": "embeddings",
+    "ivfpq_adc_topk": "embeddings",
     "source_capped_sample": "documents",
     "unimax_epoch_mixture": "documents",
     "hashed_linear_classifier_scores": "documents",
