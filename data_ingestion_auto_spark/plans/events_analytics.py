@@ -139,27 +139,87 @@ def order_value_deciles(spark, sf_dir):
 
 @query(
     "order_value_deciles_binned",
-    oracle=None,  # approximate bin edges: rows-only; pytest cross-checks vs the exact ntile
-    tags=("analytics", "approx", "profile", "scale-tier"),
+    oracle="""
+WITH samp AS (
+  SELECT o_totalprice, o_orderkey FROM (
+    SELECT o_totalprice, o_orderkey, ((CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 8, 1)) - 1 AS BIGINT) * 1)) AS h FROM orders
+  ) WHERE h % 8 = 0
+),
+r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM samp
+),
+edges AS (
+  SELECT i.i, max(CASE WHEN r.rn = (i.i * (r.n + 1)) // 10
+                       THEN r.o_totalprice END) AS edge
+  FROM r CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) i
+  GROUP BY i.i
+),
+b AS (
+  SELECT o.o_orderkey, o.o_totalprice,
+         CAST(1 + sum(CASE WHEN o.o_totalprice > e.edge THEN 1 ELSE 0 END) AS BIGINT) AS decile
+  FROM orders o CROSS JOIN edges e
+  GROUP BY o.o_orderkey, o.o_totalprice
+)
+SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM b GROUP BY decile ORDER BY decile
+""",
+    tags=("analytics", "approx", "profile", "scale-tier", "sampling"),
 )
 def order_value_deciles_binned(spark, sf_dir):
-    """The 100 TB tier of `order_value_deciles`: decile EDGES from
-    percentile_approx (one pass, mergeable sketch, no global sort), bin
-    assignment as a pure column expression over the 9 collected edge
-    values (bounded driver-held model state, the IVF-centroid pattern),
-    then an ordinary partial-aggregating groupBy. No single-partition
-    window anywhere. tests/test_deciles.py asserts the binned profile
-    tracks the exact ntile one (counts within tolerance, edges
-    bracketed)."""
-    od = T(spark, sf_dir, "orders").select("o_totalprice")
-    edges = od.agg(
-        F.percentile_approx(
-            "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000
-        ).alias("e")
-    ).first()["e"]
-    edge_arr = ",".join(repr(float(e)) for e in edges)
+    """The 100 TB tier of `order_value_deciles`, GRADUATED from
+    rows-only to hash-verified (round-8 verdict #9) by swapping
+    percentile_approx (engine-specific sketch internals, not
+    oracle-replayable) for the deterministic mergeable-sample
+    construction `hashed_sample_quantiles` established: a fixed md5
+    Bernoulli sample (h % 8 == 0 on o_orderkey — the SAME rows in any
+    engine, any shard order) feeds exact integer-rank decile edges
+    (rank i*(n+1) div 10 under the deterministic (price, key) order),
+    then bin assignment is a pure column expression over the 9
+    collected edge values (bounded driver-held model state, the
+    IVF-centroid pattern) and an ordinary partial-aggregating groupBy.
+
+    No single-partition window anywhere: the sample (n/8 rows — still
+    data-sized at 100 TB) is ranked with the range-partition + parallel
+    row_number + broadcast-offset construction (`_dense_rank`, the
+    suffix-array machinery), so the only ordered global pass is the
+    <= np-row offset scan. tests/test_deciles.py asserts the binned
+    profile tracks the exact ntile one (counts within tolerance, edges
+    bracketed); the DuckDB oracle replays sample, rank rule, and
+    binning bit-for-bit."""
+    from ..checkpoints import ckpt
+    from ..operators.suffix import _adaptive_np, _dense_rank
+    from .sketches import _HEX8
+
+    od = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # materialize the sample ONCE (data-sized: n/8 rows -> durable cut):
+    # the count action (rank targets need n first) and the rank exchange
+    # both read it, instead of each re-running the scan + md5 filter
+    samp = ckpt(
+        od.select(
+            "o_totalprice",
+            "o_orderkey",
+            F.expr(_HEX8.format(v="o_orderkey")).alias("h"),
+        )
+        .filter(F.expr("h % 8 = 0"))
+        .drop("h")
+    )
+    n = samp.count()
+    targets = [i * (n + 1) // 10 for i in range(1, 10)]
+    ranked = _dense_rank(
+        samp, ["o_totalprice", "o_orderkey"], "rn", np=_adaptive_np(n)
+    )
+    by_rank = {
+        r["rn"]: float(r["o_totalprice"])
+        for r in ranked.filter(F.col("rn").isin(list(set(targets)))).collect()
+    }
+    edges = [by_rank[t] for t in targets]
+    edge_arr = ",".join(repr(e) for e in edges)
     decile = F.expr(
-        f"1 + aggregate(array({edge_arr}), 0, (acc, e) -> acc + CASE WHEN o_totalprice > e THEN 1 ELSE 0 END)"
+        f"CAST(1 + aggregate(array({edge_arr}), 0, (acc, e) -> "
+        f"acc + CASE WHEN o_totalprice > e THEN 1 ELSE 0 END) AS BIGINT)"
     )
     return (
         od.withColumn("decile", decile)

@@ -362,10 +362,10 @@ ORDER BY e.l_returnflag
 )
 def hashed_sample_quantiles(spark, sf_dir):
     """Quantile ESTIMATION graduated from rows-only to hash-checkable:
-    `order_value_deciles_binned` stays rows-only because
-    percentile_approx's sketch internals are engine-specific — this
+    percentile_approx's sketch internals are engine-specific, so this
     query shows the deterministic alternative a distributed store
-    actually uses. A fixed md5 Bernoulli row-sample (h % 16 == 0 on the
+    actually uses (round-9: `order_value_deciles_binned` adopted the
+    same construction and is oracled too). A fixed md5 Bernoulli row-sample (h % 16 == 0 on the
     (orderkey, linenumber) row key — the SAME rows in any engine, any
     shard order, any merge tree: mergeable by construction) feeds an
     exact rank-based quantile rule (rn == (n+1) div 2 for p50,
