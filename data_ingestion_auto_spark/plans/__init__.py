@@ -33,6 +33,7 @@ from . import (  # noqa: F401
     export_pipeline,
     incremental_dedup,
     sampling_more,
+    retrieval,
     sources_ops,
     spatial,
     tokenizer,

@@ -1,0 +1,259 @@
+"""Retrieval-classic queries over `documents` (LLM-data-pipeline
+extension): BM25 ranked retrieval and winnowing fingerprints.
+
+Both are public-literature algorithms (Robertson et al., Okapi BM25;
+Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+Fingerprinting", SIGMOD 2003) re-expressed as declarative plans:
+
+- BM25 is the inverted-index scoring loop turned inside out: one corpus
+  scan explodes tokens map-side, the posting lists for the (tiny) query
+  term set survive a pushed-down IN filter, document frequencies and the
+  two corpus scalars broadcast, and the per-document score is a single
+  grouped aggregate. At 100 TB the shuffle is |matching postings| rows of
+  (doc_id, term) — never the text.
+- Winnowing is a pure per-document array computation: k-gram hashes,
+  per-window rightmost-argmin selection, and the fingerprint-set digest
+  all happen inside ONE projection via transform/sequence/slice — zero
+  explode, zero window function, zero shuffle before the final sort. The
+  winnowing guarantee (every k+w-1-token match shares a fingerprint)
+  is pinned by a pure-Python reference in tests/test_winnowing.py.
+
+Float determinism (SURVEY §7.4): BM25's k1=1.2 / b=0.75 are folded into
+integer numerators/denominators (22·tf·S, 10·tf·S + 3·S + 9·dl·N, and the
+rational idf (2N−2df+1)/(2df+1) — the log-free monotone idf variant, same
+rationale as distinctive_terms_topk), so each per-term contribution is two
+exactly-rounded IEEE divisions and one multiply — bit-identical across
+engines — and the per-document sum runs in exact DECIMAL(38,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..checkpoints import ckpt
+from .helpers import T
+from .registry import query
+
+# BM25 query term set — a fixed conjunction-free keyword query against the
+# fixture vocabulary. In production this is the per-request input; the plan
+# shape (pushed IN filter -> postings -> broadcast idf) is invariant in it.
+_BM25_TERMS = ("spark", "hash", "vector")
+_BM25_K = 10
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# Integer-rationalized BM25 with k1 = 1.2, b = 0.75:
+#   tf_component  = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+#                 = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)      [avgdl = S/N]
+#   idf_rational  = (N − df + 0.5) / (df + 0.5)
+#                 = (2N − 2df + 1) / (2df + 1)
+# All factors are BIGINT; at 100 TB (S ~ 1e13 tokens, tf ≤ doc length)
+# 10·tf·S stays well under the 9.2e18 BIGINT ceiling for real documents.
+_TF_NUM = "CAST(22 * tf * s AS DOUBLE)"
+_TF_DEN = "CAST(10 * tf * s + 3 * s + 9 * dl * n AS DOUBLE)"
+_IDF_NUM = "CAST(2 * n - 2 * df + 1 AS DOUBLE)"
+_IDF_DEN = "CAST(2 * df + 1 AS DOUBLE)"
+_CONTRIB = f"({_TF_NUM} / {_TF_DEN}) * ({_IDF_NUM} / {_IDF_DEN})"
+
+
+@query(
+    "bm25_topk_retrieval",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM d),
+toks AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, {_CONTRIB} AS contrib
+  FROM tf JOIN idf USING (term) CROSS JOIN c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(round(sum(CAST(contrib AS DECIMAL(38,6))), 6) AS DOUBLE) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+""",
+    tags=("text", "retrieval", "bm25", "topk", "llm"),
+)
+def bm25_topk_retrieval(spark, sf_dir):
+    """BM25 top-k ranked retrieval (k1=1.2, b=0.75) for a fixed keyword
+    query. Docs containing none of the query terms score 0 and are omitted
+    — exactly the inverted-index contract. One corpus scan builds the
+    postings (the IN filter runs inside the explode projection, so only
+    matching postings ever shuffle); document frequency is a 3-row
+    broadcast; corpus length scalars are a broadcast 1-row aggregate; the
+    final score is one grouped DECIMAL(38,6) sum. Shuffles: postings
+    groupBy(doc_id, term) + 3-row idf groupBy + final per-doc groupBy —
+    all independent of text size."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        F.split("text", " ").alias("w"),
+    )
+    c = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
+    terms_arr = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = d.select(
+        "doc_id",
+        "dl",
+        F.explode(F.expr(f"filter(w, t -> t IN ({terms_arr}))")).alias("term"),
+    )
+    # Materialize the postings once (|matching docs| × |terms| rows — the
+    # inverted-index slice, tiny next to the corpus): idf and the scoring
+    # pass both read it, so the text column is scanned exactly once for
+    # postings (the corpus-scalar branch scans text a second, pruned time).
+    tf = ckpt(
+        toks.groupBy("doc_id", "term").agg(
+            F.max("dl").alias("dl"), F.count("*").cast("bigint").alias("tf")
+        )
+    )
+    idf = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(c))
+        .select("doc_id", F.expr(_CONTRIB).alias("contrib"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.expr(
+                "CAST(round(sum(CAST(contrib AS DECIMAL(38,6))), 6) AS DOUBLE)"
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+# Winnowing parameters: k-gram length (tokens) and window size (grams).
+# Guarantee: any shared token run of length >= _WIN_K + _WIN_W - 1 between
+# two documents yields at least one shared selected fingerprint.
+_WIN_K = 4
+_WIN_W = 5
+
+
+def _win_spark_cols() -> dict[str, str]:
+    """Spark SQL fragments for the winnowing projection (1-based arrays)."""
+    k, w = _WIN_K, _WIN_W
+    grams = (
+        f"CASE WHEN size(w) >= {k} THEN "
+        f"transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', slice(w, i, {k})))) "
+        "ELSE array() END"
+    )
+    # Window ending at gram e covers grams [max(1, e-w+1), e]; the selected
+    # position is the RIGHTMOST argmin (robust winnowing): leftmost argmin
+    # of the reversed slice, mapped back. Short documents (< w grams) get
+    # the single whole-array window, per the paper's boundary treatment.
+    lo = f"greatest(1, e - {w - 1})"
+    sl = f"slice(h, {lo}, e - {lo} + 1)"
+    sel = (
+        "CASE WHEN size(h) = 0 THEN array() ELSE "
+        f"transform(sequence(least(size(h), {w}), size(h)), "
+        f"e -> CAST(e - array_position(reverse({sl}), array_min({sl})) + 1 AS INT)) "
+        "END"
+    )
+    fps = "array_sort(array_distinct(transform(sel, p -> substring(element_at(h, p), 1, 16))))"
+    return {"grams": grams, "sel": sel, "fps": fps}
+
+
+def _win_oracle() -> str:
+    k, w = _WIN_K, _WIN_W
+    lo = f"greatest(1, e - {w - 1})"
+    sl = f"h[{lo}:e]"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {k}
+              THEN list_transform(generate_series(1, len(w) - {k - 1}),
+                                  i -> md5(array_to_string(w[i : i + {k - 1}], ' ')))
+              ELSE [] END AS h
+  FROM d
+),
+s AS (
+  SELECT doc_id, h,
+         CASE WHEN len(h) = 0 THEN [] ELSE
+           list_transform(generate_series(least(len(h), {w}), len(h)),
+             e -> CAST(e - list_position(list_reverse({sl}), list_min({sl})) + 1 AS INT))
+         END AS sel
+  FROM g
+),
+f AS (
+  SELECT doc_id, len(h) AS n_grams, sel,
+         list_sort(list_distinct(list_transform(sel, p -> substr(h[p], 1, 16)))) AS fps
+  FROM s
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(sel)) AS BIGINT) AS n_selected,
+       CASE WHEN n_grams = 0 THEN 0.0
+            ELSE round(CAST(len(list_distinct(sel)) AS DOUBLE) / n_grams, 6) END AS density,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM f
+ORDER BY doc_id
+"""
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=_win_oracle(),
+    tags=("text", "fingerprint", "winnowing", "dedup", "llm"),
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    md5 hashes of k=4 token-grams, then from every window of w=5
+    consecutive gram hashes select the rightmost minimum; the distinct
+    selected positions are the document's fingerprint set (reported as a
+    count, a density, and an order-canonical digest). Guarantees every
+    shared run of >= k+w-1 tokens produces a shared fingerprint, at ~2/(w+1)
+    expected density — the MOSS primitive, and the guarantee-bearing
+    upgrade over doc_fingerprints' head/tail block hashes.
+
+    Scale: the entire selection runs inside one projection via
+    transform/sequence/slice array expressions — no explode, no window
+    function, no self-join, ZERO shuffle before the final sort (pinned in
+    tests/test_plan_quality.py). Per-row cost is O(grams · w) string
+    compares on bounded-length documents; at 100 TB it is embarrassingly
+    parallel and scan-bound."""
+    cols = _win_spark_cols()
+    docs = T(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.expr(cols["grams"]).alias("h")
+    )
+    s = g.select("doc_id", "h", F.expr(cols["sel"]).alias("sel"))
+    f = s.select(
+        "doc_id",
+        F.size("h").cast("bigint").alias("n_grams"),
+        "sel",
+        F.expr(cols["fps"]).alias("fps"),
+    )
+    return f.select(
+        "doc_id",
+        "n_grams",
+        F.size(F.array_distinct("sel")).cast("bigint").alias("n_selected"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.size(F.array_distinct("sel")).cast("double") / F.col("n_grams"), 6
+            )
+        )
+        .alias("density"),
+        F.md5(F.concat_ws(",", "fps")).alias("fp_digest"),
+    ).orderBy("doc_id")

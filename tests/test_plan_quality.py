@@ -515,3 +515,40 @@ def test_incremental_dedup_equi_probe_no_cartesian(spark, sf_dir, registry):
 
     schemas = re.findall(r"ReadSchema: (\S+)", p2)
     assert schemas and all(s == "struct<doc_id:bigint,text:string>" for s in schemas)
+
+
+def test_winnowing_is_one_mapside_projection(spark, sf_dir, registry):
+    """winnowing_fingerprints: the whole k-gram -> window-argmin ->
+    digest computation must stay inside projections over ONE pruned
+    (doc_id, text) scan — no Generate (explode), no window function, no
+    join, and the only exchange is the final presentation sort's range
+    partitioning. This is the property that makes it scan-bound at
+    100 TB."""
+    p = _plan(spark, registry["winnowing_fingerprints"].spark(spark, sf_dir))
+    assert p.count("ReadSchema:") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    for op in ("Generate", "Window", "Join", "HashAggregate"):
+        assert op not in p, op
+    import re
+
+    # formatted mode lists each node twice (tree + detail)
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1 and "rangepartitioning" in p
+
+
+def test_bm25_postings_shuffle_never_text(spark, sf_dir, registry):
+    """bm25_topk_retrieval: the postings materialize once (checkpointed),
+    so the final plan holds no text-bearing exchange — idf arrives as a
+    tiny broadcast, the corpus scalars as a broadcast 1-row aggregate
+    (the only allowed crossJoin shape), and the single remaining file
+    scan is the scalars branch pruned to text only."""
+    df = registry["bm25_topk_retrieval"].spark(spark, sf_dir)
+    p = _plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert p.count("ReadSchema:") == 1  # scalars branch; postings pre-materialized
+    assert "ReadSchema: struct<text:string>" in p
+    import re
+
+    # idf (3 rows) + corpus scalars (1 row); formatted lists nodes twice
+    assert len(re.findall(r"\(\d+\) BroadcastExchange\b", p)) == 2
+    simple = _plan(spark, df, "simple")
+    assert "BroadcastNestedLoopJoin" in simple  # the 1-row scalars crossJoin

@@ -1,0 +1,125 @@
+"""Winnowing fingerprint properties (Schleimer et al., SIGMOD 2003).
+
+The registered query's correctness vs DuckDB is the oracle's job; these
+tests pin the two properties the oracle can't see:
+
+- the selection matches an independent pure-Python winnowing reference
+  (rightmost-argmin per window) on the real fixture AND on crafted
+  short/periodic documents where the tiebreak and boundary rules bite;
+- the winnowing GUARANTEE: every window of w consecutive k-gram positions
+  contains at least one selected position.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from data_ingestion_auto_spark.plans.retrieval import _WIN_K, _WIN_W
+
+
+def _py_winnow(text: str):
+    """Reference winnowing: k-gram md5 hashes (hex strings — the same
+    comparable the plan uses), rightmost minimum per window of w, short
+    docs get the single whole-array window. Returns (n_grams, selected
+    positions 1-based, sorted distinct 16-hex fingerprints)."""
+    w = text.split(" ")
+    k, win = _WIN_K, _WIN_W
+    grams = [
+        hashlib.md5(" ".join(w[i : i + k]).encode()).hexdigest()
+        for i in range(len(w) - k + 1)
+    ]
+    n = len(grams)
+    sel = set()
+    if n:
+        for e in range(min(win, n), n + 1):  # 1-based window ends
+            lo = max(1, e - win + 1)
+            window = grams[lo - 1 : e]
+            m = min(window)
+            # rightmost argmin
+            j = len(window) - 1 - window[::-1].index(m)
+            sel.add(lo + j)
+    fps = sorted({grams[p - 1][:16] for p in sel})
+    return n, sel, fps
+
+
+def _spark_rows(spark, docs_df):
+    from data_ingestion_auto_spark.plans.retrieval import (
+        _win_spark_cols,
+    )
+    from pyspark.sql import functions as F
+
+    cols = _win_spark_cols()
+    g = docs_df.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.expr(cols["grams"]).alias("h")
+    )
+    s = g.select("doc_id", "h", F.expr(cols["sel"]).alias("sel"))
+    return {
+        r["doc_id"]: (r["n_grams"], sorted(set(r["sel"])), sorted(set(r["fps"])))
+        for r in s.select(
+            "doc_id",
+            F.size("h").cast("bigint").alias("n_grams"),
+            "sel",
+            F.expr(cols["fps"]).alias("fps"),
+        ).collect()
+    }
+
+
+CRAFTED = [
+    (0, ""),  # 1 empty token -> 0 grams
+    (1, "a b c"),  # < k tokens -> 0 grams
+    (2, "a b c d"),  # exactly one gram -> one fingerprint
+    (3, "a b c d e f g"),  # n_grams = 4 < w -> single whole-array window
+    (4, "x y x y x y x y x y x y"),  # all grams identical: rightmost tiebreak
+    (5, "x y x y x y z x y x y x y"),  # periodic with one breaker
+    (6, " ".join(f"t{i}" for i in range(40))),  # all grams distinct
+]
+
+
+def test_matches_python_reference_on_crafted_docs(spark):
+    df = spark.createDataFrame(CRAFTED, "doc_id long, text string")
+    got = _spark_rows(spark, df)
+    for doc_id, text in CRAFTED:
+        n, sel, fps = _py_winnow(text)
+        gn, gsel, gfps = got[doc_id]
+        assert gn == n, (doc_id, gn, n)
+        assert gsel == sorted(sel), (doc_id, gsel, sorted(sel))
+        assert gfps == fps, (doc_id, gfps, fps)
+
+
+def test_matches_python_reference_on_fixture(spark, sf_dir):
+    from data_ingestion_auto_spark.plans.helpers import T
+
+    docs = T(spark, sf_dir, "documents").limit(64)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    got = _spark_rows(spark, docs)
+    assert len(got) == len(texts)
+    for doc_id, text in texts.items():
+        n, sel, fps = _py_winnow(text)
+        assert got[doc_id] == (n, sorted(sel), fps), doc_id
+
+
+@pytest.mark.parametrize("doc", [t for _, t in CRAFTED if len(t.split(" ")) >= _WIN_K])
+def test_guarantee_every_window_contains_a_selection(doc):
+    n, sel, _ = _py_winnow(doc)
+    for e in range(min(_WIN_W, n), n + 1):
+        lo = max(1, e - _WIN_W + 1)
+        assert any(lo <= p <= e for p in sel), (doc, e)
+
+
+def test_density_near_two_over_w_plus_one(spark, sf_dir):
+    """On the fixture's ~60-token docs the expected density of winnowing
+    with random distinct hashes is 2/(w+1) (paper §3); md5 over the real
+    vocabulary should land near it — a loose sanity band, not a proof."""
+    from data_ingestion_auto_spark import plans
+
+    rows = (
+        plans.REGISTRY["winnowing_fingerprints"]
+        .spark(spark, sf_dir)
+        .filter("n_grams >= 20")
+        .selectExpr("avg(density) AS d")
+        .collect()
+    )
+    d = rows[0]["d"]
+    assert 0.15 <= d <= 0.55, d

@@ -74,6 +74,9 @@ DRIVER_TABLE = {
     "kmv_set_operations": "orders",
     "hashed_sample_quantiles": "lineitem",
     "split_leakage_audit": "documents",
+    # round-9 retrieval classics
+    "bm25_topk_retrieval": "documents",
+    "winnowing_fingerprints": "documents",
 }
 
 
