@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from .dedup import _SQL_SHINGLES
+from .dedup import _SQL_CC_LABELS, _SQL_SHINGLES
 from .helpers import T
 from .registry import query
 from ..checkpoints import ckpt
@@ -218,3 +218,83 @@ def split_leakage_audit(spark, sf_dir):
         )
         .orderBy("split_a", "split_b")
     )
+
+
+_SPLIT_RULE = """CASE WHEN h < 13 THEN 'train' WHEN h < 14 THEN 'val' ELSE 'test' END"""
+
+
+@query(
+    "group_aware_split_assign",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SHINGLES.format(where="")},{_SQL_CC_LABELS},
+grouped AS (
+  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+),
+hashed AS (
+  SELECT doc_id, group_id,
+         CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(group_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS h,
+         CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS hn
+  FROM grouped
+)
+SELECT doc_id, group_id,
+       {_SPLIT_RULE} AS split,
+       {_SPLIT_RULE.replace("h <", "hn <")} AS naive_split,
+       ({_SPLIT_RULE} <> {_SPLIT_RULE.replace("h <", "hn <")}) AS moved
+FROM hashed
+ORDER BY doc_id
+""",
+    tags=("dedup", "splits", "leakage", "llm", "curation"),
+)
+def group_aware_split_assign(spark, sf_dir):
+    """Group-aware train/val/test assignment — the REMEDIATION
+    `split_leakage_audit` motivates: hash the near-dup GROUP id (the
+    connected-component canonical from `neardup_components`; singletons
+    group as themselves) through the same 13/1/2-nibble split rule, so
+    every near-duplicate family lands in ONE split and the audit's
+    off-diagonal counts are zero BY CONSTRUCTION — candidate pairs only
+    exist within a component, and a component has exactly one split.
+    tests/test_splits.py proves both directions on the fixture: the
+    naive doc_id assignment leaks (off-diagonal pairs > 0) and this
+    assignment does not (zero straddling pairs). Output is the per-doc
+    assignment with the naive split and a `moved` flag — the migration
+    delta a pipeline would ship.
+
+    At 100 TB: component labels are dup-density-bounded (≪ corpus) and
+    left-join back on doc_id; the split itself is a map-only projection
+    — no work beyond the CC pass the dedup pipeline already ran."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component")
+    )
+    grouped = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("component", "doc_id"))
+    )
+
+    def nib(col):
+        return (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(col.cast("string")), 2, 1),
+            )
+            - 1
+        ).cast("bigint")
+
+    def rule(h):
+        return F.when(h < 13, "train").when(h < 14, "val").otherwise("test")
+
+    g, n = rule(nib(F.col("group_id"))), rule(nib(F.col("doc_id")))
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        g.alias("split"),
+        n.alias("naive_split"),
+        (g != n).alias("moved"),
+    ).orderBy("doc_id")

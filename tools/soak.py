@@ -77,6 +77,8 @@ DRIVER_TABLE = {
     # round-9 retrieval classics
     "bm25_topk_retrieval": "documents",
     "winnowing_fingerprints": "documents",
+    # round-9 leakage remediation (CC-bound, like neardup_components)
+    "group_aware_split_assign": "documents",
 }
 
 
