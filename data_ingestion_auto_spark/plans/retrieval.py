@@ -173,7 +173,10 @@ def _win_spark_cols() -> dict[str, str]:
     return {"grams": grams, "sel": sel, "fps": fps}
 
 
-def _win_oracle() -> str:
+def _win_cte() -> str:
+    """The shared winnowing CTE chain ending at `f` (doc_id, n_grams,
+    sel, fps) — composed by both the fingerprint query's oracle and the
+    match-pairs oracle."""
     k, w = _WIN_K, _WIN_W
     lo = f"greatest(1, e - {w - 1})"
     sl = f"h[{lo}:e]"
@@ -199,7 +202,11 @@ f AS (
   SELECT doc_id, len(h) AS n_grams, sel,
          list_sort(list_distinct(list_transform(sel, p -> substr(h[p], 1, 16)))) AS fps
   FROM s
-)
+)"""
+
+
+def _win_oracle() -> str:
+    return f"""{_win_cte()}
 SELECT doc_id,
        CAST(n_grams AS BIGINT) AS n_grams,
        CAST(len(list_distinct(sel)) AS BIGINT) AS n_selected,
@@ -257,3 +264,120 @@ def winnowing_fingerprints(spark, sf_dir):
         .alias("density"),
         F.md5(F.concat_ws(",", "fps")).alias("fp_digest"),
     ).orderBy("doc_id")
+
+
+# Hot-fingerprint cap for the matcher: a boilerplate fingerprint shared
+# by f docs yields C(f,2) pairs; capping docs-per-fingerprint at
+# _MATCH_CAP (keep the _MATCH_CAP smallest doc_ids, the LSH hot-bucket
+# rule from operators/dedup.py) bounds pair fan-out to cap²/2 per
+# fingerprint. The fixture never reaches the cap, so the oracle replays
+# it exactly; at scale the cap is the overflow-observability seam, same
+# contract as lsh_candidates. The min-shared threshold stays 1 so the
+# winnowing guarantee carries through to the pair level (>= k+w-1-token
+# runs are CERTAIN to produce a shared selected fingerprint); consumers
+# threshold on n_shared / overlap.
+_MATCH_CAP = 20
+_MATCH_MIN_SHARED = 1
+
+
+def _match_oracle() -> str:
+    return f"""{_win_cte()},
+fp AS (
+  SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS f
+  FROM f
+),
+capped AS (
+  SELECT doc_id, n_fp, f FROM (
+    SELECT doc_id, n_fp, f,
+           row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn <= {_MATCH_CAP}
+),
+m AS (
+  SELECT c1.doc_id AS a, c2.doc_id AS b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(min(c1.n_fp) AS BIGINT) AS n_fp_a,
+         CAST(min(c2.n_fp) AS BIGINT) AS n_fp_b
+  FROM capped c1 JOIN capped c2 ON c1.f = c2.f AND c1.doc_id < c2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared, n_fp_a, n_fp_b,
+       CAST(n_shared AS DOUBLE) / least(n_fp_a, n_fp_b) AS overlap
+FROM m
+WHERE n_shared >= {_MATCH_MIN_SHARED}
+ORDER BY a, b
+"""
+
+
+@query(
+    "winnowing_match_pairs",
+    oracle=_match_oracle(),
+    tags=("text", "winnowing", "dedup", "neardup", "llm"),
+)
+def winnowing_match_pairs(spark, sf_dir):
+    """MOSS-style match detection — the consumer of
+    `winnowing_fingerprints`: document pairs sharing selected
+    fingerprints (threshold 1 — the guarantee-preserving setting), with
+    each side's fingerprint-set size and the
+    containment-style overlap = n_shared / min(|A|, |B|) (one exact IEEE
+    division). The winnowing guarantee makes this a LOCAL-match detector
+    the MinHash tier is not: any shared token run of >= k+w-1 = 8 tokens
+    is certain to surface the pair, however small a fraction of either
+    document it is — the plagiarism/quotation shape whole-document
+    Jaccard dilutes away.
+
+    Scale: candidate generation is a fingerprint-bucket self equi-join
+    (never all-pairs), with docs-per-fingerprint capped at 20 by the
+    same rank-and-cap rule as the LSH hot-bucket seam
+    (operators/dedup.py) so one boilerplate fingerprint cannot go
+    quadratic; the capped fingerprint table is checkpointed once and
+    both join sides read it, so the corpus text is scanned exactly
+    once."""
+    cols = _win_spark_cols()
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.expr(cols["grams"]).alias("h")
+    )
+    s = g.select("doc_id", "h", F.expr(cols["sel"]).alias("sel"))
+    # Cut lineage BEFORE the explode: Generate's implicit size(fps)>0
+    # filter otherwise gets pushed through the projection chain to the
+    # scan with every lambda inlined — the grams transform re-evaluated
+    # inside each window slice turns the O(grams·w) projection into
+    # O(grams²) md5 work per document (measured 419 s vs 1.5 s on the
+    # zipf-1x fixture). The fingerprint-set frame is the natural cut:
+    # corpus-sized state both downstream join sides derive from.
+    fpsets = ckpt(s.select("doc_id", F.expr(cols["fps"]).alias("fps")))
+    fp = fpsets.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fp"),
+        F.explode("fps").alias("f"),
+    )
+    rn = F.row_number().over(W.partitionBy("f").orderBy("doc_id"))
+    capped = ckpt(
+        fp.withColumn("rn", rn).filter(F.col("rn") <= _MATCH_CAP).drop("rn")
+    )
+    c1 = capped.select(F.col("doc_id").alias("a"), F.col("n_fp").alias("na"), "f")
+    c2 = capped.select(F.col("doc_id").alias("b"), F.col("n_fp").alias("nb"), "f")
+    m = (
+        c1.join(c2, "f")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.min("na").cast("bigint").alias("n_fp_a"),
+            F.min("nb").cast("bigint").alias("n_fp_b"),
+        )
+    )
+    return (
+        m.filter(F.col("n_shared") >= _MATCH_MIN_SHARED)
+        .select(
+            "a", "b", "n_shared", "n_fp_a", "n_fp_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b")
+            ).alias("overlap"),
+        )
+        .orderBy("a", "b")
+    )

@@ -123,3 +123,32 @@ def test_density_near_two_over_w_plus_one(spark, sf_dir):
     )
     d = rows[0]["d"]
     assert 0.15 <= d <= 0.55, d
+
+
+def test_match_pairs_guarantee_detects_shared_run(spark):
+    """Two docs sharing a k+w-1 = 8-token run MUST surface as a match
+    pair (the winnowing guarantee applied cross-doc); two docs with no
+    shared 4-gram must not."""
+    from data_ingestion_auto_spark.plans import retrieval as R
+    import duckdb
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (0, f"one two three {shared} four five six seven eight nine"),
+        (1, f"ten eleven twelve thirteen {shared} fourteen fifteen sixteen"),
+        (2, "totally different words with no overlap at all whatsoever here"),
+        (3, "another unrelated document about nothing shared with the rest"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    # drive the ORACLE on the crafted corpus (engine parity for the query
+    # itself is the registered oracle's job at 3 SFs) — here we check the
+    # SEMANTIC guarantee on the shared definition
+    rows = con.execute(R._match_oracle()).fetchall()
+    pairs = {(r[0], r[1]): r[2] for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert all(a == 0 and b == 1 for (a, b) in pairs)
+    # the pure-Python reference agrees the shared fingerprint exists
+    fps = {i: set(_py_winnow(t)[2]) for i, t in docs}
+    assert fps[0] & fps[1] and not (fps[2] & fps[3])

@@ -79,6 +79,7 @@ DRIVER_TABLE = {
     "winnowing_fingerprints": "documents",
     # round-9 leakage remediation (CC-bound, like neardup_components)
     "group_aware_split_assign": "documents",
+    "winnowing_match_pairs": "documents",
 }
 
 
