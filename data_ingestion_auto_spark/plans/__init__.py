@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     mixture_caps,
     multimodal,
     pq_ann,
+    ppjoin,
     relational2,
     scalars,
     semdedup,
