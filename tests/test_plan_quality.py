@@ -552,3 +552,34 @@ def test_bm25_postings_shuffle_never_text(spark, sf_dir, registry):
     assert len(re.findall(r"\(\d+\) BroadcastExchange\b", p)) == 2
     simple = _plan(spark, df, "simple")
     assert "BroadcastNestedLoopJoin" in simple  # the 1-row scalars crossJoin
+
+
+def test_winnowing_match_pairs_lambdas_never_reach_a_scan(spark, sf_dir, registry):
+    """winnowing_match_pairs must cut lineage at the fingerprint-set
+    frame BEFORE the explode: without that cut, Generate's implicit
+    size()>0 filter is pushed to the file scan with the whole winnowing
+    lambda chain inlined (grams re-evaluated inside every window slice
+    -> O(grams^2) md5 per document; measured 419 s vs 12 s on the
+    zipf-1x fixture, SCALE.md). The pinned property: the final plan
+    reads from checkpointed state — no parquet scan, no md5/transform
+    lambda anywhere downstream."""
+    p = _plan(spark, registry["winnowing_match_pairs"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p  # both sides read the checkpointed frames
+    assert "md5(" not in p and "transform(" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_prefix_filter_join_reads_checkpointed_sets_no_cartesian(
+    spark, sf_dir, registry
+):
+    """prefix_filter_jaccard_join: the ordered-set frame is checkpointed
+    once for its three readers (prefix explode + both verify sides), so
+    the final plan must hold no parquet scan and no shingle-building
+    lambdas; candidates come from an equi-join on the prefix token, never
+    a cartesian."""
+    p = _plan(spark, registry["prefix_filter_jaccard_join"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "concat_ws" not in p  # shingle construction stays behind the cut
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
