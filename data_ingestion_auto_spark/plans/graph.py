@@ -268,7 +268,12 @@ def group_aware_split_assign(spark, sf_dir):
     — no work beyond the CC pass the dedup pipeline already ran."""
     docs = T(spark, sf_dir, "documents")
     sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # pairs feed ONLY connected_components, which materializes its edge
+    # set to parquet as its first act — a ckpt here would be a redundant
+    # extra evaluation of the whole LSH pipeline (same shape as
+    # neardup_canonical_keep; contrast split_leakage_audit, where pairs
+    # have a second consumer and the ckpt is load-bearing).
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
     comp = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("component")
     )
