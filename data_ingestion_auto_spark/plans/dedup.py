@@ -713,3 +713,124 @@ def ngram_containment_pairs(spark, sf_dir):
         )
         .orderBy("a", "b")
     )
+
+
+@query(
+    "lsh_scurve_calibration",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT doc_id, band, band_hash,
+           row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= 1000
+),
+pairs AS (
+  SELECT b1.doc_id AS a, b2.doc_id AS b, CAST(count(*) AS BIGINT) AS n_bands
+  FROM capped b1 JOIN capped b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+  GROUP BY 1, 2
+),
+agree AS (
+  SELECT p.a, p.b, p.n_bands,
+         CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.a
+  JOIN sig sb ON sb.doc_id = p.b AND sb.perm = sa.perm
+  GROUP BY p.a, p.b, p.n_bands
+),
+lvl AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(n_bands) AS BIGINT) AS sum_bands
+  FROM agree GROUP BY k
+)
+SELECT k AS agreement,
+       CAST(k AS DOUBLE) / 16.0 AS est_jaccard,
+       n_pairs,
+       CAST(sum_bands AS DOUBLE) / n_pairs AS avg_bands_observed,
+       CAST(4 * k*k*k*k AS DOUBLE) / 65536.0 AS expected_bands_unconditional,
+       1.0 - ((1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0) * (1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0))
+           * ((1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0) * (1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0))
+         AS scurve_collision_prob,
+       CASE WHEN k = 0 THEN NULL ELSE
+         (CAST(4 * k*k*k*k AS DOUBLE) / 65536.0)
+         / (1.0 - ((1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0) * (1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0))
+                * ((1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0) * (1.0 - CAST(k*k*k*k AS DOUBLE) / 65536.0)))
+       END AS expected_bands_given_candidate
+FROM lvl
+ORDER BY agreement
+""",
+    tags=("dedup", "minhash", "lsh", "calibration", "observability", "llm"),
+)
+def lsh_scurve_calibration(spark, sf_dir):
+    """LSH parameterization self-calibration — the observability query a
+    100 TB dedup pipeline runs to check that (bands=4, rows=4) matches
+    the similarity regime it actually sees: candidate pairs are bucketed
+    by signature agreement k (equal minhash components of 16, the
+    unbiased Jaccard estimate k/16), and each level compares the
+    OBSERVED mean shared-band count against the S-curve model —
+    P(band match | s) = s^4, P(candidate | s) = 1-(1-s^4)^4,
+    E[bands | candidate] = 4·s^4 / (1-(1-s^4)^4). Observed tracking the
+    model says the minhash components behave independently (the Broder
+    assumption); observed ≪ expected flags correlated components
+    (broken hashing) and tells the operator the S-curve threshold the
+    tier is REALLY applying before they resize bands/rows.
+
+    Float determinism: s^4 at agreement k is k⁴/65536 — an integer over
+    a power of two, EXACT in binary floating point — and every further
+    op is a fixed tree of exact-or-correctly-rounded IEEE arithmetic,
+    identical in both engines; the observed mean is one exact division
+    of two BIGINTs.
+
+    At 100 TB: signatures checkpoint once; the per-pair agreement is the
+    same 16-column equality projection as minhash_jaccard_estimate; the
+    output is ≤ 17 rows (k = 4 bands × 4 rows forces k ≥ 4 for any
+    candidate, so in practice ≤ 13)."""
+    docs = T(spark, sf_dir, "documents")
+    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4, count_bands=True)
+    sa = sig.select(
+        F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)]
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    agree = (
+        sa.join(pairs, "a")
+        .join(sb, "b")
+        .select("a", "b", "n_bands", n_eq.cast("bigint").alias("k"))
+    )
+    lvl = agree.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("n_bands").cast("bigint").alias("sum_bands"),
+    )
+    s4 = "CAST(k*k*k*k AS DOUBLE) / 65536.0"
+    q2 = f"((1.0 - {s4}) * (1.0 - {s4}))"
+    coll = f"1.0 - ({q2} * {q2})"
+    return lvl.select(
+        F.col("k").alias("agreement"),
+        F.expr("CAST(k AS DOUBLE) / 16.0").alias("est_jaccard"),
+        "n_pairs",
+        F.expr("CAST(sum_bands AS DOUBLE) / n_pairs").alias("avg_bands_observed"),
+        F.expr(f"CAST(4 * k*k*k*k AS DOUBLE) / 65536.0").alias(
+            "expected_bands_unconditional"
+        ),
+        F.expr(coll).alias("scurve_collision_prob"),
+        F.expr(
+            f"CASE WHEN k = 0 THEN NULL ELSE (CAST(4 * k*k*k*k AS DOUBLE) / 65536.0) / ({coll}) END"
+        ).alias("expected_bands_given_candidate"),
+    ).orderBy("agreement")
