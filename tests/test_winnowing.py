@@ -152,3 +152,23 @@ def test_match_pairs_guarantee_detects_shared_run(spark):
     # the pure-Python reference agrees the shared fingerprint exists
     fps = {i: set(_py_winnow(t)[2]) for i, t in docs}
     assert fps[0] & fps[1] and not (fps[2] & fps[3])
+
+
+def test_fuzz_matches_python_reference_tiny_alphabet(spark):
+    """Hypothesis-style fuzz (fixed seed, deterministic corpus): random
+    docs over a 3-token alphabet maximize repeated k-grams — the
+    adversarial regime for the rightmost-argmin tiebreak and the short-
+    doc boundary window. One Spark pass over 200 docs vs the pure-Python
+    reference."""
+    import random
+
+    rng = random.Random(20260815)
+    docs = [
+        (i, " ".join(rng.choice("a b c".split()) for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _spark_rows(spark, df)
+    for doc_id, text in docs:
+        n, sel, fps = _py_winnow(text)
+        assert got[doc_id] == (n, sorted(sel), fps), (doc_id, text)
