@@ -97,9 +97,11 @@ _PAIRS = (
 )
 
 
-def _merge_apply(words: DataFrame, best: DataFrame) -> DataFrame:
+def _merge_apply(words: DataFrame, best: DataFrame, extra: tuple = ()) -> DataFrame:
     """Rewrite every vocab word by merging the round's best pair (the
-    space-doubling replace; see module docstring)."""
+    space-doubling replace; see module docstring). ``extra`` columns
+    pass through untouched (the encode query carries the original
+    word alongside)."""
     b = F.broadcast(best.select(F.col("ls").alias("_bl"), F.col("rs").alias("_br")))
     doubled = F.concat(F.lit(" "), F.replace(F.col("sym"), F.lit(" "), F.lit("  ")), F.lit(" "))
     pat = F.concat(F.lit(" "), F.col("_bl"), F.lit("  "), F.col("_br"), F.lit(" "))
@@ -107,6 +109,7 @@ def _merge_apply(words: DataFrame, best: DataFrame) -> DataFrame:
     return (
         words.crossJoin(b)
         .select(
+            *extra,
             F.trim(F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))).alias("sym"),
             "cnt",
         )
@@ -167,3 +170,126 @@ def bpe_merge_steps(spark, sf_dir):
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("merge_rank")
+
+
+# ------------------------------------------------- encode (apply merges)
+
+_SQL_W0_WORD = """
+w0 AS (
+  SELECT word, concat(regexp_replace(word, '(.)', '\\1 ', 'g'), '</w>') AS sym, cnt
+  FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+  )
+)"""
+
+
+def _sql_round_word(r: int) -> str:
+    """Same merge round as _sql_round but carrying the original word —
+    the encode query needs (word -> merged symbol string) at the end."""
+    prev = f"w{r - 1}"
+    return f"""
+p{r} AS (
+  SELECT s[i] AS ls, s[i + 1] AS rs, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(sym, ' ') AS s, cnt FROM {prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT ls, rs, pair_count FROM p{r} ORDER BY pair_count DESC, ls, rs LIMIT 1),
+w{r} AS (
+  SELECT word, trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                              ' ' || b.ls || '  ' || b.rs || ' ',
+                              ' ' || b.ls || b.rs || ' '),
+                      '  ', ' ')) AS sym, cnt
+  FROM {prev}, b{r} b
+)"""
+
+
+_ENCODE_ORACLE = (
+    "WITH "
+    + _SQL_W0_WORD
+    + ","
+    + ",".join(_sql_round_word(r) for r in range(1, _R + 1))
+    + f""",
+vocab AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym FROM w{_R}),
+toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+enc AS (SELECT t.lang, t.word, v.n_sym FROM toks t JOIN vocab v USING (word))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_trained_tokens,
+       CAST(sum(length(word) + 1) AS BIGINT) AS n_char_symbols,
+       CAST(sum(n_sym) AS DOUBLE) / sum(length(word) + 1) AS compression
+FROM enc
+GROUP BY lang
+ORDER BY lang
+"""
+)
+
+
+@query(
+    "bpe_encode_token_budget",
+    oracle=_ENCODE_ORACLE,
+    tags=("tokenizer", "bpe", "text", "llm", "encode"),
+)
+def bpe_encode_token_budget(spark, sf_dir):
+    """ENCODE with the trained tokenizer — the consumer of
+    `bpe_merge_steps`: learn the same 6 merges, apply ALL of them to the
+    vocabulary, then charge every corpus word its merged symbol count,
+    reporting the per-language token budget under the trained vocab vs
+    the character-symbol baseline (compression < 1 is what the merges
+    bought). This is the number a pipeline actually sizes training runs
+    with — `bpe_token_stats`' regex pre-tokenizer estimates it; this
+    measures it with the real learned merges.
+
+    Scale: training stays vocab-sized (Heap's law) exactly as in
+    `bpe_merge_steps` — the corpus is scanned once for word frequencies
+    and once (pruned to lang+text) for the encode side; encoding is ONE
+    equi-join of corpus words against the (word, n_sym) vocabulary —
+    deliberately NOT broadcast-hinted: a web-scale vocab is GBs, and AQE
+    should decide (the batch_ngram_novelty rule). The per-lang aggregate
+    carries integer sums only; compression is one exact IEEE division."""
+    docs = T(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "word",
+            F.concat(F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>")).alias("sym"),
+            "cnt",
+        )
+        .transform(ckpt)
+    )
+    for _ in range(_R):
+        pair_counts = (
+            words.withColumn("s", F.split("sym", " "))
+            .select("cnt", F.expr(_PAIRS).alias("p"))
+            .select("cnt", "p.ls", "p.rs")
+            .groupBy("ls", "rs")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        )
+        best = (
+            pair_counts.orderBy(F.desc("pair_count"), "ls", "rs")
+            .limit(1)
+            .localCheckpoint()
+        )
+        words = ckpt(_merge_apply(words, best, extra=("word",)))
+    vocab = words.select(
+        "word", F.size(F.split("sym", " ")).cast("bigint").alias("n_sym")
+    )
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    enc = toks.join(vocab, "word")
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_trained_tokens"),
+            F.sum(F.length("word") + 1).cast("bigint").alias("n_char_symbols"),
+            (
+                F.sum("n_sym").cast("double") / F.sum(F.length("word") + 1)
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )

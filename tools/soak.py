@@ -82,6 +82,7 @@ DRIVER_TABLE = {
     "winnowing_match_pairs": "documents",
     "prefix_filter_jaccard_join": "documents",
     "lsh_scurve_calibration": "documents",
+    "bpe_encode_token_budget": "documents",
 }
 
 
