@@ -208,19 +208,33 @@ def order_value_deciles_binned(spark, sf_dir):
     )
     n = samp.count()
     targets = [i * (n + 1) // 10 for i in range(1, 10)]
-    ranked = _dense_rank(
-        samp, ["o_totalprice", "o_orderkey"], "rn", np=_adaptive_np(n)
-    )
-    by_rank = {
-        r["rn"]: float(r["o_totalprice"])
-        for r in ranked.filter(F.col("rn").isin(list(set(targets)))).collect()
-    }
-    edges = [by_rank[t] for t in targets]
-    edge_arr = ",".join(repr(e) for e in edges)
-    decile = F.expr(
-        f"CAST(1 + aggregate(array({edge_arr}), 0, (acc, e) -> "
-        f"acc + CASE WHEN o_totalprice > e THEN 1 ELSE 0 END) AS BIGINT)"
-    )
+    # Small-sample guard (round-9 ADVICE): with n < 10 some target ranks
+    # are 0 or exceed n — the oracle's `max(CASE WHEN rn = target ...)`
+    # degrades those edges to NULL, and a NULL edge contributes 0 to the
+    # bin sum. Mirror that: keep only achievable ranks (each guaranteed
+    # present in the dense 1..n ranking), and let missing edges drop out
+    # of the aggregate rather than KeyError.
+    want = [t for t in targets if 1 <= t <= n]
+    if want:
+        ranked = _dense_rank(
+            samp, ["o_totalprice", "o_orderkey"], "rn", np=_adaptive_np(n)
+        )
+        by_rank = {
+            r["rn"]: float(r["o_totalprice"])
+            for r in ranked.filter(F.col("rn").isin(list(set(want)))).collect()
+        }
+        edges = [by_rank[t] for t in want]
+    else:
+        edges = []
+    if edges:
+        edge_arr = ",".join(repr(e) for e in edges)
+        decile = F.expr(
+            f"CAST(1 + aggregate(array({edge_arr}), 0, (acc, e) -> "
+            f"acc + CASE WHEN o_totalprice > e THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+    else:
+        # empty sample: all 9 oracle edges are NULL -> every row bins to 1
+        decile = F.expr("CAST(1 AS BIGINT)")
     return (
         od.withColumn("decile", decile)
         .groupBy("decile")

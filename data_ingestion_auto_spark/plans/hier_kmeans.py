@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from . import semdedup as _sd
 from .helpers import T
 from .registry import query
 from .semdedup import _KM_CTES
@@ -98,3 +99,46 @@ def hierarchical_kmeans_assign(spark, sf_dir):
         .select("vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "semdedup_hier",
+    oracle=f"""
+WITH {_sd._AUG_QV},{_COARSE_CTES},
+gv AS (SELECT vec_id, cluster_id AS group_id, qvec FROM a3),
+f0 AS (
+  SELECT group_id, CAST(rn - 1 AS INTEGER) AS fine_id, qvec AS cvec FROM (
+    SELECT group_id, qvec, row_number() OVER (PARTITION BY group_id ORDER BY vec_id) AS rn
+    FROM gv
+  ) WHERE rn <= 3
+),{_fine_assign('gv', 'f0', 'fa1')},{_fine_update('fa1', 'fm1', 'fc1')},
+{_fine_assign('gv', 'fc1', 'fa2')},{_fine_update('fa2', 'fm2', 'fc2')},
+{_fine_assign('gv', 'fc2', 'fa3')},
+hc AS (
+  SELECT vec_id, qvec, CAST(group_id * 3 + fine_id AS BIGINT) AS cluster_id FROM fa3
+),
+{_sd._pairs_cte('hc')}
+{_sd._survivor_select('hc', 'm.cluster_id')}
+""",
+    tags=("dedup", "similarity", "embedding", "semdedup", "hierarchical"),
+)
+def semdedup_hier(spark, sf_dir):
+    """SemDeDup in the paper's DEPLOYMENT shape (Abbas et al. 2023 §3:
+    k ∝ corpus so expected cluster size stays constant): two-level
+    k-means over the augmented embedding corpus (coarse 3 × fine 3 —
+    the oracle's unrolled CTEs must be finite), then the within-cluster
+    quantized-cosine ≥ 0.99 gate and keep-min-id survivor keyed on the
+    composite cluster_id. Output: (vec_id, cluster_id, keep_id,
+    is_semantic_dup) — same contract as ``semdedup_clusters``, which
+    stays registered as the flat-clustering correctness twin.
+
+    Scale: coarse assignment broadcasts √k centroids (map-side); fine
+    assignment joins the centroid DataFrame on group_id, so the total
+    centroid count may grow with the corpus while per-iteration
+    assignment stays n·O(√k) — with k ∝ n that is the difference
+    between O(n^1.5) and flat k-means' O(n²) total work, and constant
+    expected cluster size keeps the pairwise gate linear (SCALE.md
+    zipf-10×: 0.31 here vs 1.7 for the pinned-k flat variant).
+    ``tools/soak.py`` drives the SAME plan function
+    (``plans.semdedup.semdedup_hier_with_k``) at k = 8·n/2000."""
+    return _sd.semdedup_hier_with_k(spark, sf_dir, k=9)

@@ -35,6 +35,55 @@ from .helpers import T
 from .registry import query
 from .similarity_lsh import _cosine_col, _NEARDUP_T
 
+# The 2%-perturbed augmentation (first dimension ×1.02, ids offset by
+# 10_000_000 — beyond any fixture corpus) shared by every semdedup
+# variant: the fixture's random embeddings top out at cosine ≈ 0.51, so
+# without the 20 deterministic near-copies the 0.99 gate would be dead
+# code at every SF.
+_PERT_VEC = (
+    "concat(array(CAST(element_at(embedding, 1) AS DOUBLE) * 1.02), "
+    "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
+)
+
+_AUG_QV = """aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.02], CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id < 20
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+  FROM aug
+)"""
+
+
+def _pairs_cte(src: str) -> str:
+    """Within-cluster quantized-cosine ≥ threshold dup pairs over any
+    (vec_id, qvec, cluster_id) CTE — shared by the flat and hierarchical
+    semdedup oracles so the gate is replayed bit-for-bit identically."""
+    return f"""pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM {src} a JOIN {src} b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(CAST(list_sum(list_transform(generate_series(1, len(a.qvec)),
+                   i -> a.qvec[i] * b.qvec[i])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(a.qvec, x -> x * x)) AS DOUBLE))
+                 * sqrt(CAST(list_sum(list_transform(b.qvec, x -> x * x)) AS DOUBLE))), 6)
+        >= {_NEARDUP_T}
+)"""
+
+
+def _survivor_select(src: str, cluster_expr: str) -> str:
+    return f"""SELECT m.vec_id,
+       {cluster_expr} AS cluster_id,
+       coalesce(min(p.a), m.vec_id) AS keep_id,
+       (coalesce(min(p.a), m.vec_id) <> m.vec_id) AS is_semantic_dup
+FROM {src} m LEFT JOIN pairs p ON p.b = m.vec_id
+GROUP BY m.vec_id, m.cluster_id
+ORDER BY m.vec_id"""
+
+
 _KM_CTES = """
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster_id, cvec
@@ -88,34 +137,9 @@ a3 AS (
 @query(
     "semdedup_clusters",
     oracle=f"""
-WITH aug AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + 10000000,
-         list_concat([CAST(embedding[1] AS DOUBLE) * 1.02], CAST(embedding[2:] AS DOUBLE[]))
-  FROM embeddings WHERE vec_id < 20
-),
-qv AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
-  FROM aug
-),{_KM_CTES},
-pairs AS (
-  SELECT a.vec_id AS a, b.vec_id AS b
-  FROM a3 a JOIN a3 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-  WHERE round(CAST(list_sum(list_transform(generate_series(1, len(a.qvec)),
-                   i -> a.qvec[i] * b.qvec[i])) AS DOUBLE)
-              / (sqrt(CAST(list_sum(list_transform(a.qvec, x -> x * x)) AS DOUBLE))
-                 * sqrt(CAST(list_sum(list_transform(b.qvec, x -> x * x)) AS DOUBLE))), 6)
-        >= {_NEARDUP_T}
-)
-SELECT m.vec_id,
-       CAST(m.cluster_id AS INTEGER) AS cluster_id,
-       coalesce(min(p.a), m.vec_id) AS keep_id,
-       (coalesce(min(p.a), m.vec_id) <> m.vec_id) AS is_semantic_dup
-FROM a3 m LEFT JOIN pairs p ON p.b = m.vec_id
-GROUP BY m.vec_id, m.cluster_id
-ORDER BY m.vec_id
+WITH {_AUG_QV},{_KM_CTES},
+{_pairs_cte('a3')}
+{_survivor_select('a3', 'CAST(m.cluster_id AS INTEGER)')}
 """,
     tags=("dedup", "similarity", "embedding", "semdedup"),
 )
@@ -142,25 +166,21 @@ def semdedup_clusters(spark, sf_dir):
     return semdedup_with_k(spark, sf_dir, k=8)
 
 
-def semdedup_with_k(spark, sf_dir, k: int):
-    """The k-parameterized SemDeDup plan ``semdedup_clusters`` pins at
-    k=8 for its oracle. ``tools/soak.py`` runs it with k ∝ corpus size
-    (k = 8 × n_vectors/2000) so the paper's scale regime — constant
-    expected cluster size, hence linear within-cluster pair work — is a
-    harness-exercised path, not just SCALE.md prose."""
-    from ..operators.ivf import kmeans_lite
-
+def _augmented(spark, sf_dir):
+    """(vec_id, embedding DOUBLE[]) corpus + the 20 perturbed near-copies."""
     emb = T(spark, sf_dir, "embeddings")
-    pert_vec = (
-        "concat(array(CAST(element_at(embedding, 1) AS DOUBLE) * 1.02), "
-        "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
-    )
     orig = emb.select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
     pert = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"), F.expr(pert_vec).alias("embedding")
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), F.expr(_PERT_VEC).alias("embedding")
     )
-    aug = orig.unionByName(pert)
-    assigned, _ = kmeans_lite(aug, k=k, iters=2)
+    return orig.unionByName(pert)
+
+
+def _pairs_and_keep(assigned, cluster_type: str):
+    """Within-cluster cosine-gate dup pairs + keep-min-id survivor over a
+    (vec_id, qvec, cluster_id) assignment frame — the SemDeDup survivor
+    rule, shared by the flat and hierarchical clustering paths so both
+    registered queries replay the identical gate."""
     a = assigned.select(F.col("vec_id").alias("a"), F.col("qvec").alias("qa"), "cluster_id")
     b = assigned.select(F.col("vec_id").alias("b"), F.col("qvec").alias("qb"), "cluster_id")
     pairs = (
@@ -175,9 +195,40 @@ def semdedup_with_k(spark, sf_dir, k: int):
         .agg(F.coalesce(F.min("a"), F.col("vec_id")).alias("keep_id"))
         .select(
             "vec_id",
-            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("cluster_id").cast(cluster_type).alias("cluster_id"),
             "keep_id",
             (F.col("keep_id") != F.col("vec_id")).alias("is_semantic_dup"),
         )
         .orderBy("vec_id")
     )
+
+
+def semdedup_with_k(spark, sf_dir, k: int):
+    """The k-parameterized FLAT SemDeDup plan ``semdedup_clusters`` pins
+    at k=8 for its oracle. ``tools/soak.py`` runs it with k ∝ corpus size
+    (k = 8 × n_vectors/2000) so the paper's scale regime — constant
+    expected cluster size, hence linear within-cluster pair work — is a
+    harness-exercised path, not just SCALE.md prose. Flat assignment is
+    n·k per iteration, so with k ∝ n this path does quadratic total
+    assignment work; ``semdedup_hier_with_k`` is the deployment shape."""
+    from ..operators.ivf import kmeans_lite
+
+    assigned, _ = kmeans_lite(_augmented(spark, sf_dir), k=k, iters=2)
+    return _pairs_and_keep(assigned, "int")
+
+
+def semdedup_hier_with_k(spark, sf_dir, k: int):
+    """Deployment-regime SemDeDup: TWO-LEVEL k-means (coarse √k
+    driver-held centroids route each vector to a group; fine centroids
+    stay a distributed DataFrame joined on group_id — n·O(√k) assignment
+    per iteration instead of flat n·k), then the identical within-cluster
+    cosine gate + keep-min-id survivor keyed on the composite
+    cluster_id = coarse·k2 + fine. With k ∝ corpus this keeps BOTH the
+    clustering and the pairwise tier linear (SCALE.md zipf table: 0.31 vs
+    flat-pinned-k's 1.7). Registered as ``semdedup_hier`` at k=9, the
+    finite unrolled-CTE oracle (plans/hier_kmeans.py); ``tools/soak.py``
+    drives this same function at k ∝ n."""
+    from ..operators.ivf import kmeans_hierarchical
+
+    assigned = kmeans_hierarchical(_augmented(spark, sf_dir), k=k, iters=2)
+    return _pairs_and_keep(assigned, "bigint")

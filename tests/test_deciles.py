@@ -27,3 +27,31 @@ def test_binned_deciles_track_exact(spark, sf_dir):
         lo_ok = exact[max(1, d - 1)]["lo"] <= binned[d]["lo"] <= exact[min(10, d + 1)]["hi"]
         hi_ok = exact[max(1, d - 1)]["lo"] <= binned[d]["hi"] <= exact[min(10, d + 1)]["hi"]
         assert lo_ok and hi_ok, (d, binned[d])
+
+
+def test_binned_deciles_small_sample_matches_oracle(spark, tmp_path):
+    """Round-9 ADVICE: a tiny orders table used to KeyError (target rank
+    i*(n+1)//10 = 0 or absent) while the DuckDB oracle degraded to NULL
+    edges. Both engines must now agree on the degenerate profile: with
+    every edge NULL/absent, all rows land in decile 1."""
+    import duckdb
+
+    from data_ingestion_auto_spark import plans
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    rows = [(k, 100.0 + k) for k in range(1, 7)]
+    spark.createDataFrame(rows, "o_orderkey long, o_totalprice double").coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+    got = (
+        plans.REGISTRY["order_value_deciles_binned"].spark(spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+    )
+    want = con.execute(plans.REGISTRY["order_value_deciles_binned"].oracle).fetchall()
+    assert [(r["decile"], r["n"], r["lo"], r["hi"]) for r in got] == [
+        tuple(w) for w in want
+    ]

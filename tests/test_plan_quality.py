@@ -583,3 +583,22 @@ def test_prefix_filter_join_reads_checkpointed_sets_no_cartesian(
     assert "concat_ws" not in p  # shingle construction stays behind the cut
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semdedup_hier_fine_centroids_joined_not_collected(spark, sf_dir, registry):
+    """The deployment-regime SemDeDup's scale claims, pinned in the plan:
+    (a) no unbounded cartesian anywhere — the only nested-loop joins are
+    the coarse level's broadcast of k1 ≈ √k driver-held centroids (bounded
+    model state, same pattern as MLlib coefficients); (b) the FINE
+    centroid table participates as a joined DataFrame keyed on group_id —
+    it appears as an equi-join, so total k may scale with the corpus
+    without a driver round-trip; (c) the dup-pair step is an equi-join on
+    the composite cluster_id, never all-pairs."""
+    df = registry["semdedup_hier"].spark(spark, sf_dir)
+    p = _plan(spark, df, "simple")
+    assert "CartesianProduct" not in p
+    lines = p.splitlines()
+    # fine assignment: an equi-join whose keys are the coarse group id
+    assert any("Join" in l and "group_id" in l for l in lines)
+    # dup pairs: an equi-join on the composite cluster id
+    assert any("Join" in l and "cluster_id" in l for l in lines)

@@ -104,34 +104,15 @@ def _semdedup_hier(spark, sf_dir):
     """SemDeDup with HIERARCHICAL (two-level) k-means at the same
     k ∝ corpus as _semdedup_kscaled: assignment cost n·O(√k) instead of
     flat n·k — the regime for k in the tens of thousands, where flat
-    assignment is quadratic total work (operators/ivf.py::
-    kmeans_hierarchical). Same downstream pairwise gate keyed on the
-    composite cluster_id."""
-    from pyspark.sql import functions as F
-
-    from data_ingestion_auto_spark.operators.ivf import kmeans_hierarchical
-    from data_ingestion_auto_spark.plans.helpers import T
-    from data_ingestion_auto_spark.plans.similarity_lsh import _NEARDUP_T, _cosine_col
+    assignment is quadratic total work. Since round 10 this drives the
+    REGISTERED plan function (``semdedup_hier`` pins k=9 for its finite
+    unrolled-CTE oracle; this harness path exercises the k-scaling rule
+    on the exact same code)."""
+    from data_ingestion_auto_spark.plans.semdedup import semdedup_hier_with_k
 
     n = _rows(spark, sf_dir, "embeddings")
     k = max(8, round(8 * n / 2000))
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
-    )
-    assigned = kmeans_hierarchical(emb, k=k, iters=2)
-    a = assigned.select(F.col("vec_id").alias("a"), F.col("qvec").alias("qa"), "cluster_id")
-    b = assigned.select(F.col("vec_id").alias("b"), F.col("qvec").alias("qb"), "cluster_id")
-    pairs = (
-        a.join(b, "cluster_id")
-        .filter(F.col("a") < F.col("b"))
-        .filter(_cosine_col("qa", "qb") >= _NEARDUP_T)
-        .select("a", "b")
-    )
-    return (
-        assigned.join(pairs, assigned.vec_id == pairs.b, "left")
-        .groupBy("vec_id", "cluster_id")
-        .agg(F.coalesce(F.min("a"), F.col("vec_id")).alias("keep_id"))
-    )
+    return semdedup_hier_with_k(spark, sf_dir, k=k)
 
 
 def _run_once(spark, name: str, sf_dir: str) -> float:
