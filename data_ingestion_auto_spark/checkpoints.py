@@ -22,6 +22,19 @@ trips in the connected-components loop (operators/dedup.py) — stays as
 is: it was chosen over checkpointing for the measured stats-compounding
 reason documented there, and parquet on cluster storage is already
 fault-tolerant.
+
+Checkpoint-file RETENTION (round-9 ADVICE): Spark never deletes
+reliable checkpoint files unless
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — the default
+is false, so the iterative plans that cut once per round (k-means
+updates, BPE merge rounds, the suffix-array prefix-doubling ladder)
+accumulate one checkpoint directory per round, unbounded over a
+long-lived production session. Production sessions that call
+``setCheckpointDir`` MUST either set that conf (checkpoints are then
+GC'd when their DataFrame is unreachable) or point the dir at storage
+with a lifecycle/TTL rule and clear it between jobs. Local/test
+sessions are unaffected (``localCheckpoint`` blocks are owned by the
+executor store and die with the JVM).
 """
 
 from __future__ import annotations

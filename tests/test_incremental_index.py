@@ -253,3 +253,91 @@ def test_reingest_never_self_matches(spark, banded_split, tmp_path):
     )
     # and a doc with a genuine earlier partner still reports it
     assert res.filter(F.col("is_dup")).count() > 0
+
+
+def test_append_reingest_is_idempotent(spark, tmp_path):
+    """Round-9 ADVICE: re-appending an already-indexed batch must store
+    nothing and burn no capacity — fresh rows in the same append rank
+    into the slots the duplicates would have consumed."""
+
+    def banded(ids, band=0, band_hash="hot"):
+        return spark.createDataFrame(
+            [(i, band, band_hash) for i in ids],
+            "doc_id long, band int, band_hash string",
+        )
+
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_idem")
+    D.write_band_index(
+        banded(range(3)), "t_band_idx_idem", buckets=4, max_bucket=5,
+        path=str(tmp_path / "idx_idem"),
+    )
+    # re-ingest the same batch PLUS two fresh ids: duplicates dropped,
+    # fresh rows admitted into the capacity they'd otherwise have eaten
+    D.write_band_index(
+        banded([0, 1, 2, 10, 11]), "t_band_idx_idem", buckets=4, max_bucket=5,
+        mode="append", path=str(tmp_path / "idx_idem"),
+    )
+    rows = sorted(
+        (r.doc_id, r.band, r.band_hash)
+        for r in spark.table("t_band_idx_idem").collect()
+    )
+    assert rows == [(i, 0, "hot") for i in [0, 1, 2, 10, 11]]
+    # pure re-ingest: exact no-op
+    D.write_band_index(
+        banded([0, 1, 2, 10, 11]), "t_band_idx_idem", buckets=4, max_bucket=5,
+        mode="append", path=str(tmp_path / "idx_idem"),
+    )
+    assert spark.table("t_band_idx_idem").count() == 5
+    assert spark.table("t_band_idx_idem").distinct().count() == 5
+
+
+def test_retire_forgets_probe_hits_and_restores_capacity(spark, tmp_path):
+    """Round-9 verdict #6: retire-by-id compaction. A retired doc stops
+    appearing as a probe partner, a subsequent append reuses the freed
+    capacity, the cap invariant holds, and the layout stays bucketed."""
+
+    def banded(ids, band=0, band_hash="hot"):
+        return spark.createDataFrame(
+            [(i, band, band_hash) for i in ids],
+            "doc_id long, band int, band_hash string",
+        )
+
+    spark.sql("DROP TABLE IF EXISTS t_band_idx_ret")
+    D.write_band_index(
+        banded(range(5)), "t_band_idx_ret", buckets=4, max_bucket=5,
+        path=str(tmp_path / "idx_ret"),
+    )
+    probe = banded([500])
+    r0 = D.probe_band_index(spark, probe, "t_band_idx_ret").collect()[0]
+    assert (r0.dup_of, r0.is_dup) == (0, True)
+
+    retired = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    D.retire_from_band_index(
+        spark, "t_band_idx_ret", retired, buckets=4,
+        path=str(tmp_path / "idx_ret"),
+    )
+    assert sorted(
+        r.doc_id for r in spark.table("t_band_idx_ret").collect()
+    ) == [2, 3, 4]
+    r1 = D.probe_band_index(spark, probe, "t_band_idx_ret").collect()[0]
+    assert (r1.dup_of, r1.is_dup) == (2, True)
+    # probe layout survives the rewrite
+    p = _plan(D.probe_band_index(spark, probe, "t_band_idx_ret"))
+    assert "Bucketed: true" in p
+
+    # freed capacity is reusable: exactly 2 of the 6 new rows admitted
+    D.write_band_index(
+        banded(range(100, 106)), "t_band_idx_ret", buckets=4, max_bucket=5,
+        mode="append", path=str(tmp_path / "idx_ret"),
+    )
+    stored = sorted(r.doc_id for r in spark.table("t_band_idx_ret").collect())
+    assert stored == [2, 3, 4, 100, 101]
+
+    # retire everything in the bucket: the probe finds no partner at all
+    D.retire_from_band_index(
+        spark, "t_band_idx_ret",
+        spark.createDataFrame([(i,) for i in stored], "doc_id long"),
+        buckets=4, path=str(tmp_path / "idx_ret"),
+    )
+    r2 = D.probe_band_index(spark, probe, "t_band_idx_ret").collect()[0]
+    assert (r2.dup_of, r2.is_dup) == (500, False)
