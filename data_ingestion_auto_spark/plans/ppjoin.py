@@ -44,11 +44,17 @@ from .registry import query
 _T_NUM = 3
 _T_DEN = 5
 
+# Hot-prefix fallback threshold: a prefix-token bucket fanning out to
+# more than this many documents generates > _HOT_PREFIX_MAX² candidate
+# pairs from one token — the signal to route that corpus through the
+# capped probabilistic LSH tier instead of the exact tier (module
+# docstring). `prefix_bucket_stats` is the in-engine trigger.
+_HOT_PREFIX_MAX = 1000
 
-@query(
-    "prefix_filter_jaccard_join",
-    oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Shared CTE chain: distinct 3-gram shingles -> document frequency ->
+# rare-first ordered set per doc -> per-doc prefix tokens. Both the join
+# and its observability twin replay exactly this text.
+_SETS_CTES = f"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 toks AS (
   SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], ' ') AS token
   FROM w,
@@ -65,7 +71,49 @@ pref AS (
          unnest(arr[1 : CAST(x - ({_T_NUM}*x + {_T_DEN - 1}) // {_T_DEN} + 1 AS INT)])
            AS token
   FROM docs
-),
+)"""
+
+
+def _ordered_sets(spark, sf_dir):
+    """Rare-first ordered shingle set per doc (checkpointed once — the
+    prefix explode and BOTH verify sides read it, and the cut keeps the
+    explode's implicit size()>0 filter off the aggregate chain, the
+    lesson winnowing_match_pairs measured)."""
+    docs_raw = T(spark, sf_dir, "documents")
+    w = docs_raw.select("doc_id", F.split("text", " ").alias("w"))
+    gram = (
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+        "element_at(w, i + 2))) ELSE array() END"
+    )
+    toks = (
+        w.select("doc_id", F.explode(F.expr(gram)).alias("token")).distinct()
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    return ckpt(
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, token))), s -> s.token)"
+            ).alias("arr"),
+            F.count("*").cast("bigint").alias("x"),
+        )
+    )
+
+
+def _prefix_tokens(docs):
+    """Each doc's first |x| - ceil(t·|x|) + 1 rare-first tokens."""
+    p_sql = f"CAST(x - (({_T_NUM} * x + {_T_DEN - 1}) div {_T_DEN}) + 1 AS INT)"
+    return docs.select(
+        "doc_id", F.explode(F.expr(f"slice(arr, 1, {p_sql})")).alias("token")
+    )
+
+
+@query(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+WITH {_SETS_CTES},
 cand AS (
   SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
   FROM pref p1 JOIN pref p2 ON p1.token = p2.token AND p1.doc_id < p2.doc_id
@@ -92,35 +140,8 @@ def prefix_filter_jaccard_join(spark, sf_dir):
     see module docstring for the completeness argument and the
     integer-exact threshold arithmetic). Columns: the pair, intersection
     and union sizes, and the exact Jaccard."""
-    docs_raw = T(spark, sf_dir, "documents")
-    w = docs_raw.select("doc_id", F.split("text", " ").alias("w"))
-    gram = (
-        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "
-        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
-        "element_at(w, i + 2))) ELSE array() END"
-    )
-    toks = (
-        w.select("doc_id", F.explode(F.expr(gram)).alias("token")).distinct()
-    )
-    dfreq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
-    # rare-first ordered shingle set per doc; checkpointed once — the
-    # prefix explode and BOTH verify sides read it (and the cut keeps
-    # the explode's implicit size()>0 filter off the aggregate chain,
-    # the lesson winnowing_match_pairs measured).
-    docs = ckpt(
-        toks.join(dfreq, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(df, token))), s -> s.token)"
-            ).alias("arr"),
-            F.count("*").cast("bigint").alias("x"),
-        )
-    )
-    p_sql = f"CAST(x - (({_T_NUM} * x + {_T_DEN - 1}) div {_T_DEN}) + 1 AS INT)"
-    pref = docs.select(
-        "doc_id", F.explode(F.expr(f"slice(arr, 1, {p_sql})")).alias("token")
-    )
+    docs = _ordered_sets(spark, sf_dir)
+    pref = _prefix_tokens(docs)
     cand = (
         pref.select(F.col("doc_id").alias("a"), "token")
         .join(pref.select(F.col("doc_id").alias("b"), "token"), "token")
@@ -148,4 +169,57 @@ def prefix_filter_jaccard_join(spark, sf_dir):
             (F.col("n_inter").cast("double") / F.col("n_union")).alias("jaccard"),
         )
         .orderBy("a", "b")
+    )
+
+
+@query(
+    "prefix_bucket_stats",
+    oracle=f"""
+WITH {_SETS_CTES},
+buckets AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_docs FROM pref GROUP BY token
+)
+SELECT n_docs AS bucket_docs,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       min(token) AS example_token,
+       n_docs > {_HOT_PREFIX_MAX} AS overflow
+FROM buckets
+GROUP BY n_docs
+ORDER BY bucket_docs
+""",
+    tags=("dedup", "similarity", "exact", "prefix-filter", "observability", "llm"),
+)
+def prefix_bucket_stats(spark, sf_dir):
+    """Observability twin of ``operators/dedup.py::lsh_bucket_stats`` for
+    the EXACT prefix-filter tier (round-9 verdict #4): how many documents
+    each prefix token fans out to, folded into the bucket-size histogram
+    (bucket_docs, n_buckets, example_token, overflow). The candidate
+    count the exact join will pay is Σ n_docs², so the top rows of this
+    profile ARE the join's cost forecast — and any ``overflow = true``
+    row (a token fanning past {_HOT_PREFIX_MAX} docs) is the in-engine
+    trigger for the documented fallback: route that corpus through the
+    capped probabilistic LSH tier instead of the exact tier.
+
+    Scale: one corpus scan (the same checkpointed ordered-set frame the
+    join reads), one count per prefix token, then a histogram fold —
+    output is bounded by the number of DISTINCT bucket sizes, never
+    token- or corpus-sized. ``example_token`` (min per size class) makes
+    the hot bucket actionable without materializing per-token rows."""
+    pref = _prefix_tokens(_ordered_sets(spark, sf_dir))
+    buckets = pref.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        buckets.groupBy("n_docs")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.min("token").alias("example_token"),
+        )
+        .select(
+            F.col("n_docs").alias("bucket_docs"),
+            "n_buckets",
+            "example_token",
+            (F.col("n_docs") > _HOT_PREFIX_MAX).alias("overflow"),
+        )
+        .orderBy("bucket_docs")
     )

@@ -602,3 +602,14 @@ def test_semdedup_hier_fine_centroids_joined_not_collected(spark, sf_dir, regist
     assert any("Join" in l and "group_id" in l for l in lines)
     # dup pairs: an equi-join on the composite cluster id
     assert any("Join" in l and "cluster_id" in l for l in lines)
+
+
+def test_prefix_bucket_stats_reads_checkpointed_sets(spark, sf_dir, registry):
+    """The observability query must cost what the module claims: the
+    same checkpointed ordered-set frame the join reads (no second corpus
+    scan, no shingle lambdas downstream of the cut) folded by two
+    hash aggregations — no join of any kind in the plan."""
+    p = _plan(spark, registry["prefix_bucket_stats"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "concat_ws" not in p
+    assert "Join" not in p

@@ -81,6 +81,7 @@ DRIVER_TABLE = {
     "group_aware_split_assign": "documents",
     "winnowing_match_pairs": "documents",
     "prefix_filter_jaccard_join": "documents",
+    "prefix_bucket_stats": "documents",
     "lsh_scurve_calibration": "documents",
     "bpe_encode_token_budget": "documents",
 }
