@@ -613,3 +613,18 @@ def test_prefix_bucket_stats_reads_checkpointed_sets(spark, sf_dir, registry):
     assert "Scan parquet" not in p
     assert "concat_ws" not in p
     assert "Join" not in p
+
+
+def test_winnowing_match_spans_lambdas_never_reach_a_scan(spark, sf_dir, registry):
+    """Same lineage-cut contract as winnowing_match_pairs: the
+    (fingerprint, position) frame checkpoints BEFORE the explode, so the
+    final plan reads checkpointed state only — no parquet scan, no md5
+    winnowing lambda anywhere downstream, and candidates come from the
+    capped fingerprint equi-join, never a cartesian. (The run-fold
+    filter() lambdas over the bounded per-pair position arrays are the
+    span machinery itself and rightly remain.)"""
+    p = _plan(spark, registry["winnowing_match_spans"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "md5(" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

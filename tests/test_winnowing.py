@@ -172,3 +172,57 @@ def test_fuzz_matches_python_reference_tiny_alphabet(spark):
     for doc_id, text in docs:
         n, sel, fps = _py_winnow(text)
         assert got[doc_id] == (n, sorted(sel), fps), (doc_id, text)
+
+
+def test_match_spans_recover_planted_run_within_slack(spark):
+    """Round-9 verdict #5 acceptance: plant a known shared token run and
+    assert `winnowing_match_spans` reports, on EACH side, a span that
+    lies inside the true run and covers it within k+w-1 token slack
+    (winnowing selects at least one gram per window but not necessarily
+    the run's first/last gram, so up to w-1 grams at each edge — plus
+    the k-1 gram-to-token widening — may be missed)."""
+    from data_ingestion_auto_spark.plans import retrieval as R
+    import duckdb
+
+    k, w = R._WIN_K, R._WIN_W
+    slack = k + w - 1
+    shared_tokens = [f"s{i}" for i in range(16)]  # 16-token planted run
+    pre_a, post_a = ["a%d" % i for i in range(7)], ["x%d" % i for i in range(6)]
+    pre_b, post_b = ["b%d" % i for i in range(11)], ["y%d" % i for i in range(4)]
+    docs = [
+        (0, " ".join(pre_a + shared_tokens + post_a)),
+        (1, " ".join(pre_b + shared_tokens + post_b)),
+        (2, "totally different words with no overlap at all whatsoever here"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    rows = con.execute(R._spans_oracle()).fetchall()
+    by_side = {}
+    for a, b, side, st, en, nf in rows:
+        assert (a, b) == (0, 1)
+        by_side.setdefault(side, []).append((st, en, nf))
+    # true run in 1-based token coords per side
+    true_a = (len(pre_a) + 1, len(pre_a) + len(shared_tokens))
+    true_b = (len(pre_b) + 1, len(pre_b) + len(shared_tokens))
+    for side, true in (("a", true_a), ("b", true_b)):
+        spans = by_side[side]
+        # exactly one merged run per side for a single planted region
+        assert len(spans) == 1, spans
+        st, en, nf = spans[0]
+        lo, hi = true
+        assert lo <= st <= lo + slack, (side, spans, true)
+        assert hi - slack <= en <= hi, (side, spans, true)
+        assert nf >= 1
+
+    # the Spark side agrees with the oracle on the crafted corpus
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("documents_crafted")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        (r.a, r.b, r.side, r.start_token, r.end_token, r.n_fps)
+        for r in R.winnowing_match_spans(spark, d).collect()
+    ]
+    assert got == [tuple(r) for r in rows]

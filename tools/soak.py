@@ -80,6 +80,7 @@ DRIVER_TABLE = {
     # round-9 leakage remediation (CC-bound, like neardup_components)
     "group_aware_split_assign": "documents",
     "winnowing_match_pairs": "documents",
+    "winnowing_match_spans": "documents",
     "prefix_filter_jaccard_join": "documents",
     "prefix_bucket_stats": "documents",
     "lsh_scurve_calibration": "documents",
