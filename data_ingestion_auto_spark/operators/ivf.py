@@ -155,6 +155,147 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Stored IVF index — the production incremental-ANN path (round-9 verdict
+# #5: the embedding twin of operators/dedup.py::write_band_index /
+# probe_band_index). `plans/ann_incremental.py::incremental_ann_assign` is
+# the oracled query twin; these are the operators a real pipeline calls.
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    table: str,
+    k: int = 8,
+    iters: int = 2,
+    buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> None:
+    """Train the deterministic k-means-lite quantizer on the corpus and
+    materialize the IVF index: assignments (id, qvec, cluster_id) as a
+    parquet table BUCKETED on cluster_id (every future probe equi-joins
+    the lists with zero Exchange on this side), centroids as the
+    companion ``{table}_centroids`` table (k×dim ints — model state,
+    list-sized, broadcast by every probe).
+
+    At 100 TB: the index is corpus-sized but writing it costs one
+    shuffle; probes and appends afterwards never retrain or reshuffle it
+    (the IVF contract: centroids are frozen until an explicit rebuild,
+    exactly like Faiss's add-after-train)."""
+    spark = emb.sparkSession
+    assigned, cent_rows = kmeans_lite(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    writer = (
+        assigned.select(id_col, "qvec", "cluster_id")
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, "cluster_id")
+        .sortBy("cluster_id", id_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    cw = spark.createDataFrame(
+        cent_rows, "cluster_id int, cvec array<bigint>"
+    ).coalesce(1).write.format("parquet").mode("overwrite")
+    if path is not None:
+        cw = cw.option("path", path + "_centroids")
+    cw.saveAsTable(f"{table}_centroids")
+
+
+def probe_ivf_index(
+    spark,
+    batch_emb: DataFrame,
+    table: str,
+    nprobe: int = 2,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search an arriving batch against the STORED IVF index: broadcast
+    the stored centroids (bounded model state), coarse-route each batch
+    vector to its ``nprobe`` nearest lists, exact quantized cosine
+    against the stored list members only, keep ``topk``. Self-matches
+    are excluded (``cand_id != query_id``) so probing a batch that was
+    already appended is idempotent — the same contract as
+    ``probe_band_index``.
+
+    Plan shape (machine-pinned in tests/test_ivf_index.py): the index
+    side is a bare bucketed scan on cluster_id with NO Exchange;
+    per-probe cost is O(batch·k) routing + O(probed-list rows) ADC —
+    independent of corpus size outside the probed lists."""
+    centroids = spark.table(f"{table}_centroids").select(
+        "cluster_id", F.col("cvec")
+    )
+    q = quantize(batch_emb, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", F.expr(_DIST2.format(a="qq", b="cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist2", "cluster_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qq", "cluster_id")
+    )
+    idx = spark.table(table)
+    dot = "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    nrm = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"
+    cand = (
+        idx.join(probes, "cluster_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(
+                F.expr(dot)
+                / (F.sqrt(F.expr(nrm.format(v="qq"))) * F.sqrt(F.expr(nrm.format(v="qvec")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def append_to_ivf_index(
+    spark,
+    batch_emb: DataFrame,
+    table: str,
+    buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a new batch to the stored index WITHOUT retraining: route the
+    batch through the FROZEN stored centroids (broadcast, map-side) and
+    append the routed (id, qvec, cluster_id) rows. Idempotent: ids
+    already stored are dropped first (one anti-join against the stored
+    id column — ids are unique per vector, so this is the whole key).
+    Centroid staleness is the standard IVF trade: lists drift as the
+    corpus grows until an explicit ``write_ivf_index`` rebuild, which is
+    the Faiss add-vs-retrain contract."""
+    centroids = spark.table(f"{table}_centroids")
+    routed = _assign(
+        quantize(batch_emb, id_col, vec_col), centroids, id_col
+    ).select(id_col, "qvec", "cluster_id")
+    fresh = routed.join(
+        spark.table(table).select(id_col), [id_col], "left_anti"
+    )
+    (
+        fresh.write.format("parquet")
+        .mode("append")
+        .bucketBy(buckets, "cluster_id")
+        .sortBy("cluster_id", id_col)
+        .saveAsTable(table)
+    )
+
+
 def _assign_grouped(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """Nearest FINE centroid within each vector's own coarse group: an
     equi-join on group_id (per-key candidate set = that group's fine

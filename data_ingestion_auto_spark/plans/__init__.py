@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     similarity,
     similarity_lsh,
     ann_eval,  # after similarity_lsh: shares its LSH helpers
+    ann_incremental,  # after semdedup: shares its k-means CTEs
     sketches,
     collocations,
     export_pipeline,

@@ -628,3 +628,15 @@ def test_winnowing_match_spans_lambdas_never_reach_a_scan(spark, sf_dir, registr
     assert "md5(" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_ann_assign_no_cartesian_lists_equijoined(spark, sf_dir, registry):
+    """The incremental ANN plan's scale claims: the only nested-loop
+    joins are broadcasts of the k-centroid model state (routing), and
+    the candidate step is an equi-join on cluster_id against the corpus
+    lists — never all-pairs, and never a distance between two corpus
+    vectors."""
+    df = registry["incremental_ann_assign"].spark(spark, sf_dir)
+    p = _plan(spark, df, "simple")
+    assert "CartesianProduct" not in p
+    assert any("Join" in l and "cluster_id" in l for l in p.splitlines())

@@ -70,6 +70,8 @@ DRIVER_TABLE = {
     "hashed_linear_classifier_scores": "documents",
     "exact_substring_cut": "documents",
     "ann_filtered_lsh": "embeddings",
+    "incremental_ann_assign": "embeddings",
+    "incremental_ann_kscaled": "embeddings",
     "neardup_pagerank": "documents",
     "kmv_set_operations": "orders",
     "hashed_sample_quantiles": "lineitem",
@@ -117,6 +119,18 @@ def _semdedup_hier(spark, sf_dir):
     return semdedup_hier_with_k(spark, sf_dir, k=k)
 
 
+def _incremental_ann_kscaled(spark, sf_dir):
+    """Incremental ANN in the IVF deployment regime: k ∝ corpus so
+    probed-list size stays constant as the corpus grows (the registered
+    ``incremental_ann_assign`` pins k=8 for its finite unrolled-CTE
+    oracle; this drives the SAME plan function at scale-true k)."""
+    from data_ingestion_auto_spark.plans.ann_incremental import incremental_ann_with_k
+
+    n = _rows(spark, sf_dir, "embeddings")
+    k = max(8, round(8 * n / 2000))
+    return incremental_ann_with_k(spark, sf_dir, k=k)
+
+
 def _run_once(spark, name: str, sf_dir: str) -> float:
     from data_ingestion_auto_spark import plans
 
@@ -125,6 +139,8 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
         df = _semdedup_kscaled(spark, sf_dir)
     elif name == "semdedup_hier":
         df = _semdedup_hier(spark, sf_dir)
+    elif name == "incremental_ann_kscaled":
+        df = _incremental_ann_kscaled(spark, sf_dir)
     else:
         df = plans.REGISTRY[name].spark(spark, sf_dir)
     try:
