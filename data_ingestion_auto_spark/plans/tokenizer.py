@@ -129,7 +129,25 @@ def bpe_merge_steps(spark, sf_dir):
     (merge_rank, left_sym, right_sym, merged, pair_count) — the artifact
     a tokenizer trainer persists. Reference scope: the reference has no
     tokenizer tier; this extends the LLM-pipeline surface (SURVEY §2
-    extensions) following Sennrich et al. 2016's algorithm."""
+    extensions) following Sennrich et al. 2016's algorithm.
+
+    R=6 is the ORACLE's round count (the unrolled-CTE ladder must be
+    finite); the Spark side is already the deployment shape — a
+    ckpt-per-round driver loop whose plan stays FLAT (each round reads
+    the previous round's checkpoint, never an R-deep expression chain),
+    so rounds cost O(1) compile each and total wall grows linearly in R.
+    ``bpe_merges_with_r`` is the R-parameterized function; SCALE.md's
+    round-10 table measures it at R = 6/24/48."""
+    return bpe_merges_with_r(spark, sf_dir, _R)
+
+
+def bpe_merges_with_r(spark, sf_dir, r_rounds: int):
+    """The R-parameterized BPE merge ladder ``bpe_merge_steps`` pins at
+    R=6 for its oracle. Deployment trains thousands of merges: the
+    per-round ckpt keeps each round's plan flat and constant-size, so R
+    scales linearly in wall with a fixed per-round driver cost (SCALE.md
+    round 10) — there is no unrolled plan to outgrow the optimizer,
+    because the unroll exists only in the DuckDB gate."""
     words = (
         T(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -146,7 +164,7 @@ def bpe_merge_steps(spark, sf_dir):
         .transform(ckpt)
     )
     merges = []
-    for r in range(1, _R + 1):
+    for r in range(1, r_rounds + 1):
         pair_counts = (
             words.withColumn("s", F.split("sym", " "))
             .select("cnt", F.expr(_PAIRS).alias("p"))
@@ -164,7 +182,7 @@ def bpe_merge_steps(spark, sf_dir):
                 "pair_count",
             )
         )
-        if r < _R:
+        if r < r_rounds:
             words = ckpt(_merge_apply(words, best))
     out = merges[0]
     for m in merges[1:]:
