@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     similarity_lsh,
     ann_eval,  # after similarity_lsh: shares its LSH helpers
     ann_incremental,  # after semdedup: shares its k-means CTEs
+    cdc_chunks,
     sketches,
     collocations,
     export_pipeline,

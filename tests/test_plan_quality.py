@@ -640,3 +640,21 @@ def test_incremental_ann_assign_no_cartesian_lists_equijoined(spark, sf_dir, reg
     p = _plan(spark, df, "simple")
     assert "CartesianProduct" not in p
     assert any("Join" in l and "cluster_id" in l for l in p.splitlines())
+
+
+def test_cdc_chunk_queries_lambdas_never_reach_a_scan(spark, sf_dir, registry):
+    """The CDC tier's ckpt-before-explode contract: the chunk-array
+    projection (window hashes, boundary filter, chunk md5) checkpoints
+    before the explode, so both registered queries' final plans read
+    checkpointed state only — no parquet scan, no md5 lambda. The dedup
+    inventory is a pure hash aggregation (no join of any kind); the
+    per-doc ratio adds exactly one hash-keyed equi-join (no cartesian)."""
+    p1 = _plan(spark, registry["cdc_chunk_dedup"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p1
+    assert "md5(" not in p1
+    assert "Join" not in p1
+    p2 = _plan(spark, registry["cdc_doc_dup_ratio"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p2
+    assert "md5(" not in p2
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2

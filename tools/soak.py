@@ -85,6 +85,8 @@ DRIVER_TABLE = {
     "winnowing_match_spans": "documents",
     "prefix_filter_jaccard_join": "documents",
     "prefix_bucket_stats": "documents",
+    "cdc_chunk_dedup": "documents",
+    "cdc_doc_dup_ratio": "documents",
     "lsh_scurve_calibration": "documents",
     "bpe_encode_token_budget": "documents",
 }
