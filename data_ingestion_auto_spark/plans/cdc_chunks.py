@@ -52,9 +52,9 @@ _HEX8S = (
     + ")"
 )
 
-_SQL_CHUNKS = f"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+_SQL_CHUNKS = f"""d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
 bnd AS (
-  SELECT doc_id, w,
+  SELECT doc_id, source, w,
          CASE WHEN len(w) >= {_W} THEN
            list_filter(generate_series({_W}, len(w)),
                        i -> ({_HEX8S.format(v=f"array_to_string(w[i - {_W - 1} : i], ' ')")} % {_D}) = 0)
@@ -62,13 +62,13 @@ bnd AS (
   FROM d
 ),
 spans AS (
-  SELECT doc_id, w,
+  SELECT doc_id, source, w,
          list_transform(list_concat([0], bp), x -> x + 1) AS starts,
          list_concat(bp, [len(w)]) AS ends
   FROM bnd
 ),
 chunks AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          md5(array_to_string(w[starts[j] : ends[j]], ' ')) AS chash,
          CAST(ends[j] - starts[j] + 1 AS BIGINT) AS n_tokens
   FROM spans, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS j) u
@@ -98,18 +98,22 @@ def _chunk_rows(spark, sf_dir):
     )
     docs = T(spark, sf_dir, "documents")
     spans = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", "w", F.expr(bp).alias("bp"))
+        docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+        .select("doc_id", "source", "w", F.expr(bp).alias("bp"))
         .select(
             "doc_id",
+            "source",
             "w",
             F.expr("transform(concat(array(0), bp), x -> x + 1)").alias("starts"),
             F.expr("concat(bp, array(size(w)))").alias("ends"),
         )
     )
-    arr = ckpt(spans.select("doc_id", F.expr(chunk).alias("chunks")))
-    return arr.select("doc_id", F.explode("chunks").alias("c")).select(
-        "doc_id", F.col("c.chash").alias("chash"), F.col("c.n_tokens").alias("n_tokens")
+    arr = ckpt(spans.select("doc_id", "source", F.expr(chunk).alias("chunks")))
+    return arr.select("doc_id", "source", F.explode("chunks").alias("c")).select(
+        "doc_id",
+        "source",
+        F.col("c.chash").alias("chash"),
+        F.col("c.n_tokens").alias("n_tokens"),
     )
 
 
@@ -216,4 +220,73 @@ def cdc_doc_dup_ratio(spark, sf_dir):
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH {_SQL_CHUNKS},
+sc AS (SELECT DISTINCT source, chash FROM chunks),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks FROM sc GROUP BY source),
+pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_chunks
+  FROM sc a JOIN sc b ON a.chash = b.chash AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared_chunks,
+       ta.n_chunks AS n_chunks_a, tb.n_chunks AS n_chunks_b,
+       CAST(p.n_shared_chunks AS DOUBLE) / least(ta.n_chunks, tb.n_chunks)
+         AS containment
+FROM pair p
+JOIN tot ta ON p.source_a = ta.source
+JOIN tot tb ON p.source_b = tb.source
+ORDER BY source_a, source_b
+""",
+    tags=("dedup", "cdc", "chunk", "provenance", "observability", "llm"),
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Which sources copy from each other: per unordered source pair,
+    the number of DISTINCT CDC chunk hashes present in both, each side's
+    distinct-chunk total, and the containment ratio
+    shared / min(|A|, |B|) (one exact IEEE division) — the provenance
+    cross-contamination matrix a mixture designer reads before weighting
+    sources (double-counted content inflates a source's apparent mass).
+
+    Scale: the distinct (source, chash) frame is chunk-hash-sized; the
+    pair join is chash-keyed, and its fan-out per chunk is bounded by
+    the number of SOURCES sharing it (sources², not docs²). Output is
+    at most sources·(sources−1)/2 rows — constant-sized observability at
+    any corpus, like lsh_bucket_stats and prefix_bucket_stats."""
+    c = _chunk_rows(spark, sf_dir)
+    sc = c.select("source", "chash").distinct()
+    tot = sc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chunks")
+    )
+    a = sc.select(F.col("source").alias("source_a"), "chash")
+    b = sc.select(F.col("source").alias("source_b"), "chash")
+    pair = (
+        a.join(b, "chash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_chunks"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n_chunks").alias("n_chunks_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n_chunks").alias("n_chunks_b"))
+    return (
+        pair.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_chunks",
+            "n_chunks_a",
+            "n_chunks_b",
+            (
+                F.col("n_shared_chunks").cast("double")
+                / F.least("n_chunks_a", "n_chunks_b")
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
     )

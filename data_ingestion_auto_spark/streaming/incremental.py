@@ -195,3 +195,84 @@ def stream_stream_interval_join(
         F.col("r.ts").alias("right_ts"),
         (F.unix_timestamp("r.ts") - F.unix_timestamp("l.ts")).alias("lag_seconds"),
     )
+
+
+def start_dedup_ingest_stream(
+    spark,
+    stream_docs: DataFrame,
+    index_table: str,
+    assign_path: str,
+    checkpoint: str,
+    buckets: int = 16,
+    max_bucket: int = 1000,
+):
+    """Continuous ingest dedup against the STORED band index — the
+    streaming closure of the batch lifecycle (write_band_index /
+    probe_band_index / append): every micro-batch of arriving documents
+    (doc_id, text) is signed, probed against the index (assignment =
+    smallest indexed partner sharing a band bucket, or self), the
+    assignments land in a parquet sink, and the batch's banded rows are
+    appended to the index so LATER batches dedup against EARLIER ones —
+    exactly the daily-ingest loop, per micro-batch.
+
+    Delivery semantics: foreachBatch is at-least-once on retry, and both
+    effects tolerate it, with different strengths:
+
+    - the INDEX (the source of truth) is exactly-once in effect: append
+      is idempotent by construction (stored (id, band, band_hash) keys
+      drop before ranking, round-10 fix), so any replay is a no-op;
+    - the ASSIGNMENT sink is at-least-once with MONOTONE REFINEMENT on
+      the PARTNER SET: a replayed probe sees a later index (its own
+      batch, possibly later epochs) — a superset of partners — so
+      is_dup can only flip false→true (a duplicate is never lost), and
+      among is_dup rows dup_of (= min over visible partners) can only
+      stay or decrease. A doc first reported new-unique (dup_of = its
+      own id via the coalesce) may on replay gain a partner with ANY
+      id. Readers therefore resolve per doc_id: the smallest dup_of
+      among rows with is_dup, else self — deterministic under any
+      replay history. probe_band_index's self-exclusion (o_id != n_id)
+      is what makes re-probing an already-appended batch safe at all.
+
+    Scale: per micro-batch cost is O(batch shingles) + one bucket-keyed
+    probe with ZERO Exchange on the index side + one capped append —
+    corpus-size-independent, which is the entire point of carrying the
+    index instead of re-deduplicating history every trigger."""
+    from ..operators import dedup as D
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        # foreachBatch hands us a DataFrame bound to a CLONED micro-batch
+        # session; the previous epoch's append went through that clone's
+        # catalog, so the outer session's table-relation cache still
+        # holds the pre-append file listing. Refresh before probing or
+        # epoch N reads an index missing epochs < N (measured: batch-2
+        # assignments silently lost their batch-1 partners).
+        spark.catalog.refreshTable(index_table)
+        banded = D.band_signature(
+            D.minhash_signature(D.shingles(batch_df))
+        ).localCheckpoint()  # signature DAG runs once for probe + append
+        (
+            D.probe_band_index(spark, banded, index_table)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(assign_path)
+        )
+        D.write_band_index(
+            banded,
+            index_table,
+            buckets=buckets,
+            max_bucket=max_bucket,
+            mode="append",
+        )
+        # ...and refresh again after the append, so the caller's session
+        # (and the next epoch) sees this epoch's rows without having to
+        # know which cloned session performed the write.
+        spark.catalog.refreshTable(index_table)
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -658,3 +658,15 @@ def test_cdc_chunk_queries_lambdas_never_reach_a_scan(spark, sf_dir, registry):
     assert "md5(" not in p2
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_source_overlap_matrix_bounded_fanout(spark, sf_dir, registry):
+    """The provenance matrix reads the same checkpointed chunk frame as
+    the other CDC queries (no parquet scan, no md5 lambda downstream)
+    and its pair join is chash-keyed — per-chunk fan-out bounded by the
+    number of SOURCES sharing it, never a cartesian."""
+    p = _plan(spark, registry["source_overlap_matrix"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "md5(" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -87,6 +87,7 @@ DRIVER_TABLE = {
     "prefix_bucket_stats": "documents",
     "cdc_chunk_dedup": "documents",
     "cdc_doc_dup_ratio": "documents",
+    "source_overlap_matrix": "documents",
     "lsh_scurve_calibration": "documents",
     "bpe_encode_token_budget": "documents",
 }
