@@ -834,3 +834,92 @@ def lsh_scurve_calibration(spark, sf_dir):
             f"CASE WHEN k = 0 THEN NULL ELSE (CAST(4 * k*k*k*k AS DOUBLE) / 65536.0) / ({coll}) END"
         ).alias("expected_bands_given_candidate"),
     ).orderBy("agreement")
+
+
+@query(
+    "dedup_savings_forecast",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SHINGLES.format(where="")},{_SQL_CC_LABELS},
+tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+lab AS (
+  SELECT t.doc_id, coalesce(l.component, t.doc_id) AS component_id, t.n_tokens
+  FROM tok t LEFT JOIN labels l ON t.doc_id = l.node
+),
+comp AS (
+  SELECT component_id,
+         CAST(count(*) AS BIGINT) AS size,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(min_by(n_tokens, doc_id) AS BIGINT) AS kept_tokens
+  FROM lab GROUP BY component_id
+)
+SELECT size AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(size) AS BIGINT) AS n_docs,
+       CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(total_tokens - kept_tokens) AS BIGINT) AS saved_tokens
+FROM comp
+GROUP BY size
+ORDER BY component_size
+""",
+    tags=("dedup", "components", "forecast", "observability", "llm"),
+)
+def dedup_savings_forecast(spark, sf_dir):
+    """The decision-support readout of the near-dup tier: fold the CC
+    component structure into a size histogram with token economics —
+    per component size, how many components, how many documents, their
+    total whitespace-token mass, and the tokens SAVED under the
+    keep-min-id-per-component policy (size-1 "components" are the
+    untouched singleton rows, saved = 0). This is the table a curation
+    owner reads to decide whether running the dedup pass pays for
+    itself at the next scale-up.
+
+    Determinism: min_by(n_tokens, doc_id) is tie-free (doc_id unique
+    within a component). Scale: cost IS the CC pass (already soaked at
+    `neardup_components`); the token counts ride the labels left-join
+    and the histogram fold is bounded by the number of distinct
+    component sizes — constant-sized observability, the
+    lsh/prefix_bucket_stats contract."""
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    lab = tok.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component_id"),
+        "n_tokens",
+    )
+    per_comp = lab.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("size"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("CAST(min_by(n_tokens, doc_id) AS BIGINT)").alias("kept_tokens"),
+    )
+    return (
+        per_comp.groupBy("size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_components"),
+            F.sum("size").cast("bigint").alias("n_docs"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("total_tokens") - F.col("kept_tokens"))
+            .cast("bigint")
+            .alias("saved_tokens"),
+        )
+        .select(
+            F.col("size").alias("component_size"),
+            "n_components",
+            "n_docs",
+            "total_tokens",
+            "saved_tokens",
+        )
+        .orderBy("component_size")
+    )

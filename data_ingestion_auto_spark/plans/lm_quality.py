@@ -29,10 +29,9 @@ from .helpers import T
 from .registry import query
 
 
-@query(
-    "bigram_lm_quality_ppm",
-    oracle="""
-WITH toks AS (
+# The per-doc LM-score CTE chain, shared by the per-doc query's oracle
+# and the CCNet bucket oracle below.
+_SQL_DOC_PPM = """toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 bigrams AS (
@@ -49,15 +48,25 @@ scored AS (
   FROM bigrams b
   JOIN c2 m2 ON b.w1 = m2.w1 AND b.w2 = m2.w2
   JOIN c1 m1 ON b.w1 = m1.w1
-)
-SELECT t.doc_id,
-       CAST(greatest(len(t.w) - 1, 0) AS BIGINT) AS n_bigrams,
-       CAST(CASE WHEN count(s.ppm) = 0 THEN 0
-                 ELSE sum(s.ppm) // count(s.ppm) END AS BIGINT) AS avg_cond_ppm,
-       CAST(coalesce(sum(s.hapax), 0) AS BIGINT) AS n_hapax_bigrams
-FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
-GROUP BY t.doc_id, len(t.w)
-ORDER BY t.doc_id
+),
+doc_ppm AS (
+  SELECT t.doc_id,
+         CAST(greatest(len(t.w) - 1, 0) AS BIGINT) AS n_bigrams,
+         CAST(CASE WHEN count(s.ppm) = 0 THEN 0
+                   ELSE sum(s.ppm) // count(s.ppm) END AS BIGINT) AS avg_cond_ppm,
+         CAST(coalesce(sum(s.hapax), 0) AS BIGINT) AS n_hapax_bigrams
+  FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+  GROUP BY t.doc_id, len(t.w)
+)"""
+
+
+@query(
+    "bigram_lm_quality_ppm",
+    oracle=f"""
+WITH {_SQL_DOC_PPM}
+SELECT doc_id, n_bigrams, avg_cond_ppm, n_hapax_bigrams
+FROM doc_ppm
+ORDER BY doc_id
 """,
     tags=("llm-quality", "lm-scoring", "ccnet"),
 )
@@ -114,4 +123,84 @@ def bigram_lm_quality_ppm(spark, sf_dir):
             "n_hapax_bigrams",
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "ccnet_quality_buckets",
+    oracle=f"""
+WITH {_SQL_DOC_PPM},
+meta AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT m.lang, m.n_tokens, d.avg_cond_ppm,
+         ntile(3) OVER (PARTITION BY m.lang
+                        ORDER BY d.avg_cond_ppm DESC, d.doc_id) AS nt
+  FROM doc_ppm d JOIN meta m ON d.doc_id = m.doc_id
+)
+SELECT lang,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(avg_cond_ppm) AS BIGINT) AS min_ppm,
+       CAST(max(avg_cond_ppm) AS BIGINT) AS max_ppm
+FROM ranked
+GROUP BY lang, nt
+ORDER BY lang, bucket
+""",
+    tags=("llm-quality", "lm-scoring", "ccnet", "buckets"),
+)
+def ccnet_quality_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: per
+    language, rank documents by LM score and cut into terciles; training
+    recipes then keep head+middle or re-weight by bucket): per (lang,
+    bucket) the document count, token mass, and the ppm score range —
+    computed from the same corpus-trained integer bigram model as
+    `bigram_lm_quality_ppm`, so the whole thing stays bit-exact across
+    engines (no log/float perplexity anywhere).
+
+    Scale note: ntile is an exact per-language rank cut — a per-language
+    sort, the oracle-checkable semantics. At 100 TB the deployment shape
+    is the mergeable-sample construction `order_value_deciles_binned`
+    established: estimate the two tercile SCORE EDGES per language from
+    a fixed md5 Bernoulli sample, then bucket by comparison (map-only) —
+    same twin pattern, exact tier registered here, sampled tier shared
+    with the deciles machinery. Output is 3 rows per language regardless
+    of corpus size."""
+    from pyspark.sql import Window as W
+
+    d = bigram_lm_quality_ppm(spark, sf_dir)
+    meta = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    nt = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.desc("avg_cond_ppm"), "doc_id")
+    )
+    ranked = d.join(meta, "doc_id").select(
+        "lang", "n_tokens", "avg_cond_ppm", nt.alias("nt")
+    )
+    return (
+        ranked.groupBy("lang", "nt")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("avg_cond_ppm").cast("bigint").alias("min_ppm"),
+            F.max("avg_cond_ppm").cast("bigint").alias("max_ppm"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+            ).alias("bucket"),
+            "n_docs",
+            "total_tokens",
+            "min_ppm",
+            "max_ppm",
+        )
+        .orderBy("lang", "bucket")
     )

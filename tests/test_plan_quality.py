@@ -670,3 +670,14 @@ def test_source_overlap_matrix_bounded_fanout(spark, sf_dir, registry):
     assert "md5(" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ccnet_buckets_model_stays_in_the_shuffle(spark, sf_dir, registry):
+    """The bucket query inherits the LM scorer's scale shape: the bigram
+    model is joined on vocabulary keys (never collected), no cartesian
+    anywhere, and the only window is the per-language ntile cut."""
+    df = registry["ccnet_quality_buckets"].spark(spark, sf_dir)
+    p = _plan(spark, df, "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") == 1

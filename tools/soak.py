@@ -68,11 +68,13 @@ DRIVER_TABLE = {
     "source_capped_sample": "documents",
     "unimax_epoch_mixture": "documents",
     "hashed_linear_classifier_scores": "documents",
+    "ccnet_quality_buckets": "documents",
     "exact_substring_cut": "documents",
     "ann_filtered_lsh": "embeddings",
     "incremental_ann_assign": "embeddings",
     "incremental_ann_kscaled": "embeddings",
     "neardup_pagerank": "documents",
+    "dedup_savings_forecast": "documents",
     "kmv_set_operations": "orders",
     "hashed_sample_quantiles": "lineitem",
     "split_leakage_audit": "documents",
