@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoints import ckpt
 from .helpers import T
 from .registry import query
 from .sketches import _HEX8
@@ -134,4 +135,93 @@ def priority_weighted_sample(spark, sf_dir):
             "exact_total_micro",
         )
         .orderBy(F.desc("priority_micro"), "doc_id")
+    )
+
+
+_NEYMAN_B = 10_000  # total sample budget being allocated
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+WITH x AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM x GROUP BY source
+),
+w AS (
+  SELECT source, n, (n * s2 - s1 * s1) AS var_num,
+         CAST(round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                    / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS sd_micro
+  FROM st
+),
+tot AS (SELECT CAST(sum(n * sd_micro) AS BIGINT) AS wsum FROM w)
+SELECT source, n AS n_docs, var_num, sd_micro,
+       CAST(CASE WHEN t.wsum = 0 THEN 0
+                 ELSE ({_NEYMAN_B} * n * sd_micro) // t.wsum END AS BIGINT)
+         AS alloc_n
+FROM w, tot t
+ORDER BY source
+""",
+    tags=("sampling", "stratified", "neyman", "llm"),
+)
+def neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation (Neyman 1934) of a {_NEYMAN_B}-doc
+    audit-sample budget across source strata: n_h ∝ N_h·S_h, where S_h
+    is the stratum's population standard deviation of document token
+    length — the allocation that minimizes the variance of the
+    stratified mean-length estimator at fixed budget. Per stratum:
+    size, exact integer variance numerator (n·Σx² − (Σx)², never a
+    float accumulation), S_h in micro-units (ONE sqrt of an exact
+    integer + one division — identical IEEE trees in both engines,
+    rounded once at 6 dp like every cosine in this repo), and the
+    floor-allocated n_h (largest-remainder top-up is a driver-side
+    ≤strata-sized concern, documented not implemented).
+
+    Scale: one corpus scan into strata-sized aggregates (map-side
+    combinable sums of BIGINTs); the normalizing total is a 1-row
+    broadcast ride-along; output = one row per stratum regardless of
+    corpus size."""
+    docs = T(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("x")
+    )
+    # strata-sized (one row per source) -> cut lineage so the weight
+    # projection AND the 1-row normalizer read the 20-row checkpoint
+    # instead of each re-running the corpus scan (plan-pinned: the final
+    # plan holds NO parquet scan)
+    st = ckpt(
+        docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        )
+    )
+    w = st.select(
+        "source",
+        "n",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("var_num"),
+        F.expr(
+            "CAST(round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))"
+            " / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)"
+        ).alias("sd_micro"),
+    )
+    tot = w.agg(F.sum(F.col("n") * F.col("sd_micro")).cast("bigint").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "var_num",
+            "sd_micro",
+            F.expr(
+                f"CAST(CASE WHEN wsum = 0 THEN 0"
+                f" ELSE ({_NEYMAN_B} * n * sd_micro) div wsum END AS BIGINT)"
+            ).alias("alloc_n"),
+        )
+        .orderBy("source")
     )

@@ -681,3 +681,14 @@ def test_ccnet_buckets_model_stays_in_the_shuffle(spark, sf_dir, registry):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Window") == 1
+
+
+def test_neyman_allocation_single_scan_tiny_aggregates(spark, sf_dir, registry):
+    """The strata aggregate checkpoints once (20 rows), so the weight
+    projection and the 1-row normalizer both read the cut — the final
+    plan holds NO parquet scan (the single corpus scan happened at
+    checkpoint time), no window, no data-sized join."""
+    p = _plan(spark, registry["neyman_allocation"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -69,6 +69,7 @@ DRIVER_TABLE = {
     "unimax_epoch_mixture": "documents",
     "hashed_linear_classifier_scores": "documents",
     "ccnet_quality_buckets": "documents",
+    "neyman_allocation": "documents",
     "exact_substring_cut": "documents",
     "ann_filtered_lsh": "embeddings",
     "incremental_ann_assign": "embeddings",
