@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     ann_eval,  # after similarity_lsh: shares its LSH helpers
     ann_incremental,  # after semdedup: shares its k-means CTEs
     cdc_chunks,
+    drift,
     sketches,
     collocations,
     export_pipeline,

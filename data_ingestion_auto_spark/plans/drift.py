@@ -1,0 +1,148 @@
+"""Distribution-drift monitoring — the exact two-sample
+Kolmogorov–Smirnov statistic between every pair of sources over their
+document token-length distributions (Kolmogorov 1933 / Smirnov 1939;
+the standard ingest-drift alarm: a source whose length distribution
+jumps between crawls changed its extraction or its upstream).
+
+Exactness contract: the KS statistic D = max_x |F_a(x) − F_b(x)| is a
+maximum of rationals with denominator n_a·n_b, so the whole computation
+stays in BIGINT — per length value x, the cross-multiplied ECDF gap
+|cum_a·n_b − cum_b·n_a| — and only the final report divides once (one
+IEEE division of identical integers, bit-stable across engines). No
+sort-based quantile tricks, no float ECDFs.
+
+Scale: token length is DOMAIN-bounded (distinct values ≤ max document
+length, independent of corpus size), so the cumulative window per
+source and the per-x pair expansion are bounded by sources × domain —
+constant-sized after one corpus scan into (source, length) counts.
+Output is sources·(sources−1)/2 rows at any corpus, the
+bucket-stats/overlap-matrix observability contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .helpers import T
+from .registry import query
+
+
+@query(
+    "ks_drift_matrix",
+    oracle="""
+WITH x AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+cnt AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY source, x),
+n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+xs AS (SELECT DISTINCT x FROM cnt),
+grid AS (
+  SELECT s.source, g.x, coalesce(c.c, 0) AS c
+  FROM (SELECT source FROM n) s
+  CROSS JOIN xs g
+  LEFT JOIN cnt c ON c.source = s.source AND c.x = g.x
+),
+cum AS (
+  SELECT source, x,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM grid
+),
+gaps AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         abs(a.cum * nb.n - b.cum * na.n) AS gap_num
+  FROM cum a
+  JOIN cum b ON a.x = b.x AND a.source < b.source
+  JOIN n na ON na.source = a.source
+  JOIN n nb ON nb.source = b.source
+)
+SELECT g.source_a, g.source_b,
+       CAST(max(g.gap_num) AS BIGINT) AS d_num,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       CAST(max(g.gap_num) AS DOUBLE) / (na.n * nb.n) AS d_stat
+FROM gaps g
+JOIN n na ON na.source = g.source_a
+JOIN n nb ON nb.source = g.source_b
+GROUP BY g.source_a, g.source_b, na.n, nb.n
+ORDER BY source_a, source_b
+""",
+    tags=("drift", "distribution", "ks", "observability", "llm"),
+)
+def ks_drift_matrix(spark, sf_dir):
+    """Exact two-sample KS statistic for every source pair over document
+    token lengths: D's exact integer numerator (max cross-multiplied
+    ECDF gap), both sample sizes, and D itself (the single IEEE
+    division). High D between a source's consecutive crawls — or
+    between two sources that should sample the same population — is the
+    drift alarm a pipeline owner pages on.
+
+    Plan shape: one pruned corpus scan into (source, length) counts;
+    the ECDF grid is sources × distinct-lengths (domain-bounded), its
+    cumulative window partitions by source; the pair expansion joins
+    the grid to itself on the length value. Everything after the first
+    aggregation is constant-sized."""
+    from ..checkpoints import ckpt
+
+    docs = T(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("x")
+    )
+    # ONE corpus scan into the (source, length) count frame — domain ×
+    # sources rows — checkpointed so sample sizes, the distinct-length
+    # axis, and the grid all derive from the tiny cut, not from three
+    # separate corpus scans (plan-pinned).
+    cnt = ckpt(
+        docs.groupBy("source", "x").agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    xs = cnt.select("x").distinct()
+    grid = (
+        n.select("source")
+        .crossJoin(F.broadcast(xs))
+        .join(cnt, ["source", "x"], "left")
+        .select("source", "x", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    cum = grid.select(
+        "source",
+        "x",
+        F.sum("c")
+        .over(W.partitionBy("source").orderBy("x").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    a = cum.select(F.col("source").alias("source_a"), "x", F.col("cum").alias("cum_a"))
+    b = cum.select(F.col("source").alias("source_b"), "x", F.col("cum").alias("cum_b"))
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    gaps = (
+        a.join(b, "x")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
+                "gap_num"
+            ),
+        )
+    )
+    return (
+        gaps.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.max("gap_num").cast("bigint").alias("d_num"))
+        .select(
+            "source_a",
+            "source_b",
+            "d_num",
+            "n_a",
+            "n_b",
+            (F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+                "d_stat"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1,0 +1,55 @@
+"""Exact two-sample KS (plans/drift.py): hand-checkable crafted case +
+the metric axioms on the fixture matrix."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+
+from data_ingestion_auto_spark import plans
+from data_ingestion_auto_spark.plans.drift import ks_drift_matrix
+
+
+def test_crafted_ks_value_and_engine_parity(spark):
+    """A = lengths {1,2,3,4}, B = {3,4,5,6}: F_A(2)=1/2, F_B(2)=0, and no
+    x gives a larger gap -> D = 1/2 exactly (d_num = 8 over n_a*n_b=16).
+    C == A -> D(A,C) = 0. Spark == oracle on the crafted corpus."""
+    docs = []
+    did = 0
+    for src, lens in (("a", [1, 2, 3, 4]), ("b", [3, 4, 5, 6]), ("c", [1, 2, 3, 4])):
+        for ln in lens:
+            docs.append((did, " ".join(["w"] * ln), src))
+            did += 1
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.source_a, r.source_b): (r.d_num, r.n_a, r.n_b, r.d_stat)
+        for r in ks_drift_matrix(spark, d).collect()
+    }
+    assert got[("a", "b")] == (8, 4, 4, 0.5)
+    assert got[("a", "c")] == (0, 4, 4, 0.0)
+    assert got[("b", "c")] == (8, 4, 4, 0.5)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(plans.REGISTRY["ks_drift_matrix"].oracle).fetchall()
+    }
+    assert got == want
+
+
+def test_fixture_matrix_axioms(spark, sf_dir):
+    rows = ks_drift_matrix(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # D in [0, 1], exact rational consistency
+        assert 0.0 <= r.d_stat <= 1.0
+        assert r.d_stat == r.d_num / (r.n_a * r.n_b)
+        assert r.source_a < r.source_b

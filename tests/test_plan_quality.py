@@ -692,3 +692,13 @@ def test_neyman_allocation_single_scan_tiny_aggregates(spark, sf_dir, registry):
     assert "Scan parquet" not in p
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ks_drift_matrix_everything_after_the_cut_is_tiny(spark, sf_dir, registry):
+    """The (source, length) count frame is the single corpus scan,
+    checkpointed; the final plan reads only the cut — no parquet scan —
+    and the only cross join is the broadcast sources × distinct-lengths
+    grid (domain-bounded, never data-sized)."""
+    p = _plan(spark, registry["ks_drift_matrix"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p

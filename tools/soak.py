@@ -70,6 +70,7 @@ DRIVER_TABLE = {
     "hashed_linear_classifier_scores": "documents",
     "ccnet_quality_buckets": "documents",
     "neyman_allocation": "documents",
+    "ks_drift_matrix": "documents",
     "exact_substring_cut": "documents",
     "ann_filtered_lsh": "embeddings",
     "incremental_ann_assign": "embeddings",
