@@ -245,3 +245,126 @@ def order_value_deciles_binned(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+_FUNNEL_H_US = 86_400_000_000  # per-step horizon: 24 h in microseconds
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.us > s1.t1 AND e.us <= s1.t1 + {_FUNNEL_H_US}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.us > s2.t2 AND e.us <= s2.t2 + {_FUNNEL_H_US}
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+         CAST(1.0 AS DOUBLE) AS conv_from_prev, CAST(1.0 AS DOUBLE) AS conv_from_first
+  FROM counts
+  UNION ALL
+  SELECT 2, 'click', n2,
+         CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END,
+         CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END
+  FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', n3,
+         CASE WHEN n2 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n2 END,
+         CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n1 END
+  FROM counts
+) ORDER BY step
+""",
+    tags=("analytics", "funnel", "events", "windowless"),
+)
+def funnel_conversion(spark, sf_dir):
+    """The HORIZON-BOUNDED tier of `funnel_view_click_purchase`: the
+    unbounded funnel above counts a purchase months after the click as
+    converted — real funnel reporting bounds each step (here 24 h from
+    the previous step's first qualifying event, strict first-touch):
+    t1 = first view; t2 = first click in (t1, t1+24h]; t3 = first
+    purchase in (t2, t2+24h]. Output also differs: one row per step
+    with user counts AND the step-over-step / from-first conversion
+    ratios (single IEEE divisions of exact BIGINT counts; integer
+    microsecond epochs throughout — the sessionize_events portability
+    rule).
+
+    Scale: each step is one equi-join on user_id + a min-aggregate —
+    funnel depth is the number of such joins, never a window over the
+    whole event stream and never a per-user UDF; the three step counts
+    are 1-row broadcast ride-alongs. Skew note: a hot user contributes
+    its events to one join key per step; no pair explosion exists
+    anywhere."""
+    ev = T(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + _FUNNEL_H_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + _FUNNEL_H_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").cast("bigint").alias("n1"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").cast("bigint").alias("n2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").cast("bigint").alias("n3"))))
+    )
+    step1 = counts.select(
+        F.lit(1).alias("step"),
+        F.lit("view").alias("step_name"),
+        F.col("n1").alias("n_users"),
+        F.lit(1.0).alias("conv_from_prev"),
+        F.lit(1.0).alias("conv_from_first"),
+    )
+    step2 = counts.select(
+        F.lit(2).alias("step"),
+        F.lit("click").alias("step_name"),
+        F.col("n2").alias("n_users"),
+        F.expr("CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END").alias(
+            "conv_from_prev"
+        ),
+        F.expr("CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END").alias(
+            "conv_from_first"
+        ),
+    )
+    step3 = counts.select(
+        F.lit(3).alias("step"),
+        F.lit("purchase").alias("step_name"),
+        F.col("n3").alias("n_users"),
+        F.expr("CASE WHEN n2 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n2 END").alias(
+            "conv_from_prev"
+        ),
+        F.expr("CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n1 END").alias(
+            "conv_from_first"
+        ),
+    )
+    return step1.unionByName(step2).unionByName(step3).orderBy("step")

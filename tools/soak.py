@@ -78,6 +78,7 @@ DRIVER_TABLE = {
     "neardup_pagerank": "documents",
     "dedup_savings_forecast": "documents",
     "kmv_set_operations": "orders",
+    "funnel_conversion": "events",
     "hashed_sample_quantiles": "lineitem",
     "split_leakage_audit": "documents",
     # round-9 retrieval classics
