@@ -368,3 +368,63 @@ def funnel_conversion(spark, sf_dir):
         ),
     )
     return step1.unionByName(step2).unionByName(step3).orderBy("step")
+
+
+@query(
+    "event_markov_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS cur, next_type AS nxt FROM ordered
+  WHERE next_type IS NOT NULL
+),
+c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY cur, nxt),
+t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY cur)
+SELECT c.cur, c.nxt, c.n, t.n_total,
+       CAST(c.n AS DOUBLE) / t.n_total AS p
+FROM c JOIN t ON c.cur = t.cur
+ORDER BY c.cur, c.nxt
+""",
+    tags=("events", "markov", "sequence", "analytics"),
+)
+def event_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: for
+    each (current, next) event-type pair under the per-user (ts,
+    event_id) order, the transition count, the row total, and the
+    maximum-likelihood transition probability (one IEEE division of
+    exact BIGINT counts). The user-journey model product analytics and
+    anomaly detection both start from — a transition whose probability
+    shifts between crawls/releases is the behavioral drift alarm, the
+    sequence-level complement of `ks_drift_matrix`.
+
+    Scale: one lead() window per user partition (the same
+    user_id-partitioned order every sessionize/funnel query uses — no
+    global window), then two event-type-keyed aggregates; output is at
+    most |event_types|² rows at any corpus."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+    )
+    c = pairs.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").cast("bigint").alias("n_total"))
+    return (
+        c.join(t, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            "n_total",
+            (F.col("n").cast("double") / F.col("n_total")).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )

@@ -79,6 +79,7 @@ DRIVER_TABLE = {
     "dedup_savings_forecast": "documents",
     "kmv_set_operations": "orders",
     "funnel_conversion": "events",
+    "event_markov_transitions": "events",
     "hashed_sample_quantiles": "lineitem",
     "split_leakage_audit": "documents",
     # round-9 retrieval classics
