@@ -18,15 +18,15 @@ from data_ingestion_auto_spark.plans import cdc_chunks as C
 def crafted(spark):
     shared = " ".join(f"s{i}" for i in range(80))  # ~10 expected chunks
     docs = [
-        (0, " ".join(f"a{i}" for i in range(23)) + " " + shared),
-        (1, " ".join(f"b{i}" for i in range(37)) + " " + shared),
-        (2, " ".join(f"z{i}" for i in range(60))),
+        (0, " ".join(f"a{i}" for i in range(23)) + " " + shared, "src0"),
+        (1, " ".join(f"b{i}" for i in range(37)) + " " + shared, "src1"),
+        (2, " ".join(f"z{i}" for i in range(60)), "src0"),
     ]
     con = duckdb.connect()
-    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
     d = tempfile.mkdtemp()
-    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+    spark.createDataFrame(docs, "doc_id long, text string, source string").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     return con, d
