@@ -367,3 +367,68 @@ def distinctive_terms_topk(spark, sf_dir):
         .select("doc_id", "term", "tf", "df", "score")
         .orderBy("doc_id", F.desc("score"), "term")
     )
+
+
+@query(
+    "token_gini_concentration",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tkn FROM documents
+),
+c AS (
+  SELECT source, tkn, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE tkn <> '' GROUP BY source, tkn
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM c GROUP BY source
+)
+SELECT source, n_tokens, n_distinct, sum_sq,
+       1.0 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens) AS gini
+FROM agg
+ORDER BY source
+""",
+    tags=("text", "quality", "diversity", "gini", "llm"),
+)
+def token_gini_concentration(spark, sf_dir):
+    """Per-source vocabulary concentration as Gini impurity
+    1 − Σp² — the log-free diversity signal (Shannon entropy needs ln(),
+    which the house determinism rules ban; Gini is a RATIONAL of exact
+    BIGINT counts: Σc² over N², one IEEE division at report time). Low
+    gini = the source's token mass concentrates in few types (template/
+    boilerplate smell — the corpus-level cousin of the per-doc
+    repetition gates); alongside n_distinct it gives the type-token
+    view a mixture designer reads with `source_overlap_matrix`.
+
+    Scale: one token explode into a (source, token)-keyed count
+    (map-side combinable), then a source-keyed fold of three BIGINTs —
+    output one row per source at any corpus."""
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tkn"))
+        .filter(F.col("tkn") != "")
+    )
+    c = tok.groupBy("source", "tkn").agg(F.count("*").cast("bigint").alias("c"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            "sum_sq",
+            (
+                F.lit(1.0)
+                - F.col("sum_sq").cast("double")
+                / (F.col("n_tokens") * F.col("n_tokens"))
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

@@ -76,3 +76,64 @@ def test_doc_dup_ratio_orders_and_bounds(spark, crafted):
     # ratio is exactly n_dup/n_chunks
     for _, n, nd, r in got:
         assert r == nd / n
+
+
+def _py_cdc(text: str, w: int = 4, d: int = 8):
+    """Pure-Python reference of the CDC rule: boundary after token i
+    (1-based) iff the first-8-hex-digit integer of md5 of the W-token
+    window ending at i is divisible by D; chunks partition the token
+    list. Returns the list of (chunk_text, n_tokens)."""
+    import hashlib
+
+    toks = text.split(" ")
+    n = len(toks)
+    bps = []
+    if n >= w:
+        for i in range(w, n + 1):
+            window = " ".join(toks[i - w : i])
+            h = int(hashlib.md5(window.encode()).hexdigest()[:8], 16)
+            if h % d == 0:
+                bps.append(i)
+    starts = [1] + [b + 1 for b in bps]
+    ends = bps + [n]
+    out = []
+    for s, e in zip(starts, ends):
+        if s <= e:
+            out.append((" ".join(toks[s - 1 : e]), e - s + 1))
+    return out
+
+
+def test_fuzz_chunks_match_python_reference_and_partition(spark):
+    """Random docs over a 3-token alphabet (maximal hash collisions and
+    boundary density): the engine's per-doc chunk multiset equals the
+    pure-Python reference's, and the reference's chunks PARTITION the
+    document (concatenation restores it) — so equality transfers the
+    partition property to the engine."""
+    import collections
+    import hashlib
+    import random
+
+    rng = random.Random(20260815)
+    docs = [
+        (i, " ".join(rng.choice(["a", "b", "c"]) for _ in range(rng.randint(1, 40))),
+         f"s{i % 3}")
+        for i in range(150)
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = collections.defaultdict(collections.Counter)
+    for r in C._chunk_rows(spark, d).collect():
+        got[r.doc_id][(r.chash, r.n_tokens)] += 1
+    for doc_id, text, _ in docs:
+        ref = collections.Counter()
+        joined = []
+        for chunk_text, ln in _py_cdc(text):
+            ref[(hashlib.md5(chunk_text.encode()).hexdigest(), ln)] += 1
+            joined.append(chunk_text)
+        assert " ".join(joined) == text, doc_id  # partition property
+        assert got[doc_id] == ref, (doc_id, text)

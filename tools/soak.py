@@ -71,6 +71,7 @@ DRIVER_TABLE = {
     "ccnet_quality_buckets": "documents",
     "neyman_allocation": "documents",
     "ks_drift_matrix": "documents",
+    "token_gini_concentration": "documents",
     "exact_substring_cut": "documents",
     "ann_filtered_lsh": "embeddings",
     "incremental_ann_assign": "embeddings",
