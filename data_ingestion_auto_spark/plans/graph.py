@@ -303,3 +303,87 @@ def group_aware_split_assign(spark, sf_dir):
         n.alias("naive_split"),
         (g != n).alias("moved"),
     ).orderBy("doc_id")
+
+
+@query(
+    "neardup_clustering_coefficient",
+    oracle=f"""
+WITH {_SQL_LSH_PAIRS},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tnode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id, d.deg, coalesce(t.n_tri, 0) AS n_triangles,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                 / (d.deg * (d.deg - 1)) END AS lcc
+FROM deg d LEFT JOIN tnode t ON d.node = t.node
+ORDER BY doc_id
+""",
+    tags=("dedup", "graph", "clustering", "llm"),
+)
+def neardup_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient (Watts & Strogatz 1998) per node of
+    the LSH near-dup candidate graph: degree, per-node triangle count
+    (each ordered triangle credits all three corners), and
+    lcc = 2·tri / (deg·(deg−1)) — one IEEE division of exact BIGINTs,
+    deg<2 nodes fixed at 0. The edge-quality readout the dedup verifier
+    tier routes on: lcc ≈ 1 neighborhoods are cliques (mirror families —
+    collapse with confidence, skip pairwise verification), low-lcc hubs
+    are LSH collision stars (verify before merging). Complements the
+    global `neardup_triangles` enumeration and `neardup_pagerank`
+    centrality with the per-node density view.
+
+    Scale: triangle cost is bounded by the capped candidate graph
+    (sparse by LSH construction), never corpus size; the pair subtree
+    is checkpointed once and read by the three-way self-join, the
+    degree fold, and the corner explode."""
+    docs = T(spark, sf_dir, "documents")
+    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
+    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    tnode = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    return (
+        deg.join(tnode, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                (F.coalesce("n_tri", F.lit(0)).cast("double") * 2)
+                / (F.col("deg") * (F.col("deg") - 1))
+            )
+            .alias("lcc"),
+        )
+        .orderBy("doc_id")
+    )

@@ -77,6 +77,7 @@ DRIVER_TABLE = {
     "incremental_ann_assign": "embeddings",
     "incremental_ann_kscaled": "embeddings",
     "neardup_pagerank": "documents",
+    "neardup_clustering_coefficient": "documents",
     "dedup_savings_forecast": "documents",
     "kmv_set_operations": "orders",
     "funnel_conversion": "events",
