@@ -67,3 +67,64 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — the OPTIMIZE primitive every long-lived
+    parquet dataset needs: streaming sinks, per-ingest appends, and
+    retention rewrites all accrete files far below the row-group sweet
+    spot, and at 100 TB the scan's task-scheduling and footer-reading
+    overhead becomes file-count-bound instead of byte-bound. Rewrites
+    the directory into ceil(total_bytes / target) files (optionally
+    sorted within partitions to restore row-group min/max locality —
+    compose with ``zorder_key`` for multi-dimensional layouts), then
+    atomically swaps the staged result in via FileSystem rename.
+
+    Not a table-catalog operation: this is the path-level sibling of the
+    bucketed-table writers (write_band_index / write_ivf_index keep
+    their OWN layout through saveAsTable and must not pass through
+    here — compaction would destroy the bucket-file mapping).
+
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    At scale: one full read + one ``repartition`` shuffle + one write —
+    the same bill as any retention rewrite; schedule it with the
+    retention job, never per-ingest."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+
+    def _data_files(p):
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith("_") and not name.startswith("."):
+                out.append((name, st.getLen()))
+        return out
+
+    before = _data_files(jpath)
+    total_bytes = sum(sz for _, sz in before)
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        staged_df = df.repartition(n_out).sortWithinPartitions(*sort_by)
+    else:
+        staged_df = df.repartition(n_out)
+    staged = path.rstrip("/") + "__compact_staging"
+    staged_df.write.mode("overwrite").parquet(staged)
+    # atomic-enough swap: the staged dir is complete (write committed)
+    # before the original disappears; a crash between delete and rename
+    # leaves the staging dir intact for manual recovery.
+    fs.delete(jpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staged), jpath)
+    after = _data_files(jpath)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }
