@@ -146,3 +146,92 @@ def ks_drift_matrix(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+WITH qv AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+  FROM embeddings
+),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM qv GROUP BY label),
+dims AS (
+  SELECT label, g.i AS pos, qvec[g.i] AS v
+  FROM qv, LATERAL (SELECT unnest(generate_series(1, len(qvec))) AS i) g
+),
+m AS (
+  SELECT label, pos,
+         CASE WHEN sum(v) < 0 THEN -(abs(sum(v)) // count(*))
+              ELSE sum(v) // count(*) END AS cv
+  FROM dims GROUP BY 1, 2
+),
+cent AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM m GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       na.n AS n_a, nb.n AS n_b,
+       round(CAST(list_sum(list_transform(generate_series(1, len(a.cvec)),
+                  i -> a.cvec[i] * b.cvec[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(a.cvec, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(b.cvec, x -> x * x)) AS DOUBLE))), 6)
+         AS cosine
+FROM cent a JOIN cent b ON a.label < b.label
+JOIN n na ON na.label = a.label
+JOIN n nb ON nb.label = b.label
+ORDER BY label_a, label_b
+""",
+    tags=("drift", "embedding", "centroid", "observability", "llm"),
+)
+def label_centroid_similarity(spark, sf_dir):
+    """The EMBEDDING-SPACE drift complement of `ks_drift_matrix`: per
+    label pair, the cosine between the groups' exact integer centroids
+    (per-dimension BIGINT mean with the house sign-correct truncating
+    division — the same bit-stable arithmetic as every k-means update in
+    this engine) plus both group sizes. Two labels whose centroid cosine
+    jumps between snapshots — or two that should be distinct collapsing
+    toward 1 — is the representation-drift alarm an embedding pipeline
+    monitors next to its ANN recall.
+
+    Scale: one corpus scan into (label, dim) BIGINT sums (map-side
+    combinable); centroids are labels × dim ints — model state — so the
+    pairwise step is a bounded nested-loop over ≤ labels² rows and the
+    output ≤ labels²/2 rows at any corpus."""
+    from ..operators.ivf import _QUANT
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "label", F.expr(_QUANT.format(col="embedding")).alias("qvec")
+    )
+    n = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    dims = emb.select("label", F.posexplode("qvec").alias("pos", "v"))
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.expr("sum(v) div count(v)").alias("cv")
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+        ).alias("cvec")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("cvec").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cvec").alias("cb"))
+    dot = "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    nrm = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"
+    na = n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.expr(dot)
+                / (F.sqrt(F.expr(nrm.format(v="ca"))) * F.sqrt(F.expr(nrm.format(v="cb")))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -72,6 +72,7 @@ DRIVER_TABLE = {
     "neyman_allocation": "documents",
     "ks_drift_matrix": "documents",
     "token_gini_concentration": "documents",
+    "label_centroid_similarity": "embeddings",
     "exact_substring_cut": "documents",
     "ann_filtered_lsh": "embeddings",
     "incremental_ann_assign": "embeddings",
