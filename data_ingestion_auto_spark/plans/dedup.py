@@ -923,3 +923,65 @@ def dedup_savings_forecast(spark, sf_dir):
         )
         .orderBy("component_size")
     )
+
+
+@query(
+    "source_dedup_burden",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SHINGLES.format(where="")},{_SQL_CC_LABELS},
+src AS (SELECT doc_id, source FROM documents),
+per AS (
+  SELECT s.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neardup
+  FROM src s LEFT JOIN labels l ON s.doc_id = l.node
+  GROUP BY s.source
+)
+SELECT source, n_docs, n_neardup,
+       CAST(n_neardup AS DOUBLE) / n_docs AS burden
+FROM per
+ORDER BY source
+""",
+    tags=("dedup", "components", "provenance", "observability", "llm"),
+)
+def source_dedup_burden(spark, sf_dir):
+    """Which sources bring the duplication: per source, how many of its
+    documents sit in a near-dup component (have at least one LSH
+    partner), and the burden ratio — the provenance-level readout that
+    pairs with `dedup_savings_forecast` (how much dedup saves) and
+    `source_overlap_matrix` (who copies whom) when weighting a mixture:
+    a high-burden source's raw size overstates its unique contribution.
+
+    Scale: cost IS the CC-candidate pass (soaked at neardup_components);
+    the source attribution is one doc_id-keyed left join and a
+    source-keyed fold — output one row per source at any corpus."""
+    docs = T(spark, sf_dir, "documents")
+    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
+    # candidate pairs computed ONCE (ckpt) — both endpoint projections
+    # read the materialized frame, not two copies of the signature DAG
+    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    members = (
+        pairs.selectExpr("a AS node")
+        .unionAll(pairs.selectExpr("b AS node"))
+        .distinct()
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        src.join(members, src.doc_id == members.node, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("node").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neardup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_neardup",
+            (F.col("n_neardup").cast("double") / F.col("n_docs")).alias("burden"),
+        )
+        .orderBy("source")
+    )

@@ -80,6 +80,7 @@ DRIVER_TABLE = {
     "neardup_pagerank": "documents",
     "neardup_clustering_coefficient": "documents",
     "dedup_savings_forecast": "documents",
+    "source_dedup_burden": "documents",
     "kmv_set_operations": "orders",
     "funnel_conversion": "events",
     "event_markov_transitions": "events",
