@@ -985,3 +985,157 @@ def source_dedup_burden(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# Hex nibbles with bit position p set (p = 3 is the high bit). Used to
+# unpack FOUR simhash bits per digest nibble: an md5 hex string is only
+# 32 nibbles, so a 64-bit simhash needs more than one bit per nibble —
+# reading substr positions 33..64 of a 32-char digest would silently
+# yield constant bits (caught by the brute-force ground-truth test).
+_NIBBLE_BIT = {
+    3: "'8','9','a','b','c','d','e','f'",
+    2: "'4','5','6','7','c','d','e','f'",
+    1: "'2','3','6','7','a','b','e','f'",
+    0: "'1','3','5','7','9','b','d','f'",
+}
+
+
+def _simhash_bits_sql64() -> str:
+    """64-bit simhash expression (portable SQL): bit j is the sign of the
+    sum over shingles of +/-1 by bit (3 - j mod 4) of md5(shingle)'s
+    nibble (j div 4 + 1) — all four bits of the first 16 nibbles."""
+    bits = []
+    for j in range(64):
+        nib = j // 4 + 1
+        vals = _NIBBLE_BIT[3 - (j % 4)]
+        bits.append(
+            f"CASE WHEN sum(CASE WHEN substr(md5(shingle), {nib}, 1) IN "
+            f"({vals}) THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _hamming_sql(a: str, b: str, nbits: int = 64) -> str:
+    """Portable positional Hamming distance between two fixed-width bit
+    strings: an unrolled sum of per-position inequality terms (identical
+    text in Spark SQL and DuckDB — no engine-specific bit intrinsics)."""
+    return " + ".join(
+        f"(CASE WHEN substr({a}, {i}, 1) <> substr({b}, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, nbits + 1)
+    )
+
+
+_SIMHASH_NEIGHBOR_CAP = 1000  # docs admitted per (block, value) bucket
+
+
+@query(
+    "simhash_hamming_neighbors",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="")},
+sigs AS (SELECT doc_id, {_simhash_bits_sql64()} AS sig FROM sh GROUP BY doc_id),
+reps AS (
+  SELECT sig, min(doc_id) AS exemplar, CAST(count(*) AS BIGINT) AS n_docs
+  FROM sigs GROUP BY sig
+),
+blocks AS (
+  SELECT sig, exemplar, n_docs, b, substr(sig, CAST(b * 16 + 1 AS INT), 16) AS bv
+  FROM reps, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) s
+),
+capped AS (
+  SELECT sig, exemplar, n_docs, b, bv FROM (
+    SELECT blocks.*, row_number() OVER (PARTITION BY b, bv ORDER BY sig) AS rn
+    FROM blocks
+  ) WHERE rn <= {_SIMHASH_NEIGHBOR_CAP}
+),
+cand AS (
+  SELECT DISTINCT c1.sig AS sig_a, c1.exemplar AS exemplar_a, c1.n_docs AS docs_a,
+                  c2.sig AS sig_b, c2.exemplar AS exemplar_b, c2.n_docs AS docs_b
+  FROM capped c1 JOIN capped c2
+    ON c1.b = c2.b AND c1.bv = c2.bv AND c1.sig < c2.sig
+)
+SELECT sig_a, sig_b, CAST({_hamming_sql('sig_a', 'sig_b')} AS BIGINT) AS hamming,
+       exemplar_a, docs_a, exemplar_b, docs_b
+FROM cand
+WHERE {_hamming_sql('sig_a', 'sig_b')} <= 3
+ORDER BY sig_a, sig_b
+""",
+    tags=("dedup", "simhash", "lsh"),
+)
+def simhash_hamming_neighbors(spark, sf_dir):
+    """SimHash near-duplicate detection at Hamming distance <= 3 via block
+    decomposition (Manku, Jain & Das Sarma 2007, "Detecting Near-Duplicates
+    for Web Crawling"): a 64-bit simhash per document, identical
+    fingerprints collapsed to one representative first (Manku Sec. 3 does
+    the same — exact dups are hamming 0 by construction), then the
+    fingerprint split into 4 blocks of 16 bits. Any pair within Hamming 3
+    differs in at most 3 blocks, so by pigeonhole it agrees on at least
+    one — candidate generation is therefore 4 EQUI-joins on (block,
+    block_value), never an all-pairs scan, and the verify step (the
+    unrolled 64-term positional Hamming sum) runs only on candidates.
+
+    Completes the simhash rung of the dedup ladder the way
+    `minhash_lsh_candidates` completes the minhash rung:
+    `simhash_signatures` computes signatures, this query finds the
+    neighbor pairs.
+
+    Scale: signatures are one linear groupBy over shingles; the
+    representative frame is checkpointed once and read by both sides of
+    the self-join; each (block, value) bucket admits at most
+    1000 representatives (deterministic sig-ranked, the
+    `minhash_lsh_candidates` cap discipline) so candidate volume is
+    bounded even on corpora whose fingerprint entropy is low — on
+    diverse web-scale content 16-bit blocks make buckets tiny (Manku
+    Sec. 4), and the cap is the documented degradation for homogeneous
+    corpora (this synthetic fixture's ~30-word vocabulary correlates
+    fingerprint bits, the worst case). Verify cost is candidates x 64
+    codegen CASE terms — no UDF, no cartesian.
+    """
+    docs = T(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    sigs = sh.groupBy("doc_id").agg(
+        F.expr(_simhash_bits_sql64()).alias("sig")
+    )
+    reps = sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("exemplar"), F.count("*").alias("n_docs")
+    )
+    blocks = reps.select(
+        "sig", "exemplar", "n_docs", F.explode(F.expr("sequence(0, 3)")).alias("b")
+    ).withColumn("bv", F.expr("substr(sig, CAST(b * 16 + 1 AS INT), 16)"))
+    # checkpoint AFTER the cap so the signature scan, the rank window and
+    # the cap run exactly once — both sides of the self-join read the cut
+    capped = ckpt(
+        blocks.withColumn(
+            "rn", F.row_number().over(W.partitionBy("b", "bv").orderBy("sig"))
+        )
+        .filter(F.col("rn") <= _SIMHASH_NEIGHBOR_CAP)
+        .drop("rn")
+    )
+    c1 = capped.select(
+        F.col("sig").alias("sig_a"),
+        F.col("exemplar").alias("exemplar_a"),
+        F.col("n_docs").alias("docs_a"),
+        "b",
+        "bv",
+    )
+    c2 = capped.select(
+        F.col("sig").alias("sig_b"),
+        F.col("exemplar").alias("exemplar_b"),
+        F.col("n_docs").alias("docs_b"),
+        "b",
+        "bv",
+    )
+    cand = (
+        c1.join(c2, ["b", "bv"])
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "exemplar_a", "docs_a", "sig_b", "exemplar_b", "docs_b")
+        .distinct()
+    )
+    ham = _hamming_sql("sig_a", "sig_b")
+    return (
+        cand.withColumn("hamming", F.expr(f"CAST({ham} AS BIGINT)"))
+        .filter(F.col("hamming") <= 3)
+        .select(
+            "sig_a", "sig_b", "hamming", "exemplar_a", "docs_a", "exemplar_b", "docs_b"
+        )
+        .orderBy("sig_a", "sig_b")
+    )

@@ -702,3 +702,18 @@ def test_ks_drift_matrix_everything_after_the_cut_is_tiny(spark, sf_dir, registr
     p = _plan(spark, registry["ks_drift_matrix"].spark(spark, sf_dir))
     assert "Scan parquet" not in p
     assert "CartesianProduct" not in p
+
+
+def test_simhash_neighbors_equijoin_reads_checkpointed_reps(spark, sf_dir, registry):
+    """The Manku block join's scale shape: the representative-fingerprint
+    frame is checkpointed AFTER the cap (the signature groupBy and the
+    rank window both ran once, at ckpt time — no parquet scan, no md5
+    lambda, no window downstream) and candidates come from an EQUI-join
+    on (block, block_value) — no cartesian anywhere."""
+    df = registry["simhash_hamming_neighbors"].spark(spark, sf_dir)
+    p = _plan(spark, df)
+    assert "Scan parquet" not in p
+    assert "md5(" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p

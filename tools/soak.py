@@ -100,6 +100,8 @@ DRIVER_TABLE = {
     "source_overlap_matrix": "documents",
     "lsh_scurve_calibration": "documents",
     "bpe_encode_token_budget": "documents",
+    # round-10 simhash neighbor join (Manku block decomposition)
+    "simhash_hamming_neighbors": "documents",
 }
 
 
