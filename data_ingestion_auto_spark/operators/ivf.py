@@ -296,6 +296,50 @@ def append_to_ivf_index(
     )
 
 
+def retire_from_ivf_index(
+    spark,
+    table: str,
+    retired: DataFrame,
+    id_col: str = "vec_id",
+    buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Retention for the stored IVF index — the embedding twin of
+    ``retire_from_band_index`` (operators/dedup.py), completing the
+    index lifecycle symmetry: write / probe / append / retire on both
+    the text tier and the embedding tier. Vectors deleted from the
+    corpus must also leave the index, or probes keep returning ghosts
+    as nearest neighbors forever (an ANN index has no capacity cap to
+    reclaim, but ghost hits are worse than wasted space — they are
+    WRONG answers).
+
+    ``retired`` carries the ids to drop in ``id_col``. Compaction
+    rewrites the survivors into the same cluster_id-bucketed layout, so
+    the exchange-free probe plan and the frozen-centroid contract both
+    survive; ``{table}_centroids`` is deliberately untouched (the
+    quantizer is model state — retiring vectors does not retrain it,
+    exactly as appending does not; rebuild via ``write_ivf_index`` when
+    drift warrants).
+
+    Cost: one anti-join (retirement batch is broadcastable in any sane
+    policy) + one index-sized rewrite through a lineage cut (reliable
+    checkpoint when a dir is configured) so the overwrite never reads
+    the files it replaces. Batch retirements, never per-vector — the
+    same amortization contract as the band-index retire."""
+    survivors = ckpt(
+        spark.table(table).join(retired.select(F.col(id_col)), [id_col], "left_anti")
+    )
+    writer = (
+        survivors.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, "cluster_id")
+        .sortBy("cluster_id", id_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def _assign_grouped(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """Nearest FINE centroid within each vector's own coarse group: an
     equi-join on group_id (per-key candidate set = that group's fine

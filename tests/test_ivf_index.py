@@ -175,3 +175,51 @@ def test_append_routes_with_frozen_centroids_and_is_idempotent(
     # a probed batch that is ALREADY in the index never matches itself
     res = V.probe_ivf_index(spark, batch, "t_ivf_idx_a")
     assert res.filter(F.col("query_id") == F.col("cand_id")).count() == 0
+
+
+def test_retire_removes_ghosts_and_preserves_layout(spark, emb_split, tmp_path):
+    """The retire cycle (the band-index retention contract, embedding
+    side): retired vectors vanish from probe results, the survivors'
+    bucketed layout and the frozen centroids survive the rewrite, and a
+    retired id can be re-appended afterwards (the anti-join admission
+    sees it as fresh again)."""
+    corpus, batch = emb_split
+    spark.sql("DROP TABLE IF EXISTS t_ivf_idx_r")
+    spark.sql("DROP TABLE IF EXISTS t_ivf_idx_r_centroids")
+    V.write_ivf_index(corpus, "t_ivf_idx_r", buckets=8, path=str(tmp_path / "ivf_r"))
+    n0 = spark.table("t_ivf_idx_r").count()
+    cents_before = sorted(
+        (r.cluster_id, tuple(r.cvec))
+        for r in spark.table("t_ivf_idx_r_centroids").collect()
+    )
+
+    # retire every vector the batch currently hits at rank 1 — the ids a
+    # user would most notice returning as ghosts
+    hits = V.probe_ivf_index(spark, batch, "t_ivf_idx_r")
+    retired_ids = [
+        r.cand_id for r in hits.filter(F.col("rank") == 1).select("cand_id").distinct().collect()
+    ]
+    assert retired_ids
+    retired = spark.createDataFrame([(i,) for i in retired_ids], "vec_id bigint")
+    V.retire_from_ivf_index(
+        spark, "t_ivf_idx_r", retired, buckets=8, path=str(tmp_path / "ivf_r2")
+    )
+
+    # ghosts are gone from storage AND from probe results
+    assert spark.table("t_ivf_idx_r").count() == n0 - len(retired_ids)
+    res = V.probe_ivf_index(spark, batch, "t_ivf_idx_r")
+    got_ids = {r.cand_id for r in res.collect()}
+    assert got_ids.isdisjoint(set(retired_ids))
+
+    # centroids untouched, bucketed layout survives the rewrite
+    cents_after = sorted(
+        (r.cluster_id, tuple(r.cvec))
+        for r in spark.table("t_ivf_idx_r_centroids").collect()
+    )
+    assert cents_after == cents_before
+    assert "Bucketed: true" in _plan(V.probe_ivf_index(spark, batch, "t_ivf_idx_r"))
+
+    # a retired id re-appends as fresh, routed by the frozen quantizer
+    revived = corpus.filter(F.col("vec_id").isin(retired_ids[:2]))
+    V.append_to_ivf_index(spark, revived, "t_ivf_idx_r", buckets=8)
+    assert spark.table("t_ivf_idx_r").count() == n0 - len(retired_ids) + 2
