@@ -235,3 +235,124 @@ def label_centroid_similarity(spark, sf_dir):
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "unigram_tvd_matrix",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+grid AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+m AS (
+  SELECT ca.source AS source_a, cb.source AS source_b,
+         CAST(sum(abs(ca.c * tb.n - cb.c * ta.n)) AS BIGINT) AS sum_abs,
+         CAST(sum(ca.c) AS BIGINT) AS m_a,
+         CAST(sum(cb.c) AS BIGINT) AS m_b,
+         CAST(count(*) AS BIGINT) AS shared_vocab
+  FROM cnt ca
+  JOIN cnt cb ON ca.token = cb.token AND ca.source < cb.source
+  JOIN tot ta ON ta.source = ca.source
+  JOIN tot tb ON tb.source = cb.source
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+         CAST(coalesce(m.shared_vocab, 0) AS BIGINT) AS shared_vocab,
+         CAST(coalesce(m.sum_abs, 0)
+              + (g.n_a - coalesce(m.m_a, 0)) * g.n_b
+              + (g.n_b - coalesce(m.m_b, 0)) * g.n_a AS BIGINT) AS tvd_num
+  FROM grid g
+  LEFT JOIN m ON g.source_a = m.source_a AND g.source_b = m.source_b
+)
+SELECT source_a, source_b, n_a, n_b, shared_vocab, tvd_num,
+       CAST(tvd_num AS DOUBLE) / (2.0 * n_a * n_b) AS tvd
+FROM r
+ORDER BY source_a, source_b
+""",
+    tags=("drift", "distribution", "tvd", "observability", "llm"),
+)
+def unigram_tvd_matrix(spark, sf_dir):
+    """Exact total-variation distance between every source pair's unigram
+    (word) distributions — the CONTENT-drift complement of
+    `ks_drift_matrix` (which watches length distributions): a source
+    whose vocabulary mix jumps between crawls changed topic, language
+    mix, or extraction, even if its document lengths stayed put.
+
+    Exactness contract: TVD = 1/2 * sum_w |p_a(w) - p_b(w)| over the
+    union vocabulary is a rational with denominator 2*n_a*n_b, so the
+    numerator stays in BIGINT cross-multiplied arithmetic —
+    sum |c_a*n_b - c_b*n_a| over SHARED words plus the one-sided masses
+    (n_a - m_a)*n_b and (n_b - m_b)*n_a, which is algebraically the
+    union-vocabulary sum without ever materializing per-pair missing
+    words — and only the report divides once (one IEEE division of
+    identical integers, bit-stable across engines). Products stay below
+    2^53 up to ~90M tokens per source; beyond that the numerator
+    arithmetic moves to DECIMAL(38,0) unchanged in shape.
+
+    Scale: one corpus scan into (source, token) counts — vocabulary x
+    sources rows, checkpointed; the pair expansion is a token-keyed
+    equi-join of that tiny frame with itself (never the corpus), the
+    pair grid is a broadcast sources x sources nested loop
+    (domain-bounded), output sources*(sources-1)/2 rows at any corpus —
+    the drift-matrix observability contract."""
+    from ..checkpoints import ckpt
+
+    tok = T(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    # ONE corpus scan into the (source, token) count frame (vocab x
+    # sources rows) — totals, the pair grid, and the shared-word join
+    # all derive from the cut, never from re-scans (plan-pinned).
+    cnt = ckpt(
+        tok.groupBy("source", "token").agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    grid = ta.crossJoin(F.broadcast(tb)).filter(F.col("source_a") < F.col("source_b"))
+    ca = cnt.select(F.col("source").alias("source_a"), "token", F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("source").alias("source_b"), "token", F.col("c").alias("c_b"))
+    m = (
+        ca.join(cb, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))
+            .cast("bigint")
+            .alias("sum_abs"),
+            F.sum("c_a").cast("bigint").alias("m_a"),
+            F.sum("c_b").cast("bigint").alias("m_b"),
+            F.count("*").cast("bigint").alias("shared_vocab"),
+        )
+    )
+    r = grid.join(m, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.coalesce("shared_vocab", F.lit(0)).cast("bigint").alias("shared_vocab"),
+        (
+            F.coalesce("sum_abs", F.lit(0))
+            + (F.col("n_a") - F.coalesce("m_a", F.lit(0))) * F.col("n_b")
+            + (F.col("n_b") - F.coalesce("m_b", F.lit(0))) * F.col("n_a")
+        )
+        .cast("bigint")
+        .alias("tvd_num"),
+    )
+    return r.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "shared_vocab",
+        "tvd_num",
+        (F.col("tvd_num").cast("double") / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))).alias("tvd"),
+    ).orderBy("source_a", "source_b")

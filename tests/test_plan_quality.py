@@ -717,3 +717,14 @@ def test_simhash_neighbors_equijoin_reads_checkpointed_reps(spark, sf_dir, regis
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
+
+
+def test_unigram_tvd_matrix_everything_after_the_cut_is_tiny(spark, sf_dir, registry):
+    """The (source, token) count frame is the single corpus scan,
+    checkpointed; the final plan reads only the cut — no parquet scan —
+    the pair grid is a broadcast sources x sources nested loop
+    (domain-bounded, never data-sized), and the shared-word join is a
+    token-keyed equi-join of the tiny count frame with itself."""
+    p = _plan(spark, registry["unigram_tvd_matrix"].spark(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p

@@ -102,6 +102,7 @@ DRIVER_TABLE = {
     "bpe_encode_token_budget": "documents",
     # round-10 simhash neighbor join (Manku block decomposition)
     "simhash_hamming_neighbors": "documents",
+    "unigram_tvd_matrix": "documents",
 }
 
 
