@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     ann_incremental,  # after semdedup: shares its k-means CTEs
     cdc_chunks,
     drift,
+    jl_projection,
     sketches,
     collocations,
     export_pipeline,

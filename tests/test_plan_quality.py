@@ -728,3 +728,13 @@ def test_unigram_tvd_matrix_everything_after_the_cut_is_tiny(spark, sf_dir, regi
     p = _plan(spark, registry["unigram_tvd_matrix"].spark(spark, sf_dir))
     assert "Scan parquet" not in p
     assert "CartesianProduct" not in p
+
+
+def test_jl_projection_pushdown_and_bounded_pairs(spark, sf_dir, registry):
+    """The JL query's scan reads only the bounded subset (vec_id < 100
+    reaches the parquet scan as a pushed filter) and the pair expansion
+    is the broadcast bounded-side nested loop the exact-oracle tier is
+    allowed — the projection itself is pure codegen, no Python node."""
+    p = _plan(spark, registry["jl_projection_distortion"].spark(spark, sf_dir))
+    assert "LessThan(vec_id,100)" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
