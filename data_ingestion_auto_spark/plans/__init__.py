@@ -33,6 +33,7 @@ from . import (  # noqa: F401
     cdc_chunks,
     drift,
     jl_projection,
+    sharding,
     sketches,
     collocations,
     export_pipeline,

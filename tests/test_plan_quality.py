@@ -738,3 +738,12 @@ def test_jl_projection_pushdown_and_bounded_pairs(spark, sf_dir, registry):
     p = _plan(spark, registry["jl_projection_distortion"].spark(spark, sf_dir))
     assert "LessThan(vec_id,100)" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rendezvous_rebalance_mapside_pruned_scan(spark, sf_dir, registry):
+    """The HRW matrix is one doc_id-pruned scan (8 bytes/row at any
+    corpus) into map-side md5/greatest/CASE codegen and a <=72-group
+    aggregate — no explode, no join, no window."""
+    p = _plan(spark, registry["rendezvous_shard_rebalance"].spark(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+    assert "Generate" not in p and "Join" not in p and "Window" not in p
