@@ -103,6 +103,7 @@ DRIVER_TABLE = {
     # round-10 simhash neighbor join (Manku block decomposition)
     "simhash_hamming_neighbors": "documents",
     "unigram_tvd_matrix": "documents",
+    "neardup_kcore": "documents",
 }
 
 
