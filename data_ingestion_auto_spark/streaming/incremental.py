@@ -276,3 +276,62 @@ def start_dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_ann_ingest_stream(
+    spark,
+    stream_emb: DataFrame,
+    index_table: str,
+    assign_path: str,
+    checkpoint: str,
+    buckets: int = 16,
+    nprobe: int = 2,
+    topk: int = 3,
+):
+    """Continuous nearest-neighbor ingest against the STORED IVF index —
+    the embedding twin of ``start_dedup_ingest_stream``, closing the
+    streaming symmetry across both index lifecycles: every micro-batch
+    of arriving vectors (vec_id, embedding) is probed against the index
+    (cosine top-k among stored lists, frozen coarse quantizer), the
+    assignments land in a parquet sink, and the batch is appended so
+    LATER batches route against EARLIER ones.
+
+    Delivery semantics under foreachBatch's at-least-once retry:
+
+    - the INDEX is exactly-once in effect: ``append_to_ivf_index`` drops
+      already-stored ids before writing (anti-join admission), so any
+      replay is a no-op and the centroid table is never touched;
+    - the ASSIGNMENT sink is at-least-once with RANK-WISE REFINEMENT: a
+      replayed probe sees a superset of stored vectors, so for a given
+      (query, rank) the cosine can only stay or increase (a better
+      neighbor can displace, never disappear — probe self-exclusion
+      makes re-probing an appended batch safe). Readers resolve per
+      (query_id, rank): the row with the highest cosine.
+
+    Scale: per micro-batch cost is O(batch·k) routing + ADC against the
+    probed lists only, with ZERO Exchange on the index side — corpus-
+    size-independent, the same contract as the dedup ingest stream."""
+    from ..operators import ivf as V
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        # same cloned-session catalog staleness as the dedup stream:
+        # refresh before the probe or epoch N misses epochs < N
+        spark.catalog.refreshTable(index_table)
+        batch = batch_df.localCheckpoint()
+        (
+            V.probe_ivf_index(spark, batch, index_table, nprobe=nprobe, topk=topk)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(assign_path)
+        )
+        V.append_to_ivf_index(spark, batch, index_table, buckets=buckets)
+        spark.catalog.refreshTable(index_table)
+
+    return (
+        stream_emb.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
