@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     drift,
     jl_projection,
     sharding,
+    boilerplate,
     sketches,
     collocations,
     export_pipeline,

@@ -1,0 +1,110 @@
+"""Corpus-level boilerplate detection by n-gram document frequency —
+the C4/CCNet-family signal the WITHIN-document repetition gates
+(`repetition_ngram_gate`, `top_ngram_char_fraction` — Gopher rules)
+cannot see: a navigation header repeated across thousands of pages is
+unremarkable inside any one document but has an enormous document
+frequency. The blacklist is every word-3-gram appearing in >= 0.5% of
+documents (and >= 2 absolute — the tiny-corpus guard); each document
+then reports how much of its n-gram mass the blacklist covers.
+
+Scale: the gram frame is one corpus scan (grams md5-hashed BEFORE any
+shuffle — text never moves), checkpointed and read twice (the df
+aggregate and the per-doc join). The blacklist itself is
+corpus-size-INDEPENDENT: at threshold f, at most
+(avg grams per doc) / f distinct grams can qualify (sum of df over
+qualifying grams <= total gram instances), so it broadcasts at ANY
+corpus size — the per-doc membership join is map-side. Output is one
+row per document, the curation-signal contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..checkpoints import ckpt
+from .helpers import T
+from .registry import query
+
+# NB: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty like
+# DuckDB's generate_series — docs under 3 words need the explicit guard
+_GRAM_SQL_SPARK = (
+    "CASE WHEN size(split(text, ' ')) < 3 THEN CAST(array() AS array<string>) "
+    "ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> md5(array_join(slice(split(text, ' '), i, 3), ' '))) END"
+)
+
+
+@query(
+    "boilerplate_ngram_mass",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, md5(array_to_string(w[i : i + 2], ' ')) AS gh
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) s
+),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+df AS (SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM g GROUP BY gh),
+bl AS (SELECT gh FROM df, ndocs WHERE df * 1000 >= n * 5 AND df >= 2),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN bl.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM g LEFT JOIN bl ON g.gh = bl.gh
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0
+            ELSE (1000000 * per.n_boiler) // per.n_grams END AS BIGINT) AS boiler_ppm
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("text", "boilerplate", "ngram", "curation", "llm"),
+)
+def boilerplate_ngram_mass(spark, sf_dir):
+    """Per document: total word-3-grams, how many sit in the corpus
+    document-frequency blacklist (df >= 0.5% of docs, >= 2 absolute),
+    and the boilerplate mass in exact integer ppm. High-boiler_ppm
+    documents are template/navigation shells a curation pass
+    down-weights even when every Gopher within-doc gate passes.
+
+    Scale: see module docstring — one checkpointed gram scan read
+    twice; the blacklist is bounded by (grams/doc)/0.005 entries
+    independent of corpus size, hence explicitly broadcast; docs with
+    fewer than 3 words report 0/0/0 via the left join."""
+    docs = T(spark, sf_dir, "documents")
+    g = ckpt(
+        docs.select(
+            "doc_id", F.explode(F.expr(_GRAM_SQL_SPARK)).alias("gh")
+        )
+    )
+    ndocs = docs.groupBy().agg(F.count("*").cast("bigint").alias("n"))
+    df = g.groupBy("gh").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    bl = (
+        df.crossJoin(F.broadcast(ndocs))
+        .filter((F.col("df") * 1000 >= F.col("n") * 5) & (F.col("df") >= 2))
+        .select("gh", F.lit(1).alias("is_b"))
+    )
+    per = (
+        g.join(F.broadcast(bl), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("is_b", F.lit(0))).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("(1000000 * n_boiler) div n_grams"))
+            .cast("bigint")
+            .alias("boiler_ppm"),
+        )
+        .orderBy("doc_id")
+    )

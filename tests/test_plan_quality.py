@@ -747,3 +747,19 @@ def test_rendezvous_rebalance_mapside_pruned_scan(spark, sf_dir, registry):
     p = _plan(spark, registry["rendezvous_shard_rebalance"].spark(spark, sf_dir))
     assert "ReadSchema: struct<doc_id:bigint>" in p
     assert "Generate" not in p and "Join" not in p and "Window" not in p
+
+
+def test_boilerplate_blacklist_broadcasts_and_text_stays_mapside(
+    spark, sf_dir, registry
+):
+    """The df blacklist is corpus-size-independent (<= grams-per-doc /
+    0.005 entries) so its membership join must BROADCAST; raw text never
+    shuffles (grams are md5-hashed before any exchange); the gram frame
+    is checkpointed so the final plan reads the cut, not a re-scan of
+    the corpus for the second pass."""
+    p = _plan(spark, registry["boilerplate_ngram_mass"].spark(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line

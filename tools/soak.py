@@ -104,6 +104,7 @@ DRIVER_TABLE = {
     "simhash_hamming_neighbors": "documents",
     "unigram_tvd_matrix": "documents",
     "neardup_kcore": "documents",
+    "boilerplate_ngram_mass": "documents",
 }
 
 
