@@ -529,3 +529,139 @@ def winnowing_match_spans(spark, sf_dir):
         )
         .orderBy("a", "b", "side", "start_token")
     )
+
+
+_RRF_C = 60  # the constant from Cormack et al. 2009 — dampens top-rank dominance
+_RRF_K = 20
+
+
+@query(
+    "rrf_retrieval_fusion",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM d),
+toks AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(round(sum(CAST({_CONTRIB} AS DECIMAL(38,6))), 6) AS DOUBLE) AS bm25,
+         max(tf.dl) AS dl,
+         CAST(sum(tf) AS BIGINT) AS tf_sum
+  FROM tf JOIN idf USING (term) CROSS JOIN c
+  GROUP BY tf.doc_id
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25,
+         row_number() OVER (
+           ORDER BY n_matched DESC, (1000000 * tf_sum) // dl DESC, doc_id
+         ) AS rank_cov
+  FROM bm
+)
+SELECT doc_id,
+       CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rank_cov AS BIGINT) AS rank_cov,
+       CAST(1000000000000 // ({_RRF_C} + rank_bm25)
+            + 1000000000000 // ({_RRF_C} + rank_cov) AS BIGINT) AS rrf_micro
+FROM r
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {_RRF_K}
+""",
+    tags=("text", "retrieval", "rrf", "fusion", "llm"),
+)
+def rrf_retrieval_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    retrieval systems over the same keyword query: the BM25 ranking and
+    a term-coverage ranking (terms matched, then tf density per token),
+    fused as RRF(d) = sum_systems 1/(60 + rank_system(d)) — here in
+    exact integer micro-units, 10^12 div (60 + rank), so the fused
+    score is BIGINT arithmetic with no float summation anywhere. RRF
+    beats either system alone whenever their failure modes differ
+    (the ensembling result of the paper), and rank-space fusion needs
+    no score calibration between systems — which is why it composes
+    rankers whose scores live on different scales, like these two.
+
+    Scale: both rankings live on the CANDIDATE POOL (docs matching >= 1
+    query term — the postings slice, never the corpus; the pool frame is
+    checkpointed once and both rank windows read it). Production RRF
+    fuses the bounded top-k lists each system already returns, so the
+    window is k-sized per query; the registered query ranks the full
+    pool because the oracle tier is exact by contract."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        F.split("text", " ").alias("w"),
+    )
+    c = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
+    terms_arr = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = d.select(
+        "doc_id",
+        "dl",
+        F.explode(F.expr(f"filter(w, t -> t IN ({terms_arr}))")).alias("term"),
+    )
+    tf = ckpt(
+        toks.groupBy("doc_id", "term").agg(
+            F.max("dl").alias("dl"), F.count("*").cast("bigint").alias("tf")
+        )
+    )
+    idf = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    bm = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(c))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.round(F.sum(F.expr(_CONTRIB).cast("decimal(38,6)")), 6)
+            .cast("double")
+            .alias("bm25"),
+            F.max("dl").alias("dl"),
+            F.sum("tf").cast("bigint").alias("tf_sum"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("bigint")
+        .alias("rank_bm25"),
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.desc("n_matched"),
+                F.desc(F.expr("(1000000 * tf_sum) div dl")),
+                "doc_id",
+            )
+        )
+        .cast("bigint")
+        .alias("rank_cov"),
+    )
+    return (
+        r.select(
+            "doc_id",
+            "rank_bm25",
+            "rank_cov",
+            F.expr(
+                f"CAST(1000000000000 div ({_RRF_C} + rank_bm25)"
+                f" + 1000000000000 div ({_RRF_C} + rank_cov) AS BIGINT)"
+            ).alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(_RRF_K)
+    )

@@ -763,3 +763,17 @@ def test_boilerplate_blacklist_broadcasts_and_text_stays_mapside(
     for line in p.splitlines():
         if "Exchange" in line:
             assert "text" not in line
+
+
+def test_rrf_fusion_windows_on_candidate_pool_only(spark, sf_dir, registry):
+    """RRF inherits BM25's scale shape: postings checkpointed once, idf
+    and corpus scalars broadcast, and the ONLY windows are the two rank
+    windows over the candidate pool (pool-sized, never corpus-sized);
+    no cartesian beyond the broadcast 1-row scalar join."""
+    df = registry["rrf_retrieval_fusion"].spark(spark, sf_dir)
+    p = _plan(spark, df, "simple")
+    assert p.count("Window") == 2
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line
