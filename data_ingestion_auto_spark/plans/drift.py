@@ -356,3 +356,79 @@ def unigram_tvd_matrix(spark, sf_dir):
         "tvd_num",
         (F.col("tvd_num").cast("double") / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))).alias("tvd"),
     ).orderBy("source_a", "source_b")
+
+
+@query(
+    "trimmed_mean_length",
+    oracle="""
+WITH x AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+  FROM documents
+),
+r AS (
+  SELECT source, len,
+         row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM x
+),
+k AS (
+  SELECT source, len, n, n // 10 AS t
+  FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(t) AS BIGINT) AS n_trimmed_each_side,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(len) AS BIGINT) AS kept_len_sum,
+       CAST(sum(len) AS DOUBLE) / count(*) AS trimmed_mean
+FROM k
+GROUP BY source
+ORDER BY source
+""",
+    tags=("drift", "robust", "observability", "llm"),
+)
+def trimmed_mean_length(spark, sf_dir):
+    """Per-source 10% two-sided trimmed mean of document token length —
+    the robust location statistic an ingest monitor alarms on: a raw
+    mean moves when a scraper starts emitting a handful of giant
+    concatenated pages; the trimmed mean only moves when the BULK of
+    the distribution moves (breakdown point 10%). Reported with the
+    exact integer machinery: per-source rank + count windows (one
+    shared partition exchange), drop floor(n/10) from each side, BIGINT
+    sum of the kept middle, one IEEE division at report time.
+
+    Scale: the windows partition BY SOURCE — per-partition sort, never
+    a global one; at corpora where a single source outgrows a
+    partition's sort budget, the sampled-edge construction
+    (`order_value_deciles_binned`) replaces exact ranks with md5-sample
+    bin edges, the same exact→binned laddering documented there. Output
+    one row per source at any corpus."""
+    from pyspark.sql import Window as W
+
+    x = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("len"),
+    )
+    w = W.partitionBy("source")
+    r = x.select(
+        "source",
+        "len",
+        F.row_number().over(w.orderBy("len", "doc_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    k = r.filter(
+        (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    ).select("source", "len", "n", F.expr("n div 10").alias("t"))
+    return (
+        k.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max("t").cast("bigint").alias("n_trimmed_each_side"),
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("len").cast("bigint").alias("kept_len_sum"),
+            (F.sum("len").cast("double") / F.count("*")).alias("trimmed_mean"),
+        )
+        .orderBy("source")
+    )

@@ -113,3 +113,46 @@ def test_tvd_fixture_matrix_axioms(spark, sf_dir):
         assert r.source_a < r.source_b
         # shared-vocab coverage never exceeds either side's token mass
         assert r.shared_vocab <= min(r.n_a, r.n_b) or r.shared_vocab <= 64
+
+
+def test_crafted_trimmed_mean_drops_the_outlier(spark):
+    """Source a: lengths 1..9 plus a 1000-token outlier (n=10, trim 1
+    each side) -> kept 2..9, mean 5.5 while the raw mean is 103.9; the
+    outlier never reaches the statistic. Source b: n=5 -> floor(5/10)=0,
+    nothing trimmed, plain mean. Spark == oracle on the crafted corpus."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from data_ingestion_auto_spark import plans
+    from data_ingestion_auto_spark.plans.drift import trimmed_mean_length
+
+    docs = []
+    did = 0
+    for ln in list(range(1, 10)) + [1000]:
+        docs.append((did, " ".join(["w"] * ln), "a"))
+        did += 1
+    for ln in (2, 4, 6, 8, 10):
+        docs.append((did, " ".join(["w"] * ln), "b"))
+        did += 1
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r.source: (r.n_docs, r.n_trimmed_each_side, r.n_kept, r.kept_len_sum, r.trimmed_mean)
+        for r in trimmed_mean_length(spark, d).collect()
+    }
+    assert got["a"] == (10, 1, 8, 44, 5.5)
+    assert got["b"] == (5, 0, 5, 30, 6.0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(plans.REGISTRY["trimmed_mean_length"].oracle).fetchall()
+    }
+    assert got == want
