@@ -108,3 +108,66 @@ def boilerplate_ngram_mass(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "vocab_growth_profile",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_ppm,
+       CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS hapax_ppm
+FROM cnt
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "vocabulary", "observability", "llm"),
+)
+def vocab_growth_profile(spark, sf_dir):
+    """Per-source vocabulary profile: token mass, type count, hapax
+    legomena (words seen exactly once), type-token ratio and
+    hapax-per-type in exact integer ppm — the Heaps'-law face of the
+    corpus a mixture designer reads beside `token_gini_concentration`
+    (concentration) and `unigram_tvd_matrix` (pairwise drift): a source
+    whose TTR collapses between crawls started emitting templates; one
+    whose hapax ratio explodes started emitting noise/mojibake.
+
+    Scale: the same single-scan (source, token) count shape as the TVD
+    matrix — vocab x sources rows after one corpus scan with map-side
+    partial aggregation; everything downstream is count arithmetic on
+    that tiny frame. Output one row per source at any corpus."""
+    tok = T(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = tok.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("CAST((1000000 * n_types) div n_tokens AS BIGINT)").alias(
+                "ttr_ppm"
+            ),
+            F.expr("CAST((1000000 * n_hapax) div n_types AS BIGINT)").alias(
+                "hapax_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
