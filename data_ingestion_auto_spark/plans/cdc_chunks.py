@@ -30,6 +30,7 @@ extends the LLM-pipeline dedup family (COVERAGE.md).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..checkpoints import ckpt
@@ -77,44 +78,13 @@ chunks AS (
 
 
 def _chunk_rows(spark, sf_dir):
-    """(doc_id, chash, n_tokens) — one row per CDC chunk. The chunk
-    array is built in ONE projection and checkpointed before the
-    explode; downstream consumers never see the window lambdas."""
-    win = f"concat_ws(' ', slice(w, i - {_W - 1}, {_W}))"
-    bp = (
-        f"CASE WHEN size(w) >= {_W} THEN "
-        f"filter(sequence({_W}, size(w)), i -> ({_HEX8S.format(v=win)} % {_D}) = 0) "
-        "ELSE array() END"
-    )
-    # the only degenerate span is a boundary landing exactly on the last
-    # token (start = n+1, end = n -> zero-length slice) — filtered by
-    # n_tokens >= 1, mirroring the oracle's WHERE starts[j] <= ends[j]
-    chunk = (
-        "filter(transform(sequence(1, size(starts)), j -> named_struct("
-        "'chash', md5(concat_ws(' ', slice(w, element_at(starts, j), "
-        "greatest(element_at(ends, j) - element_at(starts, j) + 1, 0)))), "
-        "'n_tokens', CAST(element_at(ends, j) - element_at(starts, j) + 1 AS BIGINT))), "
-        "c -> c.n_tokens >= 1)"
-    )
-    docs = T(spark, sf_dir, "documents")
-    spans = (
-        docs.select("doc_id", "source", F.split("text", " ").alias("w"))
-        .select("doc_id", "source", "w", F.expr(bp).alias("bp"))
-        .select(
-            "doc_id",
-            "source",
-            "w",
-            F.expr("transform(concat(array(0), bp), x -> x + 1)").alias("starts"),
-            F.expr("concat(bp, array(size(w)))").alias("ends"),
-        )
-    )
-    arr = ckpt(spans.select("doc_id", "source", F.expr(chunk).alias("chunks")))
-    return arr.select("doc_id", "source", F.explode("chunks").alias("c")).select(
-        "doc_id",
-        "source",
-        F.col("c.chash").alias("chash"),
-        F.col("c.n_tokens").alias("n_tokens"),
-    )
+    """(doc_id, source, chash, n_tokens) — one row per CDC chunk; the
+    Spark-side chunker lives in operators/cdc_index.py::cdc_chunk_rows
+    (shared with the stored chunk-index lifecycle) — chunk array built
+    in ONE projection, checkpointed before the explode."""
+    from ..operators.cdc_index import cdc_chunk_rows
+
+    return cdc_chunk_rows(T(spark, sf_dir, "documents"))
 
 
 @query(
@@ -289,4 +259,120 @@ def source_overlap_matrix(spark, sf_dir):
             ).alias("containment"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+_NEW_NIB = "('0', '1', '2', '3')"  # the house ~25% md5 batch split
+_CHUNK_CAP = 100
+
+
+@query(
+    "incremental_cdc_assign",
+    oracle=f"""
+WITH {_SQL_CHUNKS},
+cdist AS (SELECT DISTINCT doc_id, chash, n_tokens FROM chunks),
+capped AS (
+  SELECT doc_id, chash,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {_NEW_NIB} AS is_new
+  FROM (
+    SELECT doc_id, chash,
+           row_number() OVER (PARTITION BY chash ORDER BY doc_id) AS rn
+    FROM cdist
+  ) WHERE rn <= {_CHUNK_CAP}
+),
+nc AS (
+  SELECT doc_id, chash, n_tokens FROM cdist
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {_NEW_NIB}
+),
+own AS (
+  SELECT n.doc_id AS doc_id, n.chash, n.n_tokens, min(o.doc_id) AS owner
+  FROM nc n LEFT JOIN capped o
+    ON n.chash = o.chash AND (NOT o.is_new OR o.doc_id < n.doc_id)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN owner IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN owner IS NOT NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS shared_tokens,
+       CAST((1000000 * sum(CASE WHEN owner IS NOT NULL THEN n_tokens ELSE 0 END))
+            // sum(n_tokens) AS BIGINT) AS dup_ratio_ppm,
+       CAST(coalesce(min(owner), doc_id) AS BIGINT) AS dup_of,
+       (min(owner) IS NOT NULL) AS is_dup
+FROM own
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("dedup", "cdc", "incremental", "llm"),
+)
+def incremental_cdc_assign(spark, sf_dir):
+    """Ingest-time SUB-DOCUMENT dedup of a new batch against the stored
+    CDC chunk index (the chunk-granularity sibling of
+    `incremental_lsh_dedup_assign` / `incremental_ann_assign` — third
+    tier of the incremental-index family): per arriving document, how
+    many of its content-defined chunks — and how much token mass — is
+    already owned by the corpus (or an earlier member of the same
+    batch), plus the canonical owner (min id over shared chunks, self
+    when new-unique). Catches a new document QUOTING a stored passage,
+    which whole-document LSH under-weights and embedding ANN can miss
+    entirely.
+
+    Replay mapping: the corpus (~75% md5 split) stands in for the
+    stored bucketed index (operators/cdc_index.py::write_chunk_index —
+    the REAL lifecycle is pytest-pinned in tests/test_cdc_index.py);
+    the per-chash cap (100, rank by doc_id) replays write-time
+    admission. One corpus chunking pass (ckpt-before-explode),
+    chash-keyed equi-joins only; owner fan-out bounded by the cap."""
+    chunks = _chunk_rows(spark, sf_dir)
+    cdist = ckpt(chunks.select("doc_id", "chash", "n_tokens").distinct())
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    w = F.row_number().over(W.partitionBy("chash").orderBy("doc_id"))
+    capped = (
+        cdist.withColumn("rn", w)
+        .filter(F.col("rn") <= _CHUNK_CAP)
+        .select(
+            F.col("doc_id").alias("o_id"),
+            "chash",
+            is_new.alias("o_is_new"),
+        )
+    )
+    nc = cdist.filter(is_new).select(
+        F.col("doc_id").alias("n_id"), "chash", "n_tokens"
+    )
+    own = (
+        nc.join(
+            capped,
+            (nc.chash == capped.chash)
+            & ((~capped.o_is_new) | (capped.o_id < nc.n_id)),
+            "left",
+        )
+        .groupBy("n_id", nc.chash, "n_tokens")
+        .agg(F.min("o_id").alias("owner"))
+    )
+    return (
+        own.groupBy("n_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("owner").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.sum(F.when(F.col("owner").isNotNull(), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("shared_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("owner").alias("min_owner"),
+        )
+        .select(
+            F.col("n_id").alias("doc_id"),
+            "n_chunks",
+            "n_shared",
+            "shared_tokens",
+            F.expr(
+                "CAST((1000000 * shared_tokens) div total_tokens AS BIGINT)"
+            ).alias("dup_ratio_ppm"),
+            F.coalesce("min_owner", "n_id").cast("bigint").alias("dup_of"),
+            F.col("min_owner").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
     )

@@ -105,6 +105,7 @@ DRIVER_TABLE = {
     "unigram_tvd_matrix": "documents",
     "neardup_kcore": "documents",
     "boilerplate_ngram_mass": "documents",
+    "incremental_cdc_assign": "documents",
 }
 
 
