@@ -432,3 +432,77 @@ def trimmed_mean_length(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "token_shift_topk",
+    oracle="""
+WITH tok AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS in_a,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+  FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b FROM cnt)
+SELECT token, c_a, c_b,
+       CAST(c_a * n_b - c_b * n_a AS BIGINT) AS shift_num,
+       CAST(CAST(c_a * n_b - c_b * n_a AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1000000.0 AS DOUBLE) AS shift_ppm
+FROM cnt CROSS JOIN tot
+ORDER BY abs(c_a * n_b - c_b * n_a) DESC, token
+LIMIT 30
+""",
+    tags=("drift", "attribution", "observability", "llm"),
+)
+def token_shift_topk(spark, sf_dir):
+    """Drift ATTRIBUTION: the aggregate drift matrices (`ks_drift_matrix`,
+    `unigram_tvd_matrix`) page the operator; this query tells them WHICH
+    words moved — the top tokens by exact cross-multiplied frequency
+    shift between the two md5 corpus halves (standing in for
+    consecutive crawls, the house split convention). shift_num =
+    c_a*N_b − c_b*N_a is the signed BIGINT numerator of p_a − p_b over
+    the common denominator N_a*N_b; one IEEE multiply-divide pair at
+    report time renders it as signed ppm.
+
+    Scale: one corpus scan into per-token half-counts (vocab-bounded,
+    map-side combinable), a broadcast 1-row totals join, and a
+    vocab-sized top-k sort. Output 30 rows at any corpus."""
+    tok = T(spark, sf_dir, "documents").select(
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8").alias(
+            "in_a"
+        ),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("c_b"),
+    )
+    tot = cnt.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "c_a",
+            "c_b",
+            (F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            .cast("bigint")
+            .alias("shift_num"),
+            (
+                (F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")).cast(
+                    "double"
+                )
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                * F.lit(1000000.0)
+            ).alias("shift_ppm"),
+        )
+        .orderBy(F.abs(F.col("shift_num")).desc(), "token")
+        .limit(30)
+    )
