@@ -506,3 +506,66 @@ def token_shift_topk(spark, sf_dir):
         .orderBy(F.abs(F.col("shift_num")).desc(), "token")
         .limit(30)
     )
+
+
+@query(
+    "lang_source_association",
+    oracle="""
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r_tot FROM c GROUP BY 1),
+k AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c_tot FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c)
+SELECT c.lang, c.source, c.obs, r.r_tot, k.c_tot,
+       CAST(abs(c.obs * n.n - r.r_tot * k.c_tot) AS BIGINT) AS dev_num,
+       CAST((1000000 * c.obs * n.n) // (r.r_tot * k.c_tot) AS BIGINT) AS lift_ppm
+FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN n
+ORDER BY lang, source
+""",
+    tags=("drift", "contingency", "observability", "llm"),
+)
+def lang_source_association(spark, sf_dir):
+    """Language × source contingency table with the exact independence
+    deviation per cell: observed count, both marginals, the BIGINT
+    cross-multiplied deviation |obs·N − r·c| (the χ² numerator's exact
+    core, log- and float-free), and the lift obs·N/(r·c) in integer ppm
+    (1,000,000 = independent; a cell far above means that source is a
+    language enclave). The composition-drift alarm a mixture designer
+    reads when a crawler's language routing changes: under stable
+    routing every cell's lift is stationary.
+
+    Scale: one pruned two-column corpus scan into langs × sources
+    cells (domain-bounded), marginals derived from the cells (never a
+    re-scan), broadcast joins; output ≤ langs × sources rows at any
+    corpus."""
+    c = (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    from ..checkpoints import ckpt
+
+    c = ckpt(c)
+    r = c.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r_tot"))
+    k = c.groupBy("source").agg(F.sum("obs").cast("bigint").alias("c_tot"))
+    n = c.agg(F.sum("obs").cast("bigint").alias("n"))
+    return (
+        c.join(F.broadcast(r), "lang")
+        .join(F.broadcast(k), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "obs",
+            "r_tot",
+            "c_tot",
+            F.abs(F.col("obs") * F.col("n") - F.col("r_tot") * F.col("c_tot"))
+            .cast("bigint")
+            .alias("dev_num"),
+            F.expr("CAST((1000000 * obs * n) div (r_tot * c_tot) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
