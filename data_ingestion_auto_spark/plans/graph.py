@@ -483,3 +483,74 @@ def neardup_kcore(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("core_degree"))
     )
     return core.select(F.col("u").alias("doc_id"), "core_degree").orderBy("doc_id")
+
+
+_K_FOLDS = 5
+
+# portable first-8-hex md5 -> BIGINT decode (the cdc/sketches idiom)
+_HEX8 = (
+    "("
+    + " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5({{v}}), {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+def _fold_sql(src: str) -> str:
+    return f"({_HEX8.format(v=src)} % {_K_FOLDS})"
+
+
+@query(
+    "group_aware_kfold",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SHINGLES.format(where="")},{_SQL_CC_LABELS},
+grouped AS (
+  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+)
+SELECT doc_id, group_id,
+       CAST({_fold_sql("CAST(group_id AS VARCHAR)")} AS BIGINT) AS fold,
+       CAST({_fold_sql("CAST(doc_id AS VARCHAR)")} AS BIGINT) AS naive_fold,
+       ({_fold_sql("CAST(group_id AS VARCHAR)")} <> {_fold_sql("CAST(doc_id AS VARCHAR)")}) AS moved
+FROM grouped
+ORDER BY doc_id
+""",
+    tags=("dedup", "splits", "kfold", "leakage", "llm", "curation"),
+)
+def group_aware_kfold(spark, sf_dir):
+    """Group-aware K-fold assignment (K=5) — cross-validation's version
+    of `group_aware_split_assign`: the fold key is the near-dup
+    component id (singletons group as themselves) hashed through the
+    portable 8-hex md5 decode mod K, so every near-duplicate family
+    lands in ONE fold and no evaluation fold ever contains a near-copy
+    of a training document — the leakage that silently inflates
+    cross-validation scores. Emits the naive per-doc fold and a `moved`
+    flag (the migration delta), like the split variant.
+
+    At 100 TB: identical scale shape to the split assign — the CC pass
+    the dedup pipeline already ran, a labels left-join, then a map-only
+    fold projection."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component")
+    )
+    grouped = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("component", "doc_id"))
+    )
+    fold = F.expr(f"CAST({_fold_sql('CAST(group_id AS STRING)')} AS BIGINT)")
+    naive = F.expr(f"CAST({_fold_sql('CAST(doc_id AS STRING)')} AS BIGINT)")
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        fold.alias("fold"),
+        naive.alias("naive_fold"),
+        (fold != naive).alias("moved"),
+    ).orderBy("doc_id")

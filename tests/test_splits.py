@@ -72,3 +72,37 @@ def test_assignment_is_total_and_moved_is_consistent(spark, sf_dir):
         assign.filter((F.col("group_id") == F.col("doc_id")) & F.col("moved")).count()
         == 0
     )
+
+
+def test_kfold_zero_straddle_and_naive_leaks(spark, sf_dir):
+    """K-fold mirror of the split proof: under the group-aware fold no
+    LSH candidate pair straddles folds (zero by construction); under the
+    naive per-doc fold the same pair set DOES straddle (the leakage the
+    remediation removes)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark import plans
+    from data_ingestion_auto_spark.operators import dedup as D
+    from data_ingestion_auto_spark.plans.helpers import T
+
+    assign = (
+        plans.REGISTRY["group_aware_kfold"].spark(spark, sf_dir).localCheckpoint()
+    )
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4).localCheckpoint()
+
+    fa = assign.select(F.col("doc_id").alias("a"), F.col("fold").alias("fold_a"),
+                       F.col("naive_fold").alias("nf_a"))
+    fb = assign.select(F.col("doc_id").alias("b"), F.col("fold").alias("fold_b"),
+                       F.col("naive_fold").alias("nf_b"))
+    j = pairs.join(fa, "a").join(fb, "b")
+    assert j.filter(F.col("fold_a") != F.col("fold_b")).count() == 0
+    assert j.filter(F.col("nf_a") != F.col("nf_b")).count() > 0
+    # folds cover 0..4 and every component is fold-pure
+    folds = {r.fold for r in assign.select("fold").distinct().collect()}
+    assert folds <= set(range(5)) and len(folds) == 5
+    per_group = assign.groupBy("group_id").agg(
+        F.countDistinct("fold").alias("nf")
+    )
+    assert per_group.filter(F.col("nf") > 1).count() == 0
