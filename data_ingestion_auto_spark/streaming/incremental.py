@@ -335,3 +335,63 @@ def start_ann_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cdc_ingest_stream(
+    spark,
+    stream_docs: DataFrame,
+    index_table: str,
+    assign_path: str,
+    checkpoint: str,
+    buckets: int = 16,
+    max_per_chunk: int = 100,
+):
+    """Continuous SUB-DOCUMENT ingest dedup against the stored CDC chunk
+    index — the third streaming closure, completing the symmetry: band
+    index (document near-dups), IVF index (embedding neighbors), chunk
+    index (quoted passages), each with write / probe / append / retire
+    AND a foreachBatch ingest loop. Every micro-batch of (doc_id, text)
+    is chunked, probed (per-doc shared-chunk mass + canonical owner),
+    the assignments land in parquet, and the batch's chunks append so
+    later batches dedup against earlier ones.
+
+    Delivery semantics under at-least-once retry: the INDEX is
+    exactly-once in effect (append drops stored (doc_id, chash) keys
+    before capacity ranking); the ASSIGNMENT sink refines monotonically
+    — a replayed probe sees a superset index, so per doc `is_dup` only
+    flips false→true, `n_shared`/`shared_tokens` only grow, and among
+    is_dup rows `dup_of` only decreases (probe self-exclusion makes
+    re-probing an appended batch safe). Readers resolve per doc_id:
+    max shared_tokens row, min dup_of among is_dup rows, else self.
+
+    Scale: per micro-batch cost is O(batch tokens) chunking + one
+    chash-keyed probe with zero Exchange on the index side + one capped
+    append — corpus-size-independent, like the other two loops."""
+    from ..operators import cdc_index as CI
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark.catalog.refreshTable(index_table)
+        batch = batch_df.localCheckpoint()
+        (
+            CI.probe_chunk_index(spark, batch, index_table)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(assign_path)
+        )
+        CI.write_chunk_index(
+            batch,
+            index_table,
+            buckets=buckets,
+            max_per_chunk=max_per_chunk,
+            mode="append",
+        )
+        spark.catalog.refreshTable(index_table)
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
