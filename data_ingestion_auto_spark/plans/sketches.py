@@ -427,3 +427,99 @@ def hashed_sample_quantiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_AMS_K = 16
+
+
+@query(
+    "ams_f2_estimate",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+inst AS (SELECT token, unnest(generate_series(0, {_AMS_K - 1})) AS sk FROM tok),
+svals AS (
+  SELECT sk,
+         CAST(sum(CASE WHEN substr(md5(concat(sk, '|', token)), 1, 1) IN
+                       ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)
+              AS BIGINT) AS s
+  FROM inst GROUP BY sk
+),
+ests AS (SELECT sk, s * s AS est FROM svals),
+f2 AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token)
+),
+agg AS (
+  SELECT CAST(sum(est) // {_AMS_K} AS BIGINT) AS est_mean,
+         CAST(min(est) AS BIGINT) AS est_min,
+         CAST(max(est) AS BIGINT) AS est_max
+  FROM ests
+)
+SELECT f2_exact, est_mean, est_min, est_max,
+       CAST(CASE WHEN est_mean >= f2_exact
+                 THEN ((est_mean - f2_exact) * 1000000) // f2_exact
+                 ELSE -(((f2_exact - est_mean) * 1000000) // f2_exact)
+            END AS BIGINT) AS err_ppm
+FROM f2 CROSS JOIN agg
+""",
+    tags=("sketch", "ams", "f2", "selfjoin", "llm"),
+)
+def ams_f2_estimate(spark, sf_dir):
+    """AMS second-moment sketch (Alon, Matias & Szegedy 1996): estimate
+    F2 = sum_i c_i^2 of the token frequency vector — the SELF-JOIN SIZE
+    on the token key, the quantity a join planner wants before picking a
+    strategy — from {_AMS_K} counters of constant size. Each sketch j
+    keeps one running sum S_j = sum over token INSTANCES of a md5-keyed
+    +/-1 sign; E[S_j^2] = F2 exactly, so the mean of the squares is the
+    estimate. Signs apply per instance BEFORE any aggregation — the true
+    streaming shape: no count frame, no vocabulary state, just
+    {_AMS_K} integers, mergeable across partitions by addition (the
+    map-side partial agg IS the sketch merge).
+
+    The exact F2 (vocab-bounded groupBy) rides along with the signed
+    estimation error in integer ppm — the estimator self-grading the
+    house sketch tier does (kmv/countmin precedent). Sign-correct
+    truncating division keeps err_ppm bit-identical across engines
+    (floor-vs-trunc differs on negatives).
+
+    Scale: one pass, {_AMS_K}x instance fan-out absorbed by map-side
+    combine into {_AMS_K} groups; S ~ sqrt(F2) so S^2 stays in BIGINT
+    up to ~3e9-token corpora per sign class — beyond that the squares
+    move to DECIMAL(38,0) unchanged in shape. Output 1 row."""
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    inst = tok.select(
+        "token", F.explode(F.expr(f"sequence(0, {_AMS_K - 1})")).alias("sk")
+    )
+    sgn = (
+        "CASE WHEN substr(md5(concat(sk, '|', token)), 1, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+    )
+    svals = inst.groupBy("sk").agg(F.sum(F.expr(sgn)).cast("bigint").alias("s"))
+    ests = svals.select("sk", (F.col("s") * F.col("s")).alias("est"))
+    agg = ests.agg(
+        F.expr(f"CAST(sum(est) div {_AMS_K} AS BIGINT)").alias("est_mean"),
+        F.min("est").cast("bigint").alias("est_min"),
+        F.max("est").cast("bigint").alias("est_max"),
+    )
+    f2 = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return (
+        f2.crossJoin(F.broadcast(agg))
+        .select(
+            "f2_exact",
+            "est_mean",
+            "est_min",
+            "est_max",
+            F.expr(
+                "CAST(CASE WHEN est_mean >= f2_exact"
+                " THEN ((est_mean - f2_exact) * 1000000) div f2_exact"
+                " ELSE -(((f2_exact - est_mean) * 1000000) div f2_exact)"
+                " END AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
