@@ -665,3 +665,149 @@ def rrf_retrieval_fusion(spark, sf_dir):
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(_RRF_K)
     )
+
+
+@query(
+    "ranking_kendall_tau",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM d),
+toks AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(round(sum(CAST({_CONTRIB} AS DECIMAL(38,6))), 6) AS DOUBLE) AS bm25,
+         max(tf.dl) AS dl,
+         CAST(sum(tf) AS BIGINT) AS tf_sum
+  FROM tf JOIN idf USING (term) CROSS JOIN c
+  GROUP BY tf.doc_id
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra,
+         row_number() OVER (
+           ORDER BY n_matched DESC, (1000000 * tf_sum) // dl DESC, doc_id
+         ) AS rb
+  FROM bm
+),
+u AS (SELECT doc_id, ra, rb FROM r WHERE ra <= {_RRF_K} OR rb <= {_RRF_K}),
+pairs AS (
+  SELECT CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0 THEN 1 ELSE 0 END AS conc
+  FROM u a JOIN u b ON a.doc_id < b.doc_id
+)
+SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(conc) AS BIGINT) AS concordant,
+       CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+       CAST(CAST(2 * sum(conc) - count(*) AS DOUBLE) / count(*) AS DOUBLE) AS tau
+FROM pairs
+""",
+    tags=("text", "retrieval", "kendall", "ranking", "llm"),
+)
+def ranking_kendall_tau(spark, sf_dir):
+    """Kendall rank correlation between the two retrieval systems RRF
+    fuses (`rrf_retrieval_fusion`): over the documents either system
+    ranks in its top {_RRF_K}, the exact concordant/discordant pair
+    counts and tau = (C − D)/(C + D) — one IEEE division of exact
+    BIGINTs (row_number ranks are tie-free, so no tie correction
+    term). The diagnostic that tells a fusion operator WHETHER fusing
+    is worth it: tau ≈ 1 means the systems agree and fusion adds
+    nothing; low tau means their failure modes differ — exactly when
+    RRF's ensembling pays (Cormack 2009's operating regime).
+
+    Scale: identical candidate-pool shape to the RRF query; the pair
+    comparison lives on the union of two top-{_RRF_K} lists (≤ 2k items,
+    ≤ 2k² pairs at ANY corpus) — bounded output, bounded compare."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        F.split("text", " ").alias("w"),
+    )
+    c = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
+    terms_arr = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = d.select(
+        "doc_id",
+        "dl",
+        F.explode(F.expr(f"filter(w, t -> t IN ({terms_arr}))")).alias("term"),
+    )
+    tf = ckpt(
+        toks.groupBy("doc_id", "term").agg(
+            F.max("dl").alias("dl"), F.count("*").cast("bigint").alias("tf")
+        )
+    )
+    idf = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    bm = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(c))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.round(F.sum(F.expr(_CONTRIB).cast("decimal(38,6)")), 6)
+            .cast("double")
+            .alias("bm25"),
+            F.max("dl").alias("dl"),
+            F.sum("tf").cast("bigint").alias("tf_sum"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    r = bm.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id")).alias("ra"),
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.desc("n_matched"),
+                F.desc(F.expr("(1000000 * tf_sum) div dl")),
+                "doc_id",
+            )
+        )
+        .alias("rb"),
+    )
+    u = ckpt(
+        r.filter((F.col("ra") <= _RRF_K) | (F.col("rb") <= _RRF_K)).select(
+            "doc_id", "ra", "rb"
+        )
+    )
+    a = u.select(F.col("doc_id").alias("da"), F.col("ra").alias("raa"), F.col("rb").alias("rba"))
+    b = u.select(F.col("doc_id").alias("db"), F.col("ra").alias("rab"), F.col("rb").alias("rbb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.when(
+                (F.col("raa") - F.col("rab")) * (F.col("rba") - F.col("rbb")) > 0, 1
+            )
+            .otherwise(0)
+            .alias("conc")
+        )
+    )
+    n_items = u.agg(F.count("*").cast("bigint").alias("n_items"))
+    return (
+        pairs.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("conc").cast("bigint").alias("concordant"),
+            (F.count("*") - F.sum("conc")).cast("bigint").alias("discordant"),
+            (
+                (2 * F.sum("conc") - F.count("*")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("tau"),
+        )
+        .crossJoin(F.broadcast(n_items))
+        .select("n_items", "n_pairs", "concordant", "discordant", "tau")
+    )
