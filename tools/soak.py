@@ -106,6 +106,16 @@ DRIVER_TABLE = {
     "neardup_kcore": "documents",
     "boilerplate_ngram_mass": "documents",
     "incremental_cdc_assign": "documents",
+    "token_shift_topk": "documents",
+    "vocab_growth_profile": "documents",
+    "lang_source_association": "documents",
+    "trimmed_mean_length": "documents",
+    "ams_f2_estimate": "documents",
+    "rrf_retrieval_fusion": "documents",
+    "ranking_kendall_tau": "documents",
+    "group_aware_kfold": "documents",
+    "jl_projection_distortion": "embeddings",
+    "rendezvous_shard_rebalance": "documents",
 }
 
 
