@@ -128,3 +128,68 @@ def compact_parquet_dir(
         "files_after": len(after),
         "bytes": total_bytes,
     }
+
+
+def compact_bucketed_table(
+    spark,
+    table: str,
+    bucket_cols: list[str],
+    sort_cols: list[str],
+    buckets: int = 16,
+    path: str | None = None,
+) -> dict:
+    """Small-files compaction for the BUCKETED index tables — the
+    catalog-side sibling of ``compact_parquet_dir`` (which must not
+    touch bucketed layouts). Every ``mode='append'`` ingest into a
+    stored index (band / IVF / CDC chunk) writes its own set of bucket
+    files, so after N daily ingests each bucket holds ~N small files
+    and probe scans go file-count-bound — the same disease compaction
+    cures elsewhere, but here the cure must PRESERVE the bucket-file
+    mapping or every future probe pays an Exchange again.
+
+    Rewrite: content through a lineage cut (safe to overwrite the files
+    being replaced), repartitioned on the bucket columns into exactly
+    ``buckets`` partitions — Spark's repartition hash and its bucket
+    hash are both Murmur3 on the same columns, so each task holds
+    exactly one bucket and the rewrite lands ONE file per bucket — then
+    ``saveAsTable`` re-declares the bucketing spec and sort order.
+
+    Returns {"files_before", "files_after"} for observability. Cost:
+    one index-sized read + one shuffle + one write — schedule with
+    retention, never per-ingest (the append-capacity design already
+    keeps per-ingest work bounded)."""
+    from ..checkpoints import ckpt
+
+    def _n_files() -> int:
+        loc = None
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r.col_name == "Location":
+                loc = r.data_type
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jpath.getFileSystem(hconf)
+        n = 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                n += 1
+        return n
+
+    files_before = _n_files()
+    cols = spark.table(table).columns
+    survivors = ckpt(spark.table(table))
+    writer = (
+        survivors.repartition(buckets, *[survivors[c] for c in bucket_cols])
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, bucket_cols[0], *bucket_cols[1:])
+        .sortBy(sort_cols[0], *sort_cols[1:])
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    assert spark.table(table).columns == cols
+    return {"files_before": files_before, "files_after": _n_files()}
