@@ -428,3 +428,135 @@ def event_markov_transitions(spark, sf_dir):
         )
         .orderBy("cur", "nxt")
     )
+
+
+_PP_B = 32  # target range partitions
+
+
+@query(
+    "partition_plan_histogram",
+    oracle=f"""
+WITH samp AS (
+  SELECT DISTINCT l_orderkey, l_linenumber FROM (
+    SELECT l_orderkey, l_linenumber,
+           {{hex8}} AS h
+    FROM lineitem
+  ) WHERE h % 8 = 0
+),
+r AS (
+  SELECT l_orderkey,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+         count(*) OVER () AS n
+  FROM samp
+),
+edges AS (
+  SELECT i.i, max(CASE WHEN r.rn = (i.i * (r.n + 1)) // {_PP_B}
+                       THEN r.l_orderkey END) AS edge
+  FROM r CROSS JOIN (SELECT unnest(generate_series(1, {_PP_B - 1})) AS i) i
+  GROUP BY i.i
+),
+edge_list AS (SELECT list(edge ORDER BY i) AS el FROM edges),
+b AS (
+  SELECT l.l_orderkey,
+         CAST(1 + len(list_filter(el.el, e -> e IS NOT NULL AND l.l_orderkey > e)) AS BIGINT) AS bucket
+  FROM lineitem l CROSS JOIN edge_list el
+),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(l_orderkey) AS BIGINT) AS lo, CAST(max(l_orderkey) AS BIGINT) AS hi
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM agg)
+SELECT bucket, n_rows, lo, hi,
+       CAST((1000000 * n_rows * {_PP_B}) // total AS BIGINT) AS load_ppm
+FROM agg CROSS JOIN tot
+ORDER BY bucket
+""".format(
+        hex8="("
+        + " + ".join(
+            f"CAST(instr('0123456789abcdef', substr(md5(CAST(concat(l_orderkey, '|', l_linenumber) AS VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    ),
+    tags=("sampling", "partitioning", "planning", "scale-tier"),
+)
+def partition_plan_histogram(spark, sf_dir):
+    """Range-partition PLANNING readout: 32 equi-depth boundaries for
+    lineitem's l_orderkey from the deterministic md5 Bernoulli row
+    sample (h % 8 == 0 over (orderkey, linenumber) — the SAME rows in
+    any engine/shard order), then the ACTUAL per-bucket row counts,
+    key ranges, and load in parts-per-million of the ideal (1,000,000 =
+    perfectly balanced). This is precisely the boundary table
+    ``repartitionByRange`` / a sort-shuffle needs at 100 TB, plus the
+    skew audit that tells the planner whether the sampled edges hold
+    on the full data — the same exact-rank mergeable-sample machinery
+    as `order_value_deciles_binned` (edges are bounded driver-held
+    model state; no single-partition window: `_dense_rank`'s
+    range-partition + broadcast-offset construction ranks the sample).
+
+    Output ≤ 32 rows at any corpus."""
+    from ..checkpoints import ckpt
+    from ..operators.suffix import _adaptive_np, _dense_rank
+    from .sketches import _HEX8
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    samp = ckpt(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                _HEX8.format(v="concat(l_orderkey, '|', l_linenumber)")
+            ).alias("h"),
+        )
+        .filter(F.expr("h % 8 = 0"))
+        .drop("h")
+        .distinct()  # the fixture's (orderkey, linenumber) is NOT unique;
+        # rank semantics are dense over key tuples, so sample distinct
+        # key tuples (standard for boundary sampling) and n = their count
+    )
+    n = samp.count()
+    targets = [i * (n + 1) // _PP_B for i in range(1, _PP_B)]
+    want = [t for t in targets if 1 <= t <= n]
+    if want:
+        ranked = _dense_rank(
+            samp, ["l_orderkey", "l_linenumber"], "rn", np=_adaptive_np(n)
+        )
+        by_rank = {
+            r["rn"]: int(r["l_orderkey"])
+            for r in ranked.filter(F.col("rn").isin(list(set(want)))).collect()
+        }
+        edges = [by_rank[t] for t in want]
+    else:
+        edges = []
+    if edges:
+        edge_arr = ",".join(repr(e) for e in edges)
+        bucket = F.expr(
+            f"CAST(1 + aggregate(array({edge_arr}), 0, (acc, e) -> "
+            f"acc + CASE WHEN l_orderkey > e THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+    else:
+        bucket = F.expr("CAST(1 AS BIGINT)")
+    agg = (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("lo"),
+            F.max("l_orderkey").cast("bigint").alias("hi"),
+        )
+    )
+    tot = agg.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            "lo",
+            "hi",
+            F.expr(
+                f"CAST((1000000 * n_rows * {_PP_B}) div total AS BIGINT)"
+            ).alias("load_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -55,3 +55,26 @@ def test_binned_deciles_small_sample_matches_oracle(spark, tmp_path):
     assert [(r["decile"], r["n"], r["lo"], r["hi"]) for r in got] == [
         tuple(w) for w in want
     ]
+
+
+def test_partition_plan_is_balanced_and_total(spark, sf_dir):
+    """The sampled equi-depth boundaries must cover every row (buckets
+    sum to the table) and actually balance: no bucket beyond 3x the
+    ideal load on the fixture, ranges non-overlapping and ordered."""
+    from data_ingestion_auto_spark import plans
+    from data_ingestion_auto_spark.plans.helpers import T
+
+    rows = sorted(
+        plans.REGISTRY["partition_plan_histogram"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    total = sum(r.n_rows for r in rows)
+    assert total == T(spark, sf_dir, "lineitem").count()
+    assert 1 <= len(rows) <= 32
+    for r in rows:
+        assert r.lo <= r.hi
+        assert r.load_ppm <= 3_000_000
+    # buckets partition the key space: ranges ordered (adjacent buckets
+    # may share a boundary key value, but never invert)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
