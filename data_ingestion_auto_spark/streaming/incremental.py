@@ -395,3 +395,61 @@ def start_cdc_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_search_ingest_stream(
+    spark,
+    stream_docs: DataFrame,
+    index_table: str,
+    standing_terms: tuple[str, ...],
+    hits_path: str,
+    checkpoint: str,
+    buckets: int = 16,
+    k: int = 10,
+):
+    """Prospective ("standing-query") search over a document stream —
+    the fourth streaming loop, closing the lifecycle × streaming matrix:
+    every micro-batch appends to the stored postings index
+    (operators/postings.py — LIVE corpus statistics, unlike the frozen
+    IVF quantizer) and then re-evaluates a standing keyword query
+    against the updated index, landing the epoch-stamped top-k. This is
+    the alerting/subscription shape (new documents matching a watched
+    query surface as they ingest) rather than the assignment shape of
+    the dedup/ANN loops — which is why the probe runs AFTER the append
+    here: a standing query must see its own epoch's documents.
+
+    At-least-once semantics: the index append is idempotent on doc_id,
+    so replays leave the index byte-identical; the hits sink is
+    epoch-stamped and replay rewrites an epoch's hits from the SAME
+    (complete) index state or later, so the LAST epoch's hit list is
+    always the full-corpus answer — readers take the DISTINCT max-epoch
+    rows (a replayed epoch re-lands identical values, so distinct
+    collapses the duplication; pinned: final epoch == a from-scratch
+    index built on everything).
+
+    Per-epoch cost: batch postings + one bucket-pruned probe over
+    |terms| lists — corpus-size-independent, like the other loops."""
+    from ..operators import postings as P
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark.catalog.refreshTable(index_table)
+        spark.catalog.refreshTable(f"{index_table}_docs")
+        batch = batch_df.localCheckpoint()
+        P.append_to_postings_index(spark, batch, index_table, buckets=buckets)
+        spark.catalog.refreshTable(index_table)
+        spark.catalog.refreshTable(f"{index_table}_docs")
+        (
+            P.bm25_search(spark, standing_terms, index_table, k=k)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(hits_path)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
