@@ -335,3 +335,86 @@ def table_profile_lineitem(spark, sf_dir):
         "'l_linenumber', nn_l, nu_l, nd_l, mn_l, mx_l) "
         "AS (col, n_non_null, n_null, n_distinct, min_val, max_val)"
     ).orderBy("col")
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem_orphan_orderkey' AS check_name,
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_total
+  UNION ALL
+  SELECT 'orders_childless',
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT),
+         CAST((SELECT count(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+         CAST((SELECT count(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_orphan_partkey',
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_orphan_suppkey',
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'customer_orphan_nationkey',
+         CAST((SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+         CAST((SELECT count(*) FROM customer) AS BIGINT)
+)
+ORDER BY check_name
+""",
+    tags=("audit", "integrity", "quality", "observability"),
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit — the dbt-test family as ONE exact
+    readout: every declared foreign key checked by anti-join (orphan
+    lineitems/orders by each FK, childless orders, dangling nation
+    keys), reported as (check, violations, total). The post-ingest
+    gate a pipeline runs before publishing a snapshot: a nonzero row
+    here means the upstream extract dropped or duplicated a parent
+    table — caught at load time, not at query time.
+
+    Scale: each check is one anti-join (left_anti — AQE broadcasts the
+    dimension side where it fits, shuffles where it doesn't) folded to
+    a single count; checks are independent and share nothing, so the
+    whole audit is a union of parallel 1-row aggregates. Output 6 rows
+    at any corpus."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    pa = T(spark, sf_dir, "part")
+    su = T(spark, sf_dir, "supplier")
+    na = T(spark, sf_dir, "nation")
+
+    def check(name, child, key, parent, pkey, total_df):
+        viol = child.join(
+            parent.select(F.col(pkey).alias(key)).distinct(), [key], "left_anti"
+        ).agg(F.count("*").cast("bigint").alias("n_violations"))
+        tot = total_df.agg(F.count("*").cast("bigint").alias("n_total"))
+        return viol.crossJoin(tot).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_total"
+        )
+
+    checks = [
+        check("lineitem_orphan_orderkey", li.select("l_orderkey"), "l_orderkey", od, "o_orderkey", li),
+        check("orders_childless", od.select("o_orderkey").withColumnRenamed("o_orderkey", "k"),
+              "k", li.select(F.col("l_orderkey")), "l_orderkey", od),
+        check("orders_orphan_custkey", od.select("o_custkey"), "o_custkey", cu, "c_custkey", od),
+        check("lineitem_orphan_partkey", li.select("l_partkey"), "l_partkey", pa, "p_partkey", li),
+        check("lineitem_orphan_suppkey", li.select("l_suppkey"), "l_suppkey", su, "s_suppkey", li),
+        check("customer_orphan_nationkey", cu.select("c_nationkey"), "c_nationkey", na, "n_nationkey", cu),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
