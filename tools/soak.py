@@ -116,6 +116,8 @@ DRIVER_TABLE = {
     "group_aware_kfold": "documents",
     "jl_projection_distortion": "embeddings",
     "rendezvous_shard_rebalance": "documents",
+    "partition_plan_histogram": "lineitem",
+    "fk_integrity_audit": "lineitem",
 }
 
 
