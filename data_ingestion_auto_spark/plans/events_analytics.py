@@ -560,3 +560,64 @@ def partition_plan_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "event_path_topk",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM paths)
+SELECT path, CAST(count(*) AS BIGINT) AS n,
+       CAST((1000000 * count(*)) // max(tot.total) AS BIGINT) AS share_ppm
+FROM paths CROSS JOIN tot
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 20
+""",
+    tags=("events", "paths", "behavior", "llm"),
+)
+def event_path_topk(spark, sf_dir):
+    """Top-20 three-step behavioral paths (sliding window over each
+    user's event sequence under the (ts, event_id) total order) with
+    exact counts and integer-ppm share — the multi-step companion to
+    `event_markov_transitions`: the first-order matrix says what
+    follows what; the path table says which full corridors users
+    actually walk (the product-analytics "path analysis" readout).
+
+    Scale: one user-partitioned window (two leads share it), paths
+    aggregate with map-side combine; output 20 rows at any corpus —
+    path cardinality is bounded by event_types³ regardless of volume."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull()).select(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+    )
+    tot = paths.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("CAST((1000000 * count(*)) div max(total) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
