@@ -1139,3 +1139,100 @@ def simhash_hamming_neighbors(spark, sf_dir):
         )
         .orderBy("sig_a", "sig_b")
     )
+
+
+@query(
+    "lsh_quality_audit",
+    oracle=f"""
+WITH {_SQL_SHINGLES.format(where="WHERE doc_id < 200")},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE 2 * i.n_common >= sa.n_shingles + sb.n_shingles - i.n_common
+),
+perms AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM banded b1 JOIN banded b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+),
+conf AS (
+  SELECT CAST((SELECT count(*) FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b) AS BIGINT) AS tp,
+         CAST((SELECT count(*) FROM cand c WHERE NOT EXISTS
+               (SELECT 1 FROM truth t WHERE t.a = c.a AND t.b = c.b)) AS BIGINT) AS fp,
+         CAST((SELECT count(*) FROM truth t WHERE NOT EXISTS
+               (SELECT 1 FROM cand c WHERE c.a = t.a AND c.b = t.b)) AS BIGINT) AS fn
+)
+SELECT tp, fp, fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm
+FROM conf
+""",
+    tags=("dedup", "lsh", "audit", "quality", "llm"),
+)
+def lsh_quality_audit(spark, sf_dir):
+    """The LSH candidate tier grading ITSELF against exact ground truth
+    on the bounded subset (doc_id < 200 — the `ngram_jaccard_pairs`
+    exact-oracle tier): candidate pairs vs pairs with true character-
+    5-gram Jaccard >= 0.5 (integer cross-multiplied threshold — no
+    float division in the truth rule), reported as exact TP/FP/FN with
+    precision/recall in integer ppm. The production dial this feeds:
+    recall too low -> more bands/fewer rows per band; precision too
+    low -> the verify tier pays (cross-checks `lsh_scurve_calibration`,
+    which predicts these numbers from the S-curve; and `ann_recall_at_k`,
+    the embedding tier's identical self-grade).
+
+    Scale: everything lives on the bounded subset (quadratic exact tier
+    by design, the house bounded-oracle contract); signatures and
+    candidates on the subset are identical to the full corpus's
+    restriction (band hashes are per-document). Output 1 row."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = ckpt(D.shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_shingles").alias("nb"))
+    truth = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(2 * F.col("n_common") >= F.col("na") + F.col("nb") - F.col("n_common"))
+        .select("a", "b")
+    )
+    truth = ckpt(truth)
+    sig = D.minhash_signature(sh, num_perm=16)
+    cand = ckpt(
+        D.lsh_candidates(sig, bands=4, rows_per_band=4).select("a", "b")
+    )
+    tp = cand.join(truth, ["a", "b"]).count()
+    n_cand = cand.count()
+    n_truth = truth.count()
+    fp, fn = n_cand - tp, n_truth - tp
+    prec = (1000000 * tp) // (tp + fp) if tp + fp else 0
+    rec = (1000000 * tp) // (tp + fn) if tp + fn else 0
+    return spark.createDataFrame(
+        [(tp, fp, fn, prec, rec)],
+        "tp bigint, fp bigint, fn bigint, precision_ppm bigint, recall_ppm bigint",
+    )
