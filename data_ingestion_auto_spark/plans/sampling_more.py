@@ -225,3 +225,110 @@ def neyman_allocation(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "neyman_sample_rows",
+    oracle=f"""
+WITH x AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM x GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                    / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS sd_micro
+  FROM st
+),
+tot AS (SELECT CAST(sum(n * sd_micro) AS BIGINT) AS wsum FROM w),
+alloc AS (
+  SELECT source,
+         CAST(CASE WHEN t.wsum = 0 THEN 0
+                   ELSE ({_NEYMAN_B} * n * sd_micro) // t.wsum END AS BIGINT) AS alloc_n
+  FROM w, tot t
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS draw_rank
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.rk <= a.alloc_n
+ORDER BY r.source, r.rk
+""",
+    tags=("sampling", "stratified", "neyman", "llm"),
+)
+def neyman_sample_rows(spark, sf_dir):
+    """EXECUTE the Neyman allocation (`neyman_allocation` computes the
+    per-stratum budgets; this draws the rows): within each source, the
+    alloc_n documents with the smallest md5(doc_id) — a deterministic
+    uniform draw, reproducible in any engine and STABLE under corpus
+    append (a document already drawn stays drawn unless enough smaller
+    hashes arrive, the bounded-churn property md5-order sampling gives
+    and random.shuffle does not). Output carries the within-stratum
+    draw rank so downstream audits can take any prefix sub-sample.
+
+    Scale: the allocation is strata-sized broadcast state; the draw is
+    one source-partitioned rank window (per-partition sort, the
+    trimmed-mean shape) + a broadcast semi-join on the allocation.
+    Output ≤ budget + strata rows at any corpus."""
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+    )
+    st = ckpt(
+        docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        )
+    )
+    w = st.select(
+        "source",
+        "n",
+        F.expr(
+            "CAST(round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))"
+            " / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)"
+        ).alias("sd_micro"),
+    )
+    tot = w.agg(F.sum(F.col("n") * F.col("sd_micro")).cast("bigint").alias("wsum"))
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                f"CAST(CASE WHEN wsum = 0 THEN 0"
+                f" ELSE ({_NEYMAN_B} * n * sd_micro) div wsum END AS BIGINT)"
+            ).alias("alloc_n"),
+        )
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("alloc_n"))
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("draw_rank"))
+        .orderBy("source", "draw_rank")
+    )
