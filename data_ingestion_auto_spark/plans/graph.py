@@ -554,3 +554,84 @@ def group_aware_kfold(spark, sf_dir):
         naive.alias("naive_fold"),
         (fold != naive).alias("moved"),
     ).orderBy("doc_id")
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+WITH {_SQL_LSH_PAIRS},
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+ex AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM edges e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ex
+)
+SELECT m, sxy, sx, sy, sxx, syy,
+       round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+FROM s
+""",
+    tags=("graph", "assortativity", "dedup", "llm"),
+)
+def degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the LSH near-dup candidate
+    graph: the Pearson correlation of degrees across edge endpoints,
+    with every moment an exact BIGINT sum over the (double-counted,
+    symmetric) directed edge list and the final r spending two IEEE
+    sqrts + one division, rounded once — the house correlation recipe.
+    The graph-structure dial the dedup tier reads: assortative (r > 0)
+    means dup families are degree-stratified cliques (safe bulk
+    collapse); disassortative (r < 0) means high-degree hubs attach to
+    leaves — the LSH-collision-star shape the verifier tier must check
+    pairwise (same routing signal family as the clustering
+    coefficient, one number for the whole graph).
+
+    Scale: two broadcast-sized joins of the edge list against the
+    degree table and one 1-row moment aggregate — edge-linear, like
+    every message-passing pass here. Moments stay in BIGINT to ~1e6
+    edges x 1e6 degree-products; beyond that the sums move to
+    DECIMAL(38,0) unchanged in shape. Output 1 row."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
+    ex = edges.join(du, "u").join(dv, "v").select("x", "y")
+    s = ex.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        "m",
+        "sxy",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
