@@ -418,3 +418,105 @@ def fk_integrity_audit(spark, sf_dir):
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_date,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(last_date) AS corpus_max FROM base),
+feat AS (
+  SELECT custkey, n_orders, spend,
+         CAST(date_diff('day', last_date, mx.corpus_max) AS BIGINT) AS recency_days
+  FROM base CROSS JOIN mx
+),
+t AS (
+  SELECT custkey, n_orders, spend, recency_days,
+         ntile(3) OVER (ORDER BY recency_days, custkey) AS r_t,
+         ntile(3) OVER (ORDER BY n_orders DESC, custkey) AS f_t,
+         ntile(3) OVER (ORDER BY spend DESC, custkey) AS m_t
+  FROM feat
+)
+SELECT 'R' || r_t || 'F' || f_t || 'M' || m_t AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders,
+       CAST(round(sum(spend), 2) AS DOUBLE) AS total_spend,
+       CAST(min(recency_days) AS BIGINT) AS min_recency_days,
+       CAST(max(recency_days) AS BIGINT) AS max_recency_days
+FROM t
+GROUP BY 1
+ORDER BY segment
+""",
+    tags=("analytics", "rfm", "segmentation", "windows"),
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation (Hughes 1994; the direct-marketing classic):
+    per purchasing customer, recency (days since last order, against
+    the corpus max date), frequency (order count) and monetary (exact
+    DECIMAL spend) each cut into terciles by deterministic
+    tie-broken ntile, then the 27 R×F×M segments aggregated —
+    customers, orders, spend, recency range per segment. The
+    cohort-targeting table every retention campaign starts from;
+    'R1F1M1' is the prize cohort, 'R3F1M1' the big-spender churn risk.
+
+    Float discipline: spend is summed in DECIMAL(38,6) end-to-end and
+    rounded ONCE at the segment level (the house reduce-order rule).
+
+    Scale: the base aggregate shrinks orders to one row per customer
+    (map-side combinable); the three ntile windows run on the
+    CUSTOMER-sized frame, not orders — the exact tier; at corpora where
+    even customers outgrow a sort partition, the sampled-edge tercile
+    construction (`order_value_deciles_binned`) is the documented
+    ladder. Output ≤ 27 rows at any corpus."""
+    from pyspark.sql import Window as W
+
+    base = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_date"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("spend"),
+        )
+    )
+    mx = base.agg(F.max("last_date").alias("corpus_max"))
+    feat = base.crossJoin(F.broadcast(mx)).select(
+        "custkey",
+        "n_orders",
+        "spend",
+        F.datediff("corpus_max", "last_date").cast("bigint").alias("recency_days"),
+    )
+    t = feat.select(
+        "custkey",
+        "n_orders",
+        "spend",
+        "recency_days",
+        F.ntile(3).over(W.orderBy("recency_days", "custkey")).alias("r_t"),
+        F.ntile(3).over(W.orderBy(F.desc("n_orders"), "custkey")).alias("f_t"),
+        F.ntile(3).over(W.orderBy(F.desc("spend"), "custkey")).alias("m_t"),
+    )
+    return (
+        t.select(
+            F.concat(
+                F.lit("R"), F.col("r_t"), F.lit("F"), F.col("f_t"), F.lit("M"), F.col("m_t")
+            ).alias("segment"),
+            "n_orders",
+            "spend",
+            "recency_days",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("total_orders"),
+            F.round(F.sum("spend"), 2).cast("double").alias("total_spend"),
+            F.min("recency_days").cast("bigint").alias("min_recency_days"),
+            F.max("recency_days").cast("bigint").alias("max_recency_days"),
+        )
+        .orderBy("segment")
+    )
