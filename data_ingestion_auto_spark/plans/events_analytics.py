@@ -621,3 +621,64 @@ def event_path_topk(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_weekly_heatmap",
+    oracle="""
+WITH x AS (
+  SELECT ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7) + 1 AS dow_iso,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         user_id
+  FROM events
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM x)
+SELECT CAST(dow_iso AS BIGINT) AS dow_iso, hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST((1000000 * count(*)) // max(tot.total) AS BIGINT) AS share_ppm
+FROM x CROSS JOIN tot
+GROUP BY dow_iso, hod
+ORDER BY dow_iso, hod
+""",
+    tags=("events", "heatmap", "observability"),
+)
+def events_weekly_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap with exact event and
+    distinct-user counts plus integer-ppm share — the load-shape
+    readout capacity planning and anomaly triage both start from
+    (`tumbling_window_hourly` gives the time SERIES; this folds it
+    into the weekly TEMPLATE). ISO weekday is derived from epoch days
+    ((d+3) mod 7 + 1, Monday=1) rather than either engine's
+    `dayofweek` — Spark counts Sunday=1, DuckDB Sunday=0, and the
+    portable arithmetic sidesteps both conventions.
+
+    Scale: one two-column scan into a ≤168-cell aggregate with
+    map-side combine; distinct users per cell shuffle on (cell, user)
+    first — the standard two-phase distinct. Output ≤ 168 rows."""
+    x = T(spark, sf_dir, "events").select(
+        (
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 3
+            )
+            % 7
+            + 1
+        )
+        .cast("bigint")
+        .alias("dow_iso"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        "user_id",
+    )
+    tot = x.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .groupBy("dow_iso", "hod")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.expr("CAST((1000000 * count(*)) div max(total) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("dow_iso", "hod")
+    )
