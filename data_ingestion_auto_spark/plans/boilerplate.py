@@ -171,3 +171,63 @@ def vocab_growth_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "good_turing_freq_of_freqs",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY token),
+ff AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cnt GROUP BY r),
+tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM ff)
+SELECT f.r, f.n_r,
+       CAST(coalesce((SELECT (f.r + 1) * g.n_r FROM ff g WHERE g.r = f.r + 1), 0) AS BIGINT)
+         AS gt_adjusted_num,
+       CAST((1000000 * coalesce((SELECT n_r FROM ff WHERE r = 1), 0)) // t.n_tokens AS BIGINT)
+         AS unseen_mass_ppm
+FROM ff f CROSS JOIN tot t
+ORDER BY f.r
+""",
+    tags=("text", "language-model", "smoothing", "llm"),
+)
+def good_turing_freq_of_freqs(spark, sf_dir):
+    """Good–Turing frequency-of-frequencies (Good 1953): N_r = how many
+    vocabulary types occur exactly r times, the Good–Turing adjusted
+    count NUMERATOR (r+1)·N_{r+1} per row (the estimator r* =
+    (r+1)·N_{r+1}/N_r divides these two exact integers — readers do
+    the one division), and the unseen-probability mass N_1/N in
+    integer ppm riding on every row — the table any smoothed LM,
+    coverage estimator, or "how much vocabulary is left to crawl"
+    analysis starts from (the same N_1/N that drives species-richness
+    estimators like Chao1).
+
+    Scale: token counts (vocab-bounded) fold into counts-of-counts
+    (bounded by the max frequency's distinct values — tens of rows at
+    any corpus); the r+1 lookup is a self-join of that tiny frame.
+    Output ≤ distinct frequencies rows."""
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("r"))
+    ff = ckpt(cnt.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r")))
+    tot = ff.agg(F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"))
+    nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    n1 = ff.filter(F.col("r") == 1).agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("bigint").alias("n_one")
+    )
+    return (
+        ff.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            ((F.col("r") + 1) * F.coalesce("n_next", F.lit(0)))
+            .cast("bigint")
+            .alias("gt_adjusted_num"),
+            F.expr("CAST((1000000 * n_one) div n_tokens AS BIGINT)").alias(
+                "unseen_mass_ppm"
+            ),
+        )
+        .orderBy("r")
+    )
