@@ -165,6 +165,12 @@ def compact_bucketed_table(
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
             if r.col_name == "Location":
                 loc = r.data_type
+        if loc is None:
+            raise RuntimeError(
+                f"DESCRIBE TABLE EXTENDED {table} reported no Location row; "
+                "cannot count bucket files for a table without a filesystem "
+                "location"
+            )
         jvm = spark._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         jpath = jvm.org.apache.hadoop.fs.Path(loc)
@@ -191,5 +197,12 @@ def compact_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
-    assert spark.table(table).columns == cols
+    # explicit check (not assert — must survive python -O): the rewrite
+    # must be schema-preserving or every index reader breaks silently
+    got = spark.table(table).columns
+    if got != cols:
+        raise RuntimeError(
+            f"compact_bucketed_table changed the schema of {table}: "
+            f"{cols} -> {got}"
+        )
     return {"files_before": files_before, "files_after": _n_files()}

@@ -83,7 +83,6 @@ def write_postings_index(
     writer.saveAsTable(table)
     dw = (
         docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
-        .coalesce(1)
         .write.format("parquet")
         .mode("overwrite")
     )
@@ -100,8 +99,11 @@ def bm25_search(spark, terms: tuple[str, ...], table: str, k: int = 10) -> DataF
     identical arithmetic to `bm25_topk_retrieval`, so on an index built
     from the full corpus the two are row-for-row equal (pytest-pinned).
     """
-    terms_sql = ", ".join(f"'{t}'" for t in terms)
-    post = spark.table(table).filter(F.expr(f"term IN ({terms_sql})"))
+    if not terms:
+        raise ValueError("bm25_search requires at least one query term")
+    # parameterized isin (still bucket-prunable) — terms are caller input,
+    # never spliced into SQL text
+    post = spark.table(table).filter(F.col("term").isin(list(terms)))
     # Spark's autoBucketedScan DISABLES the bucketed read when no join /
     # aggregate wants the bucket partitioning — which also forfeits
     # bucket FILTER pruning, the entire point of this probe (measured:
@@ -150,12 +152,25 @@ def append_to_postings_index(
     scalars and idf see the batch — live statistics, the opposite trade
     from the IVF tier's frozen centroids. The per-term impact cap is
     honored against remaining capacity (earlier ingests win), the band
-    index's induction argument."""
+    index's induction argument.
+
+    Each of the two appends is INDIVIDUALLY idempotent, so a crash
+    between them replays cleanly: the postings append anti-joins the
+    batch against stored (term, doc_id) keys before writing, and the
+    docs append recomputes its anti-join against `{table}_docs`
+    immediately before writing (never the pre-postings snapshot). A
+    replay after a postings-only commit appends zero new postings rows
+    and exactly the missing docs rows."""
     fresh_docs = ckpt(
         docs.join(spark.table(f"{table}_docs").select("doc_id"), ["doc_id"], "left_anti")
     )
     rows = _postings_rows(fresh_docs)
-    existing = spark.table(table).groupBy("term").agg(
+    stored = spark.table(table)
+    # postings-side idempotence: (term, doc_id) keys already stored — e.g.
+    # by a crashed run that committed postings but not docs — drop here,
+    # BEFORE capacity ranking, so a replay appends nothing and burns no cap
+    rows = rows.join(stored.select("term", "doc_id"), ["term", "doc_id"], "left_anti")
+    existing = stored.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_existing")
     )
     w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
@@ -175,11 +190,13 @@ def append_to_postings_index(
         .sortBy("term", "doc_id")
         .saveAsTable(table)
     )
+    # docs-side idempotence: recompute the anti-join NOW (not the
+    # fresh_docs snapshot taken before the postings append) so a replay
+    # that already committed docs appends nothing. No coalesce(1): the
+    # corpus-wide (doc_id, dl) table must not funnel through one task.
     (
-        fresh_docs.select(
-            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
-        )
-        .coalesce(1)
+        docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+        .join(spark.table(f"{table}_docs").select("doc_id"), ["doc_id"], "left_anti")
         .write.format("parquet")
         .mode("append")
         .saveAsTable(f"{table}_docs")
@@ -215,7 +232,12 @@ def retire_from_postings_index(
             retired.select("doc_id"), ["doc_id"], "left_anti"
         )
     )
-    dw = dsurv.coalesce(1).write.format("parquet").mode("overwrite")
+    # dsurv went through ckpt (lineage cut), so overwriting the ORIGINAL
+    # `{path}_docs` location is safe — and keeps the path convention
+    # write_postings_index established (a `_docs2` sidecar would leave
+    # ghost data at `_docs` for any path-convention reader and collide
+    # with itself on the next retire).
+    dw = dsurv.write.format("parquet").mode("overwrite")
     if path is not None:
-        dw = dw.option("path", path + "_docs2")
+        dw = dw.option("path", path + "_docs")
     dw.saveAsTable(f"{table}_docs")

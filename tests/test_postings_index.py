@@ -114,6 +114,57 @@ def test_append_live_stats_and_idempotence(spark, sf_dir, tmp_path):
     assert not batch_ids & {d for d, _, _ in restored}
 
 
+def test_crash_between_appends_replays_exactly_once(spark, sf_dir, tmp_path):
+    """ADVICE r10 (postings.py:162): a crash AFTER the postings append
+    but BEFORE the docs append must replay cleanly — the retried
+    append_to_postings_index appends zero duplicate postings (each write
+    is individually idempotent) and exactly the missing docs rows, so
+    the final index is byte-identical to a never-crashed append."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    corpus = docs.filter(~nib.isin("0", "1")).localCheckpoint()
+    batch = docs.filter(nib.isin("0", "1")).localCheckpoint()
+
+    # control: the clean, never-crashed append
+    spark.sql("DROP TABLE IF EXISTS t_post_ctl")
+    spark.sql("DROP TABLE IF EXISTS t_post_ctl_docs")
+    P.write_postings_index(corpus, "t_post_ctl", buckets=8, path=str(tmp_path / "ctl"))
+    P.append_to_postings_index(spark, batch, "t_post_ctl", buckets=8)
+
+    # crashed run: simulate the first write committing and the second not
+    spark.sql("DROP TABLE IF EXISTS t_post_crash")
+    spark.sql("DROP TABLE IF EXISTS t_post_crash_docs")
+    P.write_postings_index(
+        corpus, "t_post_crash", buckets=8, path=str(tmp_path / "crash")
+    )
+    (
+        P._postings_rows(batch)
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(8, "term")
+        .sortBy("term", "doc_id")
+        .saveAsTable("t_post_crash")
+    )
+    # ... crash: t_post_crash_docs never updated. foreachBatch replays:
+    P.append_to_postings_index(spark, batch, "t_post_crash", buckets=8)
+
+    key = lambda t: sorted(
+        map(tuple, spark.table(t).select("term", "doc_id", "tf", "dl").collect())
+    )
+    assert key("t_post_crash") == key("t_post_ctl")  # no duplicated postings
+    dkey = lambda t: sorted(map(tuple, spark.table(t).collect()))
+    assert dkey("t_post_crash_docs") == dkey("t_post_ctl_docs")
+    # and the replayed index SCORES identically (df/tf uninflated)
+    assert _rows(P.bm25_search(spark, _BM25_TERMS, "t_post_crash", k=10)) == _rows(
+        P.bm25_search(spark, _BM25_TERMS, "t_post_ctl", k=10)
+    )
+
+
+def test_bm25_search_rejects_empty_terms(spark):
+    with pytest.raises(ValueError, match="at least one query term"):
+        P.bm25_search(spark, (), "t_whatever")
+
+
 def test_impact_cap_truncates_to_high_tf_prefix(spark, tmp_path):
     """max_postings_per_term = 2: only each term's two highest-tf docs
     survive the write — the Anh–Moffat impact-ordered prefix."""
