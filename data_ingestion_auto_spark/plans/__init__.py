@@ -59,6 +59,7 @@ from . import (  # noqa: F401
     training_export,
     udaf,
     warp,
+    warp_kernels,
     windows,
     windows2,
 )

@@ -38,10 +38,9 @@ def _dense_grid(spark, sf_dir):
     )
 
 
-@query(
-    "warp_resample_grid",
-    oracle=f"""
-WITH cells AS (
+# the dense-raster CTE pair, shared verbatim with plans/warp_kernels.py
+# (every kernel oracle replays the same source image)
+DENSE_CTES = f"""cells AS (
   SELECT CAST(event_id % {_NY} AS BIGINT) AS y, CAST(user_id % {_NX} AS BIGINT) AS x,
          max(value) AS a, min(value) AS b
   FROM events GROUP BY 1, 2
@@ -53,7 +52,13 @@ dense AS (
   CROSS JOIN (SELECT unnest(generate_series(0, {_NX - 1})) AS x) xx
   CROSS JOIN (SELECT unnest(['a', 'b']) AS variable) v
   LEFT JOIN cells c ON c.y = yy.y AND c.x = xx.x
-),
+)"""
+
+
+@query(
+    "warp_resample_grid",
+    oracle=f"""
+WITH {DENSE_CTES},
 bl_c AS (
   SELECT ty.y AS yt, tx.x AS xt,
          CAST(floor(CAST(ty.y * {_NY - 1} AS DOUBLE) / 14.0) AS BIGINT) AS y0,

@@ -60,14 +60,67 @@ def test_nodata_poisoning():
 
 
 def test_kernel_option_surface():
-    arr = np.ones((2, 2))
-    # reference getResampling aliases (convertmodis.py:38-56)
-    np.testing.assert_array_equal(warp_array(arr, 2, 2, "NEAREST_NEIGHBOR"), arr)
-    np.testing.assert_array_equal(warp_array(arr, 2, 2, "BICUBIC"), arr)
-    with pytest.raises(NotImplementedError):
-        warp_array(arr, 2, 2, "LANCZOS")
+    """All seven reference getResampling options (convertmodis.py:38-56)
+    resolve and run; UNSUPPORTED is empty (r10 verdict item #3)."""
+    from data_ingestion_auto_spark.operators.warp import UNSUPPORTED
+
+    assert UNSUPPORTED == set()
+    arr = RNG.normal(size=(6, 6))
+    for opt in (
+        "NEAREST_NEIGHBOR",
+        "BILINEAR",
+        "BICUBIC",
+        "AVERAGE",
+        "LANCZOS",
+        "MODE",
+        "CUBIC_CONVOLUTION",
+        "CUBIC_SPLINE",
+    ):
+        out = warp_array(arr, 3, 3, opt)
+        assert out.shape == (3, 3) and np.isfinite(out).all()
     with pytest.raises(ValueError):
         warp_array(arr, 2, 2, "no-such-kernel")
+
+
+def test_cubic_identity_roundtrip():
+    """Catmull-Rom interpolates: at d=0 the weight vector is exactly
+    (0, 1, 0, 0) in IEEE doubles, so same-shape warp is the identity."""
+    arr = RNG.normal(size=(9, 13))
+    np.testing.assert_array_equal(warp_array(arr, 9, 13, "cubic"), arr)
+
+
+def test_convolution_kernels_preserve_constants():
+    """All convolution kernels' weights sum to 1 (lanczos by explicit
+    normalization), so a constant image stays constant to ulp."""
+    arr = np.full((10, 12), 5.25)
+    for kernel in ("cubic", "cubic_spline", "lanczos", "bilinear"):
+        out = warp_array(arr, 15, 20, kernel)
+        np.testing.assert_allclose(out, 5.25, rtol=0, atol=1e-12)
+
+
+def test_average_exact_block_means():
+    arr = np.arange(16, dtype=float).reshape(4, 4)
+    out = warp_array(arr, 2, 2, "average")
+    np.testing.assert_array_equal(
+        out, [[(0 + 1 + 4 + 5) / 4.0, (2 + 3 + 6 + 7) / 4.0],
+              [(8 + 9 + 12 + 13) / 4.0, (10 + 11 + 14 + 15) / 4.0]]
+    )
+    with pytest.raises(ValueError):  # upsampling is not a box-filter op
+        warp_array(arr, 8, 8, "average")
+
+
+def test_mode_majority_tie_and_nan():
+    arr = np.array(
+        [
+            [1.0, 1.0, 2.0, 3.0],  # left block: 1 wins 3-1
+            [1.0, 7.0, 2.0, 3.0],  # right block: 2/3 tie 2-2 → smallest (2)
+            [np.nan, np.nan, np.nan, np.nan],
+            [np.nan, 9.0, np.nan, np.nan],  # NaNs excluded; all-NaN → NaN
+        ]
+    )
+    out = warp_array(arr, 2, 2, "mode")
+    assert out[0, 0] == 1.0 and out[0, 1] == 2.0
+    assert out[1, 0] == 9.0 and np.isnan(out[1, 1])
 
 
 def test_warp_resample_dataframe_groups(spark):
