@@ -58,6 +58,7 @@ from . import (  # noqa: F401
     tpch_more3,
     training_export,
     udaf,
+    binary_decode,
     warp,
     warp_kernels,
     windows,

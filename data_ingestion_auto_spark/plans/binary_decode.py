@@ -1,0 +1,90 @@
+"""S5/U1 at the query surface: the binary decode boundary, oracled.
+
+A GRIB-shaped fixture (sources/gribsim.py — magic/header/f64-payload/
+CRC/end-marker messages) is encoded once per sf from the SAME dense
+raster the warp queries use, then decoded in-engine from a
+``binaryFile`` scan through mapInPandas. The oracle recomputes the
+raster straight from the events table, so the hash match proves
+encode → binaryFile → Arrow → decode is bit-lossless — closing the
+stubbed S5/U1 seam (reference cdo decode ingest/__init__.py:74-91, HDF4
+subdatasets modis/convertmodis.py:273-303) the way
+`byte_range_message_fetch` closed S3.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.gribsim import decode_grid_files, encode_message
+from .registry import query
+from .warp import DENSE_CTES, _dense_grid
+
+
+def _ensure_sgb_fixture(spark, sf_dir: str) -> str:
+    """Encode the dense raster into two SGB1 files — file 0 holds
+    messages 'a' and 'b' (multi-message framing exercised), file 1 holds
+    'c' = negated 'a' (exact double negation, so the oracle can replay
+    it). Built once per sf: atomic rename + _SUCCESS marker. The
+    toPandas is bounded fixture scaffolding (240 rows), same class as
+    the HTTP origin-server build in sources_ops.py."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sgb_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        pdf = _dense_grid(spark, sf_dir).orderBy("variable", "y", "x").toPandas()
+        grids = {}
+        for v in ("a", "b"):
+            part = pdf[pdf.variable == v]
+            ny = int(part.y.max()) + 1
+            nx = int(part.x.max()) + 1
+            grids[v] = (ny, nx, [float(x) for x in part.value.to_numpy()])
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "grid-0.sgb"), "wb") as f:
+            for v in ("a", "b"):
+                ny, nx, vals = grids[v]
+                f.write(encode_message(v, ny, nx, vals))
+        with open(os.path.join(tmp, "grid-1.sgb"), "wb") as f:
+            ny, nx, vals = grids["a"]
+            f.write(encode_message("c", ny, nx, [-x for x in vals]))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a concurrent-build race; winner is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+@query(
+    "binary_grid_decode_roundtrip",
+    oracle=f"""
+WITH {DENSE_CTES}
+SELECT variable, y, x, value FROM dense
+UNION ALL
+SELECT 'c' AS variable, y, x, -value AS value FROM dense WHERE variable = 'a'
+ORDER BY variable, y, x
+""",
+    tags=("S5", "U1", "binaryFile", "mapInPandas"),
+)
+def binary_grid_decode_roundtrip(spark, sf_dir):
+    """S5/U1: three GRIB-shaped messages across two binary files are
+    scanned with ``binaryFile`` and decoded executor-side (CRC + end
+    marker verified per message) into the long grid model; the oracle
+    recomputes the same raster from events. Hash match = the decode
+    plumbing is bit-lossless; swapping the message parser for
+    cfgrib/GDAL is the documented one-function change."""
+    base = _ensure_sgb_fixture(spark, sf_dir)
+    bins = spark.read.format("binaryFile").option("pathGlobFilter", "*.sgb").load(base)
+    return (
+        decode_grid_files(bins)
+        .select("variable", "y", "x", F.col("value"))
+        .orderBy("variable", "y", "x")
+    )
