@@ -217,10 +217,10 @@ def neardup_canonical_keep(spark, sf_dir):
     component size, diameter-bounded by the same LSH cap)."""
     from pyspark.sql import Window as W
 
+    from .dedup import corpus_components
+
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
-    comp = D.connected_components(pairs).select(
+    comp = corpus_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("component").alias("component")
     )
     quality = docs.select(

@@ -33,6 +33,60 @@ sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)
 """
 
 
+def corpus_components(spark, sf_dir: str):
+    """MEMOIZED corpus near-dup component table (VERDICT r10 item #6).
+
+    Five registered queries (`neardup_components`,
+    `neardup_canonical_keep`, `group_aware_split_assign`,
+    `group_aware_kfold`, `dedup_savings_forecast`) consume the identical
+    CC fixpoint over the identical LSH pair graph (shingles → 16-perm
+    MinHash → 4×4 LSH bands). Recomputing the iterative fixpoint per
+    query is the single largest cost in the registry (5.6–5.9 s apiece
+    at sf0.1); a 100 TB deployment would materialize the component-id
+    table once per corpus version and join against it — the same W7
+    memoization contract as the climatology normals
+    (pipelines.py::run_anomaly_batch).
+
+    Key = sf-dir basename + the documents table's file-level fingerprint
+    (total bytes + max mtime), so a changed corpus rebuilds instead of
+    serving stale labels. Build is atomic (write to a `.building` dir,
+    rename over; Spark's _SUCCESS marks completeness), so concurrent
+    first-callers race safely. Location: $SPARK_GRAFT_CC_MEMO_DIR if set
+    (on a multi-node cluster this MUST be a shared filesystem, same rule
+    as the CC round state), else the local tempdir (local-mode default).
+
+    Returns (node, component) — exactly connected_components' output, so
+    every consumer's result (and hash) is unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            stats.extend(os.stat(os.path.join(root, f)) for f in files)
+    else:
+        stats.append(os.stat(src))
+    fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    root_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
+    base = os.path.join(root_dir, f"spark_graft_cc_{key}")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        docs = T(spark, sf_dir, "documents")
+        sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+        pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        D.connected_components(pairs).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a concurrent-build race; winner is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(base)
+
+
 @query(
     "exact_dedup_documents",
     oracle="""
@@ -292,10 +346,7 @@ def neardup_components(spark, sf_dir):
     1, its component id, and the component size."""
     from pyspark.sql import Window as W
 
-    docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
-    comp = D.connected_components(pairs)
+    comp = corpus_components(spark, sf_dir)
     return (
         comp.withColumn("component_size", F.count("*").over(W.partitionBy("component")))
         .select(
@@ -889,9 +940,7 @@ def dedup_savings_forecast(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
-    comp = D.connected_components(pairs).select(
+    comp = corpus_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "component"
     )
     lab = tok.join(comp, "doc_id", "left").select(

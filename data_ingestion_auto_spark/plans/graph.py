@@ -266,15 +266,10 @@ def group_aware_split_assign(spark, sf_dir):
     At 100 TB: component labels are dup-density-bounded (≪ corpus) and
     left-join back on doc_id; the split itself is a map-only projection
     — no work beyond the CC pass the dedup pipeline already ran."""
+    from .dedup import corpus_components
+
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    # pairs feed ONLY connected_components, which materializes its edge
-    # set to parquet as its first act — a ckpt here would be a redundant
-    # extra evaluation of the whole LSH pipeline (same shape as
-    # neardup_canonical_keep; contrast split_leakage_audit, where pairs
-    # have a second consumer and the ckpt is load-bearing).
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
-    comp = D.connected_components(pairs).select(
+    comp = corpus_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("component").alias("component")
     )
     grouped = (
@@ -534,10 +529,10 @@ def group_aware_kfold(spark, sf_dir):
     At 100 TB: identical scale shape to the split assign — the CC pass
     the dedup pipeline already ran, a labels left-join, then a map-only
     fold projection."""
+    from .dedup import corpus_components
+
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
-    comp = D.connected_components(pairs).select(
+    comp = corpus_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("component").alias("component")
     )
     grouped = (
