@@ -56,7 +56,15 @@ def get_session(
         .config("spark.speculation.multiplier", "2")
         .config("spark.speculation.quantile", "0.5")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Gate-time memory budget (VERDICT r10 item #1): the driver's
+        # correctness gate runs this JVM NEXT TO a DuckDB oracle process
+        # on the same host; r10 recorded 3 oracle-side OOMs (DuckDB
+        # failed to allocate 2 KiB on a trivial projection) because a
+        # 16g JVM heap plus page cache starved it. 12g is ample for the
+        # sf0.1 bench surface (measured: no spills at 12g) and leaves
+        # the oracle ~4g of headroom on a 16-core/32g gate host. Raise
+        # via SPARK_GRAFT_DRIVER_MEM for bigger local experiments.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
