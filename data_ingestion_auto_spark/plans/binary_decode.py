@@ -88,3 +88,80 @@ def binary_grid_decode_roundtrip(spark, sf_dir):
         .select("variable", "y", "x", F.col("value"))
         .orderBy("variable", "y", "x")
     )
+
+
+@query(
+    "cds_retrieval_roundtrip",
+    oracle=f"""
+WITH {DENSE_CTES},
+landed AS (
+  SELECT variable, value FROM dense
+  UNION ALL
+  SELECT 'c' AS variable, -value AS value FROM dense WHERE variable = 'a'
+)
+SELECT variable,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM landed
+GROUP BY variable
+ORDER BY variable
+""",
+    tags=("S14", "connector", "binaryFile"),
+)
+def cds_retrieval_roundtrip(spark, sf_dir):
+    """S14 end-to-end (reference cams_forecast/__init__.py:32,:54-75):
+    three state-gated `run_cds_batch` steps against a queued CDS
+    stand-in — day 1 lands messages a+b, day 2 lands c, day 3 is
+    unavailable (task fails at completion; the step returns 'skipped'
+    and COMMITS NOTHING, the reference's try/except-skip). The landed
+    binaries are scanned with binaryFile, gribsim-decoded executor-side,
+    and aggregated per variable; the oracle recomputes the same stats
+    from events. Hash match = submit → poll → download → land → decode
+    is lossless, and the skip left no partial rows behind."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.cds_connector import CdsClient, LocalCdsQueue, run_cds_batch
+    from ..state import StateStore
+
+    sgb = _ensure_sgb_fixture(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="spark_graft_cds_")
+    try:
+        # stage the CDS backend: one dataset, results keyed by date
+        ds_dir = os.path.join(work, "origin", "sgb-grid")
+        os.makedirs(ds_dir)
+        shutil.copy(os.path.join(sgb, "grid-0.sgb"), os.path.join(ds_dir, "2026-01-01.bin"))
+        shutil.copy(os.path.join(sgb, "grid-1.sgb"), os.path.join(ds_dir, "2026-01-02.bin"))
+        # 2026-01-03 deliberately absent → failed task → skipped, no commit
+
+        client = CdsClient(LocalCdsQueue(os.path.join(work, "origin")))
+        state = StateStore(os.path.join(work, "state.json"))
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        outcomes = [
+            run_cds_batch(
+                client, "sgb-grid", {"date": "2026-01-01"}, state, "cds_demo", landing
+            )
+            for _ in range(3)
+        ]
+        assert [o["status"] for o in outcomes] == ["ingested", "ingested", "skipped"]
+        assert state.get("cds_demo") == "2026-01-02"  # the skip committed nothing
+
+        bins = (
+            spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(landing)
+        )
+        return (
+            decode_grid_files(bins)
+            .groupBy("variable")
+            .agg(
+                F.count("*").cast("bigint").alias("n_cells"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .orderBy("variable")
+            .localCheckpoint()  # materialize before the workdir is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
