@@ -99,6 +99,70 @@ def decode_file(buf: bytes) -> Iterator[tuple[str, int, int, float]]:
                 yield variable, y, x, values[base + x]
 
 
+def _subprocess_decode_main() -> None:
+    """Entry point for the OUT-OF-PROCESS decoder: read one SGB1 file
+    from stdin, write CSV rows (variable,y,x,value-hex) to stdout.
+    Values travel as IEEE-754 hex (float.hex) so the pipe is bit-exact —
+    a decimal print would round. Exit code != 0 on any integrity error,
+    which `decode_grid_files_subprocess` converts into a task failure
+    (subprocess.run(check=True), the reference's contract)."""
+    import sys
+
+    buf = sys.stdin.buffer.read()
+    out = sys.stdout
+    for variable, y, x, v in decode_file(buf):
+        out.write(f"{variable},{y},{x},{float(v).hex()}\n")
+
+
+def decode_grid_files_subprocess(binary_df: DataFrame) -> DataFrame:
+    """U1: the SUBPROCESS decode shape (reference ingest/__init__.py:74-91
+    shells out to ``cdo -f nc copy in out`` with subprocess.run(...,
+    check=True)) — each executor task pipes the raw message bytes
+    through an external decoder process and parses its CSV output.
+    Functionally identical to `decode_grid_files` (pytest pins equality
+    row-for-row); operationally it exercises what a real cdo/GDAL
+    integration needs: per-task process spawn, stdin/stdout streaming
+    (no temp-file churn), check=True error propagation, and bit-exact
+    value transport (IEEE hex, not decimal). Swapping the argv below for
+    ``["cdo", "-f", "nc", "copy", "-", out]`` is the documented real-
+    codec change; everything Spark-side stays put."""
+    import os
+    import subprocess
+    import sys
+
+    argv = [sys.executable, "-c", (
+        "from data_ingestion_auto_spark.sources.gribsim import "
+        "_subprocess_decode_main; _subprocess_decode_main()"
+    )]
+    # the child process must be able to import this package; each task
+    # resolves its OWN package root (on a cluster that's wherever
+    # --py-files unpacked it on that executor) and ships it via PYTHONPATH
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import data_ingestion_auto_spark as _pkg
+
+        local_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = local_root + os.pathsep + env.get("PYTHONPATH", "")
+        for pdf in batches:
+            out = {"path": [], "variable": [], "y": [], "x": [], "value": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                proc = subprocess.run(
+                    argv, input=bytes(content), capture_output=True, check=True, env=env
+                )
+                for line in proc.stdout.decode().splitlines():
+                    variable, y, x, vhex = line.split(",")
+                    out["path"].append(path)
+                    out["variable"].append(variable)
+                    out["y"].append(int(y))
+                    out["x"].append(int(x))
+                    out["value"].append(float.fromhex(vhex))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("path", "content").mapInPandas(
+        decode, "path string, variable string, y long, x long, value double"
+    )
+
+
 def decode_grid_files(binary_df: DataFrame) -> DataFrame:
     """The executor-side decode: a ``binaryFile``-sourced DataFrame
     (columns path, content, ...) → long grid rows. mapInPandas keeps the

@@ -67,6 +67,33 @@ def test_wrong_value_count_rejected_at_encode():
         G.encode_message("v", 2, 2, [1.0])
 
 
+def test_subprocess_decode_equals_in_process(spark, tmp_path):
+    """U1 subprocess shape (reference ingest/__init__.py:74-91): piping
+    the bytes through an external decoder process yields row-for-row the
+    in-process decode (values bit-exact via IEEE-hex transport), and a
+    corrupt file fails the task through check=True."""
+    vals = [1.5, math.pi, float("nan"), -0.0]
+    (tmp_path / "s.sgb").write_bytes(G.encode_message("v", 2, 2, vals))
+    bins = spark.read.format("binaryFile").option("pathGlobFilter", "*.sgb").load(
+        str(tmp_path)
+    )
+    key = lambda df: [
+        # NaN crosses the Arrow boundary as NULL in BOTH decoders — the
+        # engine-wide NaN→NULL fold (P5); bit-compare the rest
+        (r.variable, r.y, r.x, None if r.value is None else struct.pack(">d", r.value))
+        for r in df.orderBy("variable", "y", "x").collect()
+    ]
+    got = key(G.decode_grid_files_subprocess(bins))
+    assert got == key(G.decode_grid_files(bins))
+    assert got[2][3] is None and got[3][3] == struct.pack(">d", -0.0)
+    (tmp_path / "bad.sgb").write_bytes(b"XXXX-corrupt")
+    bins2 = spark.read.format("binaryFile").option("pathGlobFilter", "*.sgb").load(
+        str(tmp_path)
+    )
+    with pytest.raises(Exception, match="CalledProcessError|non-zero"):
+        G.decode_grid_files_subprocess(bins2).collect()
+
+
 def test_executor_side_decode_from_binary_file_scan(spark, tmp_path):
     """binaryFile scan → mapInPandas decode: per-file rows, typed schema,
     and a corrupt file fails the JOB (no silent truncation)."""
