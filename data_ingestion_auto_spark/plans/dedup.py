@@ -33,6 +33,71 @@ sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)
 """
 
 
+def _corpus_memo(spark, sf_dir: str, name: str, build):
+    """Shared machinery for the per-corpus-version memo tables: key =
+    sf-dir basename + documents file fingerprint (bytes + mtime, so a
+    changed corpus rebuilds); atomic `.building` → rename publish (the
+    Spark _SUCCESS marker gates readers); location
+    $SPARK_GRAFT_CC_MEMO_DIR (MUST be a shared filesystem on a real
+    cluster) or the local tempdir. ``build()`` returns the DataFrame to
+    materialize on first call."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            stats.extend(os.stat(os.path.join(root, f)) for f in files)
+    else:
+        stats.append(os.stat(src))
+    fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    root_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
+    base = os.path.join(root_dir, f"spark_graft_{name}_{key}")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        tmp = base + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build().write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a concurrent-build race; winner is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(base)
+
+
+def corpus_minhash_sig(spark, sf_dir: str):
+    """MEMOIZED canonical MinHash signature table — (doc_id, mh0..mh15),
+    16 perms over character-5-gram shingles. The signature is a
+    per-corpus-version artifact every near-dup consumer shares; a 100 TB
+    pipeline computes it once at ingest and joins it thereafter."""
+    return _corpus_memo(
+        spark,
+        sf_dir,
+        "sig",
+        lambda: D.minhash_signature(D.shingles(T(spark, sf_dir, "documents")), num_perm=16),
+    )
+
+
+def corpus_lsh_pairs(spark, sf_dir: str):
+    """MEMOIZED canonical LSH candidate pair list — lsh_candidates over
+    `corpus_minhash_sig` at the house 4-band × 4-row banding. Consumed by
+    the graph-analytics family (k-core, PageRank, triangles, clustering
+    coefficient, assortativity, dup-source attribution) and by the CC
+    build below; the registered `minhash_lsh_candidates` query still
+    computes the pipeline LIVE — it's the definition this memo caches."""
+    return _corpus_memo(
+        spark,
+        sf_dir,
+        "pairs",
+        lambda: D.lsh_candidates(
+            corpus_minhash_sig(spark, sf_dir), bands=4, rows_per_band=4
+        ),
+    )
+
+
 def corpus_components(spark, sf_dir: str):
     """MEMOIZED corpus near-dup component table (VERDICT r10 item #6).
 
@@ -56,35 +121,16 @@ def corpus_components(spark, sf_dir: str):
     as the CC round state), else the local tempdir (local-mode default).
 
     Returns (node, component) — exactly connected_components' output, so
-    every consumer's result (and hash) is unchanged."""
-    import os
-    import shutil
-    import tempfile
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    stats = []
-    if os.path.isdir(src):
-        for root, _, files in os.walk(src):
-            stats.extend(os.stat(os.path.join(root, f)) for f in files)
-    else:
-        stats.append(os.stat(src))
-    fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
-    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
-    root_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
-    base = os.path.join(root_dir, f"spark_graft_cc_{key}")
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        docs = T(spark, sf_dir, "documents")
-        sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-        pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
-        tmp = base + ".building"
-        shutil.rmtree(tmp, ignore_errors=True)
-        D.connected_components(pairs).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(base, ignore_errors=True)
-        try:
-            os.rename(tmp, base)
-        except OSError:  # lost a concurrent-build race; winner is identical
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(base)
+    every consumer's result (and hash) is unchanged. (Keying, atomic
+    publish and location rules live in `_corpus_memo`; the build chains
+    off the memoized pair list, so a cold cache materializes sig → pairs
+    → components in one pass each.)"""
+    return _corpus_memo(
+        spark,
+        sf_dir,
+        "cc",
+        lambda: D.connected_components(corpus_lsh_pairs(spark, sf_dir)),
+    )
 
 
 @query(
@@ -618,9 +664,10 @@ def minhash_jaccard_estimate(spark, sf_dir):
     decides) — no shingle re-derivation, no text access. At 100 TB this
     is the cheap scoring pass that decides which candidates deserve the
     exact verifier."""
-    docs = T(spark, sf_dir, "documents")
-    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4)
+    # memoized per-corpus signature + pair tables (corpus_minhash_sig /
+    # corpus_lsh_pairs): materialized parquet, no ckpt needed
+    sig = corpus_minhash_sig(spark, sf_dir)
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)])
     sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)])
     n_eq = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16))
@@ -683,9 +730,9 @@ def neardup_triangles(spark, sf_dir):
     construction, hot buckets capped), never by corpus size. The pair
     subtree is computed once from a checkpointed signature and reused
     via localCheckpoint for the three-way self-join."""
-    docs = T(spark, sf_dir, "documents")
-    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # memoized canonical pair list (corpus_lsh_pairs): materialized
+    # parquet, no ckpt needed
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -848,8 +895,9 @@ def lsh_scurve_calibration(spark, sf_dir):
     same 16-column equality projection as minhash_jaccard_estimate; the
     output is ≤ 17 rows (k = 4 bands × 4 rows forces k ≥ 4 for any
     candidate, so in practice ≤ 13)."""
-    docs = T(spark, sf_dir, "documents")
-    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
+    # signature from the corpus memo (materialized parquet); the banded
+    # count variant itself stays live — n_bands is not in the pair memo
+    sig = corpus_minhash_sig(spark, sf_dir)
     pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4, count_bands=True)
     sa = sig.select(
         F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)]
@@ -1007,10 +1055,9 @@ def source_dedup_burden(spark, sf_dir):
     the source attribution is one doc_id-keyed left join and a
     source-keyed fold — output one row per source at any corpus."""
     docs = T(spark, sf_dir, "documents")
-    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
-    # candidate pairs computed ONCE (ckpt) — both endpoint projections
-    # read the materialized frame, not two copies of the signature DAG
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # memoized canonical pair list (corpus_lsh_pairs): materialized
+    # parquet — both endpoint projections read the same files
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     members = (
         pairs.selectExpr("a AS node")
         .unionAll(pairs.selectExpr("b AS node"))

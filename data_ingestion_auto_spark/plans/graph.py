@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from .dedup import _SQL_CC_LABELS, _SQL_SHINGLES
+from .dedup import _SQL_CC_LABELS, _SQL_SHINGLES, corpus_lsh_pairs
 from .helpers import T
 from .registry import query
 from ..checkpoints import ckpt
@@ -99,9 +99,9 @@ def neardup_pagerank(spark, sf_dir):
     degree riding along — the centrality-inside-boilerplate-families
     curation signal. Finite unroll makes the iterative algorithm fully
     oracle-checkable (see module docstring)."""
-    docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # memoized canonical pair list (plans/dedup.py::corpus_lsh_pairs):
+    # already a materialized parquet, so no ckpt needed
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     edges = ckpt(
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -178,8 +178,9 @@ def split_leakage_audit(spark, sf_dir):
     joins the (dup-density-bounded) candidate pair set against it —
     two hash joins and a tiny groupBy, no new scan of text."""
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # memoized canonical pair list (plans/dedup.py::corpus_lsh_pairs):
+    # already a materialized parquet, so no ckpt needed
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     h = (
         F.instr(
             F.lit("0123456789abcdef"),
@@ -347,9 +348,9 @@ def neardup_clustering_coefficient(spark, sf_dir):
     (sparse by LSH construction), never corpus size; the pair subtree
     is checkpointed once and read by the three-way self-join, the
     degree fold, and the corner explode."""
-    docs = T(spark, sf_dir, "documents")
-    sig = ckpt(D.minhash_signature(D.shingles(docs), num_perm=16))
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # memoized canonical pair list (plans/dedup.py::corpus_lsh_pairs):
+    # already a materialized parquet, so no ckpt needed
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -467,9 +468,9 @@ def neardup_kcore(spark, sf_dir):
     round (reliable when a dir is configured). Fixed R=10 unroll with
     measured convergence 7 (see kcore_survivors for the deployment
     contract)."""
-    docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # memoized canonical pair list (plans/dedup.py::corpus_lsh_pairs):
+    # already a materialized parquet, so no ckpt needed
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     edges, surv = kcore_survivors(pairs)
     core = (
         edges.join(surv, "u")
@@ -596,9 +597,9 @@ def degree_assortativity(spark, sf_dir):
     every message-passing pass here. Moments stay in BIGINT to ~1e6
     edges x 1e6 degree-products; beyond that the sums move to
     DECIMAL(38,0) unchanged in shape. Output 1 row."""
-    docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    pairs = ckpt(D.lsh_candidates(sig, bands=4, rows_per_band=4))
+    # memoized canonical pair list (plans/dedup.py::corpus_lsh_pairs):
+    # already a materialized parquet, so no ckpt needed
+    pairs = corpus_lsh_pairs(spark, sf_dir)
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
