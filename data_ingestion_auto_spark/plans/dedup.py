@@ -728,8 +728,8 @@ def neardup_triangles(spark, sf_dir):
     on the shared middle node, then a semi-closing join checks the third
     edge — cost is bounded by the candidate graph (sparse by LSH
     construction, hot buckets capped), never by corpus size. The pair
-    subtree is computed once from a checkpointed signature and reused
-    via localCheckpoint for the three-way self-join."""
+    list is the memoized per-corpus parquet (corpus_lsh_pairs), read
+    three ways by the self-join — no recompute, no ckpt."""
     # memoized canonical pair list (corpus_lsh_pairs): materialized
     # parquet, no ckpt needed
     pairs = corpus_lsh_pairs(spark, sf_dir)

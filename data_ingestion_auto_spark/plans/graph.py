@@ -345,9 +345,9 @@ def neardup_clustering_coefficient(spark, sf_dir):
     centrality with the per-node density view.
 
     Scale: triangle cost is bounded by the capped candidate graph
-    (sparse by LSH construction), never corpus size; the pair subtree
-    is checkpointed once and read by the three-way self-join, the
-    degree fold, and the corner explode."""
+    (sparse by LSH construction), never corpus size; the pair list is
+    the memoized per-corpus parquet (corpus_lsh_pairs), read by the
+    three-way self-join, the degree fold, and the corner explode."""
     # memoized canonical pair list (plans/dedup.py::corpus_lsh_pairs):
     # already a materialized parquet, so no ckpt needed
     pairs = corpus_lsh_pairs(spark, sf_dir)
