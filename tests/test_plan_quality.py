@@ -777,3 +777,29 @@ def test_rrf_fusion_windows_on_candidate_pool_only(spark, sf_dir, registry):
     for line in p.splitlines():
         if "Exchange" in line:
             assert "text" not in line
+
+
+def test_memoized_family_reads_parquet_not_recompute(spark, sf_dir, registry):
+    """Round 11 memoization honesty pin: the CC/graph family must READ
+    the materialized per-corpus tables, not silently re-derive the
+    shingle→minhash→LSH pipeline per query. In the physical plan that
+    means: a parquet scan of the spark_graft_* memo location, no
+    shingle posexplode/Generate of document text, and no scan of the
+    documents table's text column in queries that only join labels."""
+    # queries whose plan reads the memo directly show its path; the
+    # iterative ones (pagerank/kcore) cut lineage with ckpt() right after
+    # the memo read, so for them the honest pin is Generate-absence
+    p = _plan(spark, registry["neardup_components"].spark(spark, sf_dir))
+    assert "spark_graft_" in p  # the memo parquet is the source
+    for name in ("neardup_components", "neardup_pagerank", "neardup_kcore"):
+        p = _plan(spark, registry[name].spark(spark, sf_dir))
+        assert "Generate" not in p, name  # no shingle explode re-run
+    # dup-source attribution still scans documents (for source), but its
+    # pair side is the memo — text never enters an exchange
+    p = _plan(spark, registry["source_dedup_burden"].spark(spark, sf_dir), "simple")
+    assert "spark_graft_" in _plan(
+        spark, registry["source_dedup_burden"].spark(spark, sf_dir)
+    )
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line
