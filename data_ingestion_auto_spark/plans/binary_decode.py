@@ -31,9 +31,11 @@ def _ensure_sgb_fixture(spark, sf_dir: str) -> str:
     it). Built once per sf: atomic rename + _SUCCESS marker. The
     toPandas is bounded fixture scaffolding (240 rows), same class as
     the HTTP origin-server build in sources_ops.py."""
+    # v1: bump when the dense-grid derivation or message layout changes,
+    # so a stale fixture can never serve a superseded encoding
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_sgb_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_sgb_v1_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
@@ -44,8 +46,11 @@ def _ensure_sgb_fixture(spark, sf_dir: str) -> str:
             ny = int(part.y.max()) + 1
             nx = int(part.x.max()) + 1
             grids[v] = (ny, nx, [float(x) for x in part.value.to_numpy()])
-        tmp = base + ".building"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # private build dir per builder (uuid) so a lost race can never
+        # leak straggler files into the winner's published dir
+        import uuid
+
+        tmp = f"{base}.building-{uuid.uuid4().hex}"
         os.makedirs(tmp)
         with open(os.path.join(tmp, "grid-0.sgb"), "wb") as f:
             for v in ("a", "b"):
@@ -55,7 +60,6 @@ def _ensure_sgb_fixture(spark, sf_dir: str) -> str:
             ny, nx, vals = grids["a"]
             f.write(encode_message("c", ny, nx, [-x for x in vals]))
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        shutil.rmtree(base, ignore_errors=True)
         try:
             os.rename(tmp, base)
         except OSError:  # lost a concurrent-build race; winner is identical

@@ -33,17 +33,25 @@ sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)
 """
 
 
+# bump when the canonical shingle→minhash→LSH→CC pipeline changes so a
+# stale memo can never serve a superseded algorithm's output
+_MEMO_VERSION = "v1"
+
+
 def _corpus_memo(spark, sf_dir: str, name: str, build):
     """Shared machinery for the per-corpus-version memo tables: key =
     sf-dir basename + documents file fingerprint (bytes + mtime, so a
-    changed corpus rebuilds); atomic `.building` → rename publish (the
-    Spark _SUCCESS marker gates readers); location
+    changed corpus rebuilds) + _MEMO_VERSION (so a changed ALGORITHM
+    rebuilds); atomic publish — each builder writes a PRIVATE
+    `.building-<uuid>` dir and renames it over, so a lost race can never
+    leak straggler files into the winner's published dir; location
     $SPARK_GRAFT_CC_MEMO_DIR (MUST be a shared filesystem on a real
     cluster) or the local tempdir. ``build()`` returns the DataFrame to
     materialize on first call."""
     import os
     import shutil
     import tempfile
+    import uuid
 
     src = os.path.join(sf_dir, "documents.parquet")
     stats = []
@@ -53,14 +61,12 @@ def _corpus_memo(spark, sf_dir: str, name: str, build):
     else:
         stats.append(os.stat(src))
     fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
-    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{_MEMO_VERSION}_{fp}"
     root_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
     base = os.path.join(root_dir, f"spark_graft_{name}_{key}")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        tmp = base + ".building"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = f"{base}.building-{uuid.uuid4().hex}"
         build().write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(base, ignore_errors=True)
         try:
             os.rename(tmp, base)
         except OSError:  # lost a concurrent-build race; winner is identical
