@@ -228,3 +228,81 @@ def run_anomaly_batch(
         grid.filter((F.col("variable") == variable) & (F.date_format("time", "yyyy-MM") == month))
     )
     return anomaly_join(current, normal)
+
+
+def run_cds_forecast_batch(
+    spark,
+    client,
+    dataset: str,
+    options: dict,
+    state: StateStore,
+    dataset_id: str,
+    landing_dir: str,
+    out_path: str,
+    keep_days: int = 2,
+) -> dict:
+    """The reference's FULL CamsForecast.run() recomposed Spark-first
+    (reference ingest/cams_forecast/__init__.py:39-123): one scheduled
+    step = queued CDS retrieve for the watermark's next date → decode
+    the landed binary into the long grid model → idempotent per-(date,
+    variable) publication → retention of old forecasts → state commit
+    LAST (:122-123 — the reference too updates state only after decode,
+    save, cleanup, and ingest all succeeded; our K6/W9 ordering rule).
+
+    Mapping, leg by leg:
+    - retrieve: `CdsClient.retrieve` (submit/poll/download; cdsapi :72),
+      date = last_update + 24h; unavailable → {'status': 'skipped'},
+      NOTHING committed, the next run retries the same date (:71-75)
+    - decode: the reference shells out to cdo + slices per (variable,
+      time) (:77-105); here the landed file is scanned with binaryFile
+      and gribsim-decoded executor-side — the driver never parses bytes
+    - publish: the reference writes one COG per variable-time and
+      re-ingests (:96-105, filename = partition key); here
+      `overwrite_partitions` on (date, variable) — delete-then-insert of
+      exactly the republished partitions, so a replayed batch is
+      idempotent
+    - retention: `cleanup_old_data` before ingestion (:108) →
+      `retention_delete` below the keep-window watermark
+    - state: committed last; a crash ANYWHERE earlier leaves last_update
+      untouched and the replayed step re-lands, re-publishes (idempotent
+      overwrite), re-retains, then commits.
+    """
+    import datetime as dt
+    import os
+
+    from .sources.cds_connector import CdsRetrievalError
+    from .sources.gribsim import decode_grid_files
+
+    last = state.get(dataset_id, "last_update")
+    if last:
+        next_date = (dt.date.fromisoformat(last) + dt.timedelta(days=1)).isoformat()
+    else:
+        next_date = options["date"]
+    opts = dict(options)
+    opts["date"] = next_date
+    target = os.path.join(landing_dir, f"{dataset}_{next_date}.bin")
+    try:
+        client.retrieve(dataset, opts, target)
+    except CdsRetrievalError:
+        return {"status": "skipped", "date": next_date}
+
+    bins = (
+        spark.read.format("binaryFile")
+        .load(target)
+    )
+    grid = decode_grid_files(bins).select(
+        F.lit(next_date).alias("date"), "variable", "y", "x", "value"
+    )
+    overwrite_partitions(grid, out_path, ["date", "variable"])
+
+    watermark = (
+        dt.date.fromisoformat(next_date) - dt.timedelta(days=keep_days)
+    ).isoformat()
+    deleted = retention_delete(out_path, "date", watermark)
+
+    state.commit(dataset_id, {"last_update": next_date})
+    return {
+        "status": "ingested",
+        "date": next_date,
+        "deleted_partitions": deleted,
+    }
