@@ -268,22 +268,16 @@ def run_cds_forecast_batch(
       overwrite), re-retains, then commits.
     """
     import datetime as dt
-    import os
 
-    from .sources.cds_connector import CdsRetrievalError
+    from .sources.cds_connector import attempt_next_retrieve
     from .sources.gribsim import decode_grid_files
 
-    last = state.get(dataset_id, "last_update")
-    if last:
-        next_date = (dt.date.fromisoformat(last) + dt.timedelta(days=1)).isoformat()
-    else:
-        next_date = options["date"]
-    opts = dict(options)
-    opts["date"] = next_date
-    target = os.path.join(landing_dir, f"{dataset}_{next_date}.bin")
-    try:
-        client.retrieve(dataset, opts, target)
-    except CdsRetrievalError:
+    # the gate + retrieve leg is SHARED with run_cds_batch (one
+    # date-advance rule, one landing convention — they must not diverge)
+    next_date, target = attempt_next_retrieve(
+        client, dataset, options, state, dataset_id, landing_dir
+    )
+    if target is None:
         return {"status": "skipped", "date": next_date}
 
     bins = (

@@ -31,11 +31,22 @@ def _ensure_sgb_fixture(spark, sf_dir: str) -> str:
     it). Built once per sf: atomic rename + _SUCCESS marker. The
     toPandas is bounded fixture scaffolding (240 rows), same class as
     the HTTP origin-server build in sources_ops.py."""
-    # v1: bump when the dense-grid derivation or message layout changes,
-    # so a stale fixture can never serve a superseded encoding
+    # key = version tag (bump when the dense-grid derivation or message
+    # layout changes) + the EVENTS table's file fingerprint (the raster
+    # derives from events, so a regenerated corpus must rebuild the
+    # fixture instead of serving stale bytes the live oracle no longer
+    # matches — same staleness rule as plans/dedup.py::_corpus_memo)
+    src = os.path.join(sf_dir, "events.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            stats.extend(os.stat(os.path.join(root, f)) for f in files)
+    else:
+        stats.append(os.stat(src))
+    fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_sgb_v1_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_sgb_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
@@ -150,8 +161,15 @@ def cds_retrieval_roundtrip(spark, sf_dir):
             )
             for _ in range(3)
         ]
-        assert [o["status"] for o in outcomes] == ["ingested", "ingested", "skipped"]
-        assert state.get("cds_demo") == "2026-01-02"  # the skip committed nothing
+        # explicit raises (not asserts — the contract must hold under
+        # python -O too): two ingests, one skip, skip committed nothing
+        got = [o["status"] for o in outcomes]
+        if got != ["ingested", "ingested", "skipped"]:
+            raise RuntimeError(f"cds gate outcomes wrong: {got}")
+        if state.get("cds_demo") != "2026-01-02":
+            raise RuntimeError(
+                f"skip committed state: {state.get('cds_demo')!r}"
+            )
 
         bins = (
             spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(landing)

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup as D
 from .dedup import _SQL_CC_LABELS, _SQL_SHINGLES, corpus_lsh_pairs
 from .helpers import T
 from .registry import query

@@ -41,10 +41,22 @@ orders of magnitude); the Spark side stays embarrassingly parallel.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 import uuid
 
 import duckdb
 from pyspark.sql import DataFrame
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str) -> str:
+    """Identifiers (schema/table/columns) cannot be bound as SQL
+    parameters; validate instead of splicing arbitrary text."""
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
 
 
 def bootstrap_ddl(
@@ -57,7 +69,9 @@ def bootstrap_ddl(
     CREATE SCHEMA / CREATE TABLE IF NOT EXISTS + date index. Geometry is
     WKT TEXT (the reference binds shapely WKT, :141; PostGIS-ness is the
     one environment-boundary difference, documented)."""
-    cols = ", ".join(f"{c} REAL" for c in data_columns)
+    schema = _check_ident(schema)
+    table = _check_ident(table)
+    cols = ", ".join(f"{_check_ident(c)} REAL" for c in data_columns)
     cols = f", {cols}" if cols else ""
     con = duckdb.connect(db_path)
     try:
@@ -88,22 +102,27 @@ def upsert_staged(
 
     Idempotent: replaying the same staging dir first deletes what the
     previous run inserted for those dates. Atomic: a crash anywhere
-    before COMMIT leaves the table untouched."""
+    before COMMIT leaves the table untouched. The staging path is BOUND
+    as a parameter (a quote in a directory name must not break the SQL);
+    identifiers are regex-validated since they cannot be bound."""
+    schema = _check_ident(schema)
+    table = _check_ident(table)
     glob = os.path.join(staging_dir, "*.parquet")
-    collist = ", ".join(columns)
+    collist = ", ".join(_check_ident(c) for c in columns)
     con = duckdb.connect(db_path)
     try:
         con.execute("BEGIN TRANSACTION")
         con.execute(
             f"DELETE FROM {schema}.{table} WHERE date IN "
-            f"(SELECT DISTINCT date FROM read_parquet('{glob}'))"
+            "(SELECT DISTINCT date FROM read_parquet(?))",
+            [glob],
         )
-        con.execute(
-            f"INSERT INTO {schema}.{table} ({collist}) "
-            f"SELECT {collist} FROM read_parquet('{glob}')"
-        )
+        # DuckDB's INSERT reports the inserted-row count — no third scan
+        # of the staged files just to count them
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{glob}')"
+            f"INSERT INTO {schema}.{table} ({collist}) "
+            f"SELECT {collist} FROM read_parquet(?)",
+            [glob],
         ).fetchone()[0]
         if latest_date is not None:
             con.execute(
@@ -136,9 +155,16 @@ def publish_batch(
     staging = os.path.join(staging_root, f"stage-{uuid.uuid4().hex}")
     cols = batch_df.columns
     batch_df.write.mode("overwrite").parquet(staging)
-    return upsert_staged(
-        db_path, table, staging, cols, schema=schema, latest_date=latest_date
-    )
+    try:
+        return upsert_staged(
+            db_path, table, staging, cols, schema=schema, latest_date=latest_date
+        )
+    finally:
+        # the staged copy is consumed by the txn (committed or rolled
+        # back); a replay re-stages from batch_df, so never keep it — a
+        # long-running foreachBatch stream must not accumulate one
+        # parquet copy per micro-batch under staging_root
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def foreach_batch_publisher(

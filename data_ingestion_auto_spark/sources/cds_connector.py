@@ -119,21 +119,23 @@ class CdsClient:
         raise CdsRetrievalError(f"poll budget exhausted for {task_id}")
 
 
-def run_cds_batch(
+def attempt_next_retrieve(
     client: CdsClient,
     dataset: str,
     options: dict,
     state,
     dataset_id: str,
     landing_dir: str,
-) -> dict:
-    """One scheduled CDS ingest step with the reference's state gate:
-    next date = last_update + 24h (ISO date arithmetic, reference
-    cams_forecast/__init__.py:54-58), retrieve into the landing dir, and
-    COMMIT ONLY ON SUCCESS — an unavailable date returns
-    {'status': 'skipped'} with state untouched, so the next run retries
-    the same date (:71-75). Landing filename embeds the date (the
-    partition-key-in-filename convention, K1)."""
+) -> tuple[str, str | None]:
+    """The SHARED gate + retrieve leg (reference
+    cams_forecast/__init__.py:54-75), used by both `run_cds_batch` and
+    `pipelines.run_cds_forecast_batch` so the date-advance rule and the
+    landing filename convention can never diverge between entry points:
+    next date = last_update + 24h (first run: caller-provided start),
+    retrieve into the landing dir (filename embeds the date — the
+    partition-key-in-filename convention, K1). Returns (next_date,
+    landed_path) — landed_path None means the date was unavailable and
+    NOTHING may be committed, so the next run retries the same date."""
     import datetime as dt
 
     last = state.get(dataset_id, "last_update")
@@ -149,6 +151,26 @@ def run_cds_batch(
     try:
         client.retrieve(dataset, opts, target)
     except CdsRetrievalError:
+        return next_date, None
+    return next_date, target
+
+
+def run_cds_batch(
+    client: CdsClient,
+    dataset: str,
+    options: dict,
+    state,
+    dataset_id: str,
+    landing_dir: str,
+) -> dict:
+    """One scheduled CDS ingest step: the shared gated retrieve, then
+    COMMIT ONLY ON SUCCESS — an unavailable date returns
+    {'status': 'skipped'} with state untouched (reference
+    cams_forecast/__init__.py:71-75)."""
+    next_date, target = attempt_next_retrieve(
+        client, dataset, options, state, dataset_id, landing_dir
+    )
+    if target is None:
         return {"status": "skipped", "date": next_date}
     state.commit(dataset_id, {"last_update": next_date})
     return {"status": "ingested", "date": next_date, "file": target}

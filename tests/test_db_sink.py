@@ -75,6 +75,27 @@ def test_publish_twice_is_idempotent_per_date(spark, tmp_path):
     assert sum(r[0].startswith("2026-01-02") for r in rows) == 3
 
 
+def test_publish_cleans_up_its_staging_dir(spark, tmp_path):
+    """A long-running foreachBatch stream must not accumulate one parquet
+    copy per micro-batch: publish_batch deletes its stage dir whether the
+    txn commits or not."""
+    db = str(tmp_path / "s.duckdb")
+    S.bootstrap_ddl(db, "alerts", ["alert_level"])
+    root = str(tmp_path / "stroot")
+    S.publish_batch(_batch(spark, "2026-01-01", 2, 1.0), db, "alerts", root)
+    S.publish_batch(_batch(spark, "2026-01-02", 2, 2.0), db, "alerts", root)
+    assert os.listdir(root) == []  # consumed and removed
+    assert len(_table(db)) == 4
+
+
+def test_identifier_validation_rejects_injection(tmp_path):
+    db = str(tmp_path / "i.duckdb")
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        S.bootstrap_ddl(db, "alerts; DROP TABLE x", ["alert_level"])
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        S.bootstrap_ddl(db, "alerts", ["lvl, geom) VALUES (1,1); --"])
+
+
 def test_mid_txn_crash_is_invisible_and_replayable(spark, tmp_path):
     """Atomicity: an INSERT failure AFTER the DELETE executed rolls the
     whole txn back — the previously-published rows survive — and the
