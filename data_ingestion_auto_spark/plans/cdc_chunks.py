@@ -80,11 +80,24 @@ chunks AS (
 def _chunk_rows(spark, sf_dir):
     """(doc_id, source, chash, n_tokens) — one row per CDC chunk; the
     Spark-side chunker lives in operators/cdc_index.py::cdc_chunk_rows
-    (shared with the stored chunk-index lifecycle) — chunk array built
-    in ONE projection, checkpointed before the explode."""
-    from ..operators.cdc_index import cdc_chunk_rows
+    (shared with the stored chunk-index lifecycle).
 
-    return cdc_chunk_rows(T(spark, sf_dir, "documents"))
+    MEMOIZED per corpus version (plans/dedup.py::_corpus_memo — same
+    fingerprint/atomic-publish rules as the sig/pair/CC tables): FOUR
+    registered queries consume the identical deterministic chunking of
+    the identical corpus (~5 s apiece at sf0.1 recomputed); a 100 TB
+    pipeline chunks at ingest and stores the chunk table once — the
+    stored chunk-index lifecycle in operators/cdc_index.py is exactly
+    that contract, this memo is its query-tier analogue."""
+    from ..operators.cdc_index import cdc_chunk_rows
+    from .dedup import _corpus_memo
+
+    return _corpus_memo(
+        spark,
+        sf_dir,
+        "cdc_chunks",
+        lambda: cdc_chunk_rows(T(spark, sf_dir, "documents")),
+    )
 
 
 @query(

@@ -104,6 +104,24 @@ def corpus_lsh_pairs(spark, sf_dir: str):
     )
 
 
+def corpus_lsh_pairs_banded(spark, sf_dir: str):
+    """MEMOIZED banded candidate counts — (a, b, n_bands), the
+    count_bands variant of `corpus_lsh_pairs` (shared-band count is the
+    signature-agreement rank the verify tier budgets by). Consumed by
+    `neardup_levenshtein_confirm` and `lsh_scurve_calibration`."""
+    return _corpus_memo(
+        spark,
+        sf_dir,
+        "pairs_banded",
+        lambda: D.lsh_candidates(
+            corpus_minhash_sig(spark, sf_dir),
+            bands=4,
+            rows_per_band=4,
+            count_bands=True,
+        ),
+    )
+
+
 def corpus_components(spark, sf_dir: str):
     """MEMOIZED corpus near-dup component table (VERDICT r10 item #6).
 
@@ -566,8 +584,9 @@ def neardup_levenshtein_confirm(spark, sf_dir):
     them is bounded state, not a data copy; a plan-quality test pins
     that the confirm plan contains no shingle-explode subtree."""
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
-    raw = D.lsh_candidates(sig, bands=4, rows_per_band=4, count_bands=True)
+    # memoized banded counts (corpus_lsh_pairs_banded): materialized
+    # parquet — no shingle/signature re-derivation in this plan
+    raw = corpus_lsh_pairs_banded(spark, sf_dir)
     # Per-doc verify budget (round-7 Zipf skew soak): under genuinely
     # skewed shingle keys the candidate set inflated 111× for 10× docs
     # (5,845 → 647,772 pairs) and the verify rung went super-linear
@@ -901,10 +920,9 @@ def lsh_scurve_calibration(spark, sf_dir):
     same 16-column equality projection as minhash_jaccard_estimate; the
     output is ≤ 17 rows (k = 4 bands × 4 rows forces k ≥ 4 for any
     candidate, so in practice ≤ 13)."""
-    # signature from the corpus memo (materialized parquet); the banded
-    # count variant itself stays live — n_bands is not in the pair memo
+    # signature and banded counts both from the corpus memos
     sig = corpus_minhash_sig(spark, sf_dir)
-    pairs = D.lsh_candidates(sig, bands=4, rows_per_band=4, count_bands=True)
+    pairs = corpus_lsh_pairs_banded(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)]
     )
