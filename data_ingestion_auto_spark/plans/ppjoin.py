@@ -75,10 +75,21 @@ pref AS (
 
 
 def _ordered_sets(spark, sf_dir):
-    """Rare-first ordered shingle set per doc (checkpointed once — the
-    prefix explode and BOTH verify sides read it, and the cut keeps the
-    explode's implicit size()>0 filter off the aggregate chain, the
-    lesson winnowing_match_pairs measured)."""
+    """Rare-first ordered shingle set per doc — MEMOIZED per corpus
+    version (plans/dedup.py::_corpus_memo): both the exact SSJoin and
+    `prefix_bucket_stats` consume the identical frame, and the build
+    (3-gram explode → df join → per-doc rare-first sort) is the frame's
+    dominant fixed cost. Determinism: array_sort on (df, token) structs
+    is a total order (token unique within doc). The materialized parquet
+    plays the old ckpt's role — the prefix explode and BOTH verify sides
+    read files, and the explode's implicit size()>0 filter stays off the
+    aggregate chain (the winnowing_match_pairs lesson)."""
+    from .dedup import _corpus_memo
+
+    return _corpus_memo(spark, sf_dir, "ppjoin_sets", lambda: _build_ordered_sets(spark, sf_dir))
+
+
+def _build_ordered_sets(spark, sf_dir):
     docs_raw = T(spark, sf_dir, "documents")
     w = docs_raw.select("doc_id", F.split("text", " ").alias("w"))
     gram = (
@@ -90,7 +101,9 @@ def _ordered_sets(spark, sf_dir):
         w.select("doc_id", F.explode(F.expr(gram)).alias("token")).distinct()
     )
     dfreq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
-    return ckpt(
+    # no ckpt here: _corpus_memo's parquet write IS the materialization —
+    # a ckpt would double-write the frame during the one-time build
+    return (
         toks.join(dfreq, "token")
         .groupBy("doc_id")
         .agg(
