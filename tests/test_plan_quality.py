@@ -573,14 +573,16 @@ def test_winnowing_match_pairs_lambdas_never_reach_a_scan(spark, sf_dir, registr
 def test_prefix_filter_join_reads_checkpointed_sets_no_cartesian(
     spark, sf_dir, registry
 ):
-    """prefix_filter_jaccard_join: the ordered-set frame is checkpointed
-    once for its three readers (prefix explode + both verify sides), so
-    the final plan must hold no parquet scan and no shingle-building
-    lambdas; candidates come from an equi-join on the prefix token, never
-    a cartesian."""
+    """prefix_filter_jaccard_join: the ordered-set frame is the MEMOIZED
+    per-corpus parquet (round 11) serving its three readers (prefix
+    explode + both verify sides), so the final plan scans ONLY the memo
+    — never the documents table — and holds no shingle-building lambdas;
+    candidates come from an equi-join on the prefix token, never a
+    cartesian."""
     p = _plan(spark, registry["prefix_filter_jaccard_join"].spark(spark, sf_dir))
-    assert "Scan parquet" not in p
-    assert "concat_ws" not in p  # shingle construction stays behind the cut
+    assert "spark_graft_ppjoin_sets" in p  # the memo is the only source
+    assert "documents.parquet" not in p
+    assert "concat_ws" not in p  # shingle construction stays behind the memo
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -606,11 +608,12 @@ def test_semdedup_hier_fine_centroids_joined_not_collected(spark, sf_dir, regist
 
 def test_prefix_bucket_stats_reads_checkpointed_sets(spark, sf_dir, registry):
     """The observability query must cost what the module claims: the
-    same checkpointed ordered-set frame the join reads (no second corpus
-    scan, no shingle lambdas downstream of the cut) folded by two
-    hash aggregations — no join of any kind in the plan."""
+    same MEMOIZED ordered-set frame the join reads (no corpus scan, no
+    shingle lambdas) folded by two hash aggregations — no join of any
+    kind in the plan."""
     p = _plan(spark, registry["prefix_bucket_stats"].spark(spark, sf_dir))
-    assert "Scan parquet" not in p
+    assert "spark_graft_ppjoin_sets" in p
+    assert "documents.parquet" not in p
     assert "concat_ws" not in p
     assert "Join" not in p
 
@@ -643,30 +646,33 @@ def test_incremental_ann_assign_no_cartesian_lists_equijoined(spark, sf_dir, reg
 
 
 def test_cdc_chunk_queries_lambdas_never_reach_a_scan(spark, sf_dir, registry):
-    """The CDC tier's ckpt-before-explode contract: the chunk-array
-    projection (window hashes, boundary filter, chunk md5) checkpoints
-    before the explode, so both registered queries' final plans read
-    checkpointed state only — no parquet scan, no md5 lambda. The dedup
-    inventory is a pure hash aggregation (no join of any kind); the
-    per-doc ratio adds exactly one hash-keyed equi-join (no cartesian)."""
+    """The CDC tier's memo contract (round 11): the chunk table is the
+    MEMOIZED per-corpus parquet, so both registered queries' final plans
+    scan only the memo — never the documents table — with no md5 chunker
+    lambda anywhere. The dedup inventory is a pure hash aggregation (no
+    join of any kind); the per-doc ratio adds exactly one hash-keyed
+    equi-join (no cartesian)."""
     p1 = _plan(spark, registry["cdc_chunk_dedup"].spark(spark, sf_dir))
-    assert "Scan parquet" not in p1
+    assert "spark_graft_cdc_chunks" in p1
+    assert "documents.parquet" not in p1
     assert "md5(" not in p1
     assert "Join" not in p1
     p2 = _plan(spark, registry["cdc_doc_dup_ratio"].spark(spark, sf_dir))
-    assert "Scan parquet" not in p2
+    assert "spark_graft_cdc_chunks" in p2
+    assert "documents.parquet" not in p2
     assert "md5(" not in p2
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
 
 
 def test_source_overlap_matrix_bounded_fanout(spark, sf_dir, registry):
-    """The provenance matrix reads the same checkpointed chunk frame as
-    the other CDC queries (no parquet scan, no md5 lambda downstream)
-    and its pair join is chash-keyed — per-chunk fan-out bounded by the
-    number of SOURCES sharing it, never a cartesian."""
+    """The provenance matrix reads the same MEMOIZED chunk table as the
+    other CDC queries (no documents scan, no md5 chunker lambda) and its
+    pair join is chash-keyed — per-chunk fan-out bounded by the number
+    of SOURCES sharing it, never a cartesian."""
     p = _plan(spark, registry["source_overlap_matrix"].spark(spark, sf_dir))
-    assert "Scan parquet" not in p
+    assert "spark_graft_cdc_chunks" in p
+    assert "documents.parquet" not in p
     assert "md5(" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
