@@ -51,3 +51,15 @@ def ckpt(df: DataFrame) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint()
+
+
+def ckpt_local(df: DataFrame) -> DataFrame:
+    """HOT-PATH lineage cut for BATCH-SIZED, recomputable state: always
+    ``localCheckpoint``, never durable — the per-epoch probe/append
+    frames inside the indefinitely-running foreachBatch ingest loops
+    must not leave one reliable-checkpoint directory per micro-batch on
+    cluster storage (review r11; Spark never deletes those by default,
+    see the retention note above). Use ``ckpt`` for loop state that is
+    corpus-sized or must survive executor loss; use this for small
+    frames whose loss merely recomputes one micro-batch."""
+    return df.localCheckpoint()

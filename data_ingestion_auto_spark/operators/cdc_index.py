@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..checkpoints import ckpt
+from ..checkpoints import ckpt, ckpt_local
 
 _W = 4  # rolling-window length (tokens) — must match plans/cdc_chunks.py
 _D = 8  # boundary divisor -> expected chunk length (tokens)
@@ -68,7 +68,9 @@ def cdc_chunk_rows(docs: DataFrame) -> DataFrame:
             F.expr("concat(bp, array(size(w)))").alias("ends"),
         )
     )
-    arr = ckpt(spans.select("doc_id", *carry, F.expr(chunk).alias("chunks")))
+    # probe-side calls run per streaming epoch on batch-sized input ->
+    # local cut (the corpus-build call's output lands in a table anyway)
+    arr = ckpt_local(spans.select("doc_id", *carry, F.expr(chunk).alias("chunks")))
     return arr.select("doc_id", *carry, F.explode("chunks").alias("c")).select(
         "doc_id",
         *carry,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..checkpoints import ckpt
+from ..checkpoints import ckpt, ckpt_local
 
 
 def content_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -554,7 +554,8 @@ def probe_band_index(
     idx = spark.table(table).select(
         F.col(id_col).alias("o_id"), "band", "band_hash"
     )
-    batch = ckpt(batch_banded.select(
+    # batch-sized, recomputable, on the streaming hot path -> local cut
+    batch = ckpt_local(batch_banded.select(
         F.col(id_col).alias("n_id"), "band", "band_hash"
     ))
     # o_id != n_id: on RE-ingest of an already-indexed batch a document

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..checkpoints import ckpt
+from ..checkpoints import ckpt, ckpt_local
 
 # the BM25 integer rationalization shared with plans/retrieval.py
 # (k1 = 1.2, b = 0.75; log-free rational idf) — same formula text so the
@@ -114,7 +114,9 @@ def bm25_search(spark, terms: tuple[str, ...], table: str, k: int = 10) -> DataF
     old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try:
-        post = ckpt(post)  # read twice afterwards: df aggregate + scoring
+        # read twice afterwards (df aggregate + scoring); query-sized and
+        # recomputable, probed per standing-query epoch -> local cut
+        post = ckpt_local(post)
     finally:
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
@@ -161,7 +163,8 @@ def append_to_postings_index(
     immediately before writing (never the pre-postings snapshot). A
     replay after a postings-only commit appends zero new postings rows
     and exactly the missing docs rows."""
-    fresh_docs = ckpt(
+    # batch-sized, recomputable, appended per streaming epoch -> local cut
+    fresh_docs = ckpt_local(
         docs.join(spark.table(f"{table}_docs").select("doc_id"), ["doc_id"], "left_anti")
     )
     rows = _postings_rows(fresh_docs)

@@ -33,8 +33,9 @@ test (tests/test_suffix_ranks.py) against `substring_sa`'s direct sort
 on the fixture corpus.
 
 Cost model at 100 TB: rounds = log2(longest document), each round =
-one distinct + one range exchange over position-count integer pairs +
-one equi-join — no token arrays move after round 0. The direct sort in
+one distinct + two bounded exchanges over position-count integer pairs
+(the range partition, then the window's _pid hash re-partition — see
+_dense_rank) + one equi-join — no token arrays move after round 0. The direct sort in
 plans/substring_sa.py stays the default while the corpus contract caps
 document length; this operator is the escape hatch when it doesn't.
 
@@ -70,10 +71,15 @@ def _dense_rank(
     partition's broadcast cumulative distinct-key offset. The only
     ordered pass over all keys is the ≤ _NP-row offset scan.
 
-    One range exchange total — the round-9 rewrite dropped the previous
-    distinct + join-back construction (three extra exchanges per call),
-    which dominated wall time in the prefix-doubling ladder where this
-    runs once per doubling round.
+    Exchange accounting (corrected r11 after a live-plan check): the
+    range partition is followed by a SECOND full-data exchange — Spark
+    hash-partitions on _pid to satisfy the window, because the range
+    partitioning on ``cols`` does not advertise distribution-by-_pid.
+    So this is TWO bounded parallel exchanges per call, not one; the
+    property actually being defended (and what the round-9 rewrite
+    bought vs the distinct + join-back construction's three extra
+    exchanges) is NO single-partition global window anywhere — every
+    exchange here is np-way parallel over (key, id) integer pairs.
 
     The locally-ranked frame is EAGERLY checkpointed before the offset
     scan: ``spark_partition_id`` over a range exchange is
@@ -183,6 +189,8 @@ def suffix_rank_levels(
         levels = [(base_span, cur)]
         span = base_span
     else:
+        if positions is None:
+            raise ValueError("base_span == 1 requires positions (doc_id, i, tok)")
         max_i, n_pos = positions.agg(F.max("i"), F.count(F.lit(1))).collect()[0]
         if max_i is None:  # empty corpus: one level of zero rows, no ladder
             return [(1, positions.select("doc_id", "i", F.lit(0).alias("r")))]

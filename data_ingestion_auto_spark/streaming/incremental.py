@@ -17,6 +17,17 @@ Mapping:
 
 All functions take/return DataFrames so batch tests can drive them with
 `availableNow` + memory sink and `processAllAvailable()`.
+
+The four index-ingest loops below (band / IVF / CDC / postings) share a
+skeleton (empty-guard → cold-start/bootstrap → catalog refresh → local
+cut → probe/append → refresh) but are deliberately NOT folded into one
+parameterized helper: their differences are semantic, not accidental —
+the search loop probes AFTER the append (a standing query must see its
+own epoch), IVF refuses cold start (the quantizer is a trained model),
+CDC/band bootstrap empty indexes, and each loop's delivery-semantics
+docstring is pinned by its own stream-vs-batch-control test. A shared
+skeleton would trade four readable, individually-pinned contracts for
+one function with four behavior flags.
 """
 
 from __future__ import annotations
@@ -93,9 +104,13 @@ def stream_static_anomaly(stream: DataFrame, normals: DataFrame) -> DataFrame:
     (chirps_rainfall :229-234) instead of recomputed per batch.
 
     The static side re-reads per micro-batch (picking up normals
-    refreshes); Spark broadcasts it when small.
+    refreshes); Spark broadcasts it when small. No broadcast HINT here:
+    normals is one row per user (corpus-linear at 100 TB), so the
+    decision must stay with the optimizer's size stats / AQE — a forced
+    hint would drag an arbitrarily large table through the driver and
+    die on Spark's 8 GB broadcast ceiling every micro-batch (review r11).
     """
-    return stream.join(F.broadcast(normals), "user_id", "left").select(
+    return stream.join(normals, "user_id", "left").select(
         "event_id",
         "user_id",
         "ts",
@@ -119,6 +134,13 @@ def start_foreach_batch_upsert(
     upsert, raster_vector.py:146-164), then commits the watermark to the
     state store. A replayed batch (post-crash) rewrites the same
     partitions to the same content — no duplicates.
+
+    The committed watermark is MONOTONE (W3): a late-arriving batch
+    whose max(partition_col) is below the stored last_update rewrites
+    its partitions (idempotent) but never regresses the watermark —
+    otherwise should_skip/consumer reads would re-admit already-ingested
+    work (review r11). String max is correct for the ISO-formatted
+    partition values this sink is documented for.
     """
     from ..sinks import overwrite_partitions
 
@@ -127,8 +149,11 @@ def start_foreach_batch_upsert(
             return
         overwrite_partitions(batch_df, out_path, [partition_col])
         if state_store is not None:
-            mx = batch_df.agg(F.max(partition_col)).collect()[0][0]
-            state_store.commit(dataset_id, {"last_update": str(mx), "epoch": str(epoch_id)})
+            mx = str(batch_df.agg(F.max(partition_col)).collect()[0][0])
+            prev = state_store.get(dataset_id, "last_update")
+            if prev is not None and prev > mx:
+                mx = prev  # late batch: keep the high-water mark
+            state_store.commit(dataset_id, {"last_update": mx, "epoch": str(epoch_id)})
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -242,6 +267,18 @@ def start_dedup_ingest_stream(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # COLD START (review r11): launched against a not-yet-existing
+        # index, epoch 0 bootstraps an EMPTY bucketed index from the
+        # batch's schema — the first probe then sees "no partners" and
+        # the first append populates it; without this the refresh below
+        # raises TABLE_OR_VIEW_NOT_FOUND and kills the stream.
+        if not spark.catalog.tableExists(index_table):
+            D.write_band_index(
+                D.band_signature(D.minhash_signature(D.shingles(batch_df.limit(0)))),
+                index_table,
+                buckets=buckets,
+                max_bucket=max_bucket,
+            )
         # foreachBatch hands us a DataFrame bound to a CLONED micro-batch
         # session; the previous epoch's append went through that clone's
         # catalog, so the outer session's table-relation cache still
@@ -316,6 +353,17 @@ def start_ann_ingest_stream(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # COLD START (review r11): unlike the other three loops, IVF
+        # CANNOT bootstrap from an empty batch — the coarse quantizer is
+        # a TRAINED model (Faiss's train-before-add contract), so a
+        # missing index is a caller error worth a descriptive raise, not
+        # a bare TABLE_OR_VIEW_NOT_FOUND from deep inside the probe.
+        if not spark.catalog.tableExists(index_table):
+            raise ValueError(
+                f"IVF index {index_table!r} does not exist: train it first "
+                "with operators.ivf.write_ivf_index (the quantizer is a "
+                "model; streaming ingest only adds under frozen centroids)"
+            )
         # same cloned-session catalog staleness as the dedup stream:
         # refresh before the probe or epoch N misses epochs < N
         spark.catalog.refreshTable(index_table)
@@ -372,6 +420,13 @@ def start_cdc_ingest_stream(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # COLD START (review r11): bootstrap an empty chunk index so the
+        # first probe sees "no owners" instead of a missing-table crash
+        if not spark.catalog.tableExists(index_table):
+            CI.write_chunk_index(
+                batch_df.limit(0), index_table, buckets=buckets,
+                max_per_chunk=max_per_chunk,
+            )
         spark.catalog.refreshTable(index_table)
         batch = batch_df.localCheckpoint()
         (
@@ -434,6 +489,10 @@ def start_search_ingest_stream(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # COLD START (review r11): bootstrap empty postings + docs tables
+        # so the first epoch's append-then-search works from nothing
+        if not spark.catalog.tableExists(index_table):
+            P.write_postings_index(batch_df.limit(0), index_table, buckets=buckets)
         spark.catalog.refreshTable(index_table)
         spark.catalog.refreshTable(f"{index_table}_docs")
         batch = batch_df.localCheckpoint()
