@@ -37,12 +37,18 @@ _HEX8S = (
 )
 
 
-def cdc_chunk_rows(docs: DataFrame) -> DataFrame:
+def cdc_chunk_rows(docs: DataFrame, durable: bool = False) -> DataFrame:
     """(doc_id[, source], chash, n_tokens) — one row per CDC chunk of
     ``docs`` (doc_id, text[, source]). The chunk array is built in ONE
     map-side projection and checkpointed BEFORE the explode (the
     ckpt-before-explode rule), so consumers never see the window
-    lambdas and text never shuffles."""
+    lambdas and text never shuffles.
+
+    ``durable``: probe-side calls run per streaming epoch on batch-sized
+    recomputable input → local cut (default); the CORPUS-sized
+    write_chunk_index build passes True so an executor loss mid-build
+    doesn't abort the whole index build (the data-sized-state rule in
+    checkpoints.py)."""
     win = f"concat_ws(' ', slice(w, i - {_W - 1}, {_W}))"
     bp = (
         f"CASE WHEN size(w) >= {_W} THEN "
@@ -68,9 +74,8 @@ def cdc_chunk_rows(docs: DataFrame) -> DataFrame:
             F.expr("concat(bp, array(size(w)))").alias("ends"),
         )
     )
-    # probe-side calls run per streaming epoch on batch-sized input ->
-    # local cut (the corpus-build call's output lands in a table anyway)
-    arr = ckpt_local(spans.select("doc_id", *carry, F.expr(chunk).alias("chunks")))
+    cut = ckpt if durable else ckpt_local
+    arr = cut(spans.select("doc_id", *carry, F.expr(chunk).alias("chunks")))
     return arr.select("doc_id", *carry, F.explode("chunks").alias("c")).select(
         "doc_id",
         *carry,
@@ -86,6 +91,7 @@ def write_chunk_index(
     max_per_chunk: int = 100,
     mode: str = "overwrite",
     path: str | None = None,
+    chunks: DataFrame | None = None,
 ) -> None:
     """Materialize the capped (doc_id, chash, n_tokens) CDC index,
     bucketed on chash. ``mode='append'`` admits only each chunk hash's
@@ -93,8 +99,17 @@ def write_chunk_index(
     doc_id), and drops exact (doc_id, chash) re-ingests before ranking —
     the same induction + idempotence contract as ``write_band_index``.
     The capacity aggregate groups on the bucketed table's own key, so it
-    is Exchange-free on the index side."""
-    chunks = cdc_chunk_rows(docs).select("doc_id", "chash", "n_tokens").distinct()
+    is Exchange-free on the index side.
+
+    ``chunks``: pre-chunked (doc_id, chash, n_tokens) rows — the
+    streaming loop chunks each micro-batch ONCE and hands the same frame
+    to probe and append (review r11: the band loop's shared-signature
+    discipline; without this the dominant per-batch cost ran twice).
+    When omitted, the corpus build chunks ``docs`` itself (durable cut,
+    see cdc_chunk_rows)."""
+    if chunks is None:
+        chunks = cdc_chunk_rows(docs, durable=(mode == "overwrite"))
+    chunks = chunks.select("doc_id", "chash", "n_tokens").distinct()
     w = Window.partitionBy("chash").orderBy("doc_id")
     spark = chunks.sparkSession
     if mode == "append" and spark.catalog.tableExists(table):
@@ -135,7 +150,9 @@ def write_chunk_index(
     writer.saveAsTable(table)
 
 
-def probe_chunk_index(spark, batch_docs: DataFrame, table: str) -> DataFrame:
+def probe_chunk_index(
+    spark, batch_docs: DataFrame, table: str, chunks: DataFrame | None = None
+) -> DataFrame:
     """Per arriving document: how much of it is already stored, at chunk
     granularity — (doc_id, n_chunks, n_shared, shared_tokens,
     dup_ratio_ppm, dup_of). ``dup_of`` is the smallest stored owner
@@ -143,8 +160,11 @@ def probe_chunk_index(spark, batch_docs: DataFrame, table: str) -> DataFrame:
     self-matches are excluded, so probing an already-appended batch is
     safe (the band/IVF probe contract). Join is chash-keyed with zero
     Exchange on the bucketed index side; fan-out per chunk is bounded
-    by the stored cap."""
-    chunks = cdc_chunk_rows(batch_docs).select("doc_id", "chash", "n_tokens").distinct()
+    by the stored cap. ``chunks``: pre-chunked rows (see
+    write_chunk_index) so the streaming loop chunks once for both legs."""
+    if chunks is None:
+        chunks = cdc_chunk_rows(batch_docs)
+    chunks = chunks.select("doc_id", "chash", "n_tokens").distinct()
     idx = spark.table(table).select(
         F.col("doc_id").alias("o_id"), F.col("chash").alias("i_chash")
     )
@@ -183,7 +203,10 @@ def probe_chunk_index(spark, batch_docs: DataFrame, table: str) -> DataFrame:
         F.expr("CAST((1000000 * shared_tokens) div total_tokens AS BIGINT)").alias(
             "dup_ratio_ppm"
         ),
-        F.coalesce("min_owner", "doc_id").cast("bigint").alias("dup_of"),
+        # no cast (review r11): the lifecycle is type-generic over doc_id;
+        # probe_band_index returns the coalesced id uncast, and a bigint
+        # cast would crash string-keyed corpora under ANSI
+        F.coalesce("min_owner", "doc_id").alias("dup_of"),
         (F.col("n_shared") > 0).alias("is_dup"),
     )
 

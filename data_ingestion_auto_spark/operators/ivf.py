@@ -25,10 +25,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from ..checkpoints import ckpt
+from ..checkpoints import ckpt, ckpt_local
 
-_QUANT = "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
+# TRY_CAST, not CAST (review r11): Spark 4 runs ANSI mode by default, so
+# a single NaN/Infinity component in one upstream embedding would
+# otherwise throw CAST_INVALID_INPUT and kill the whole build/ingest job.
+# A non-finite component quantizes to NULL; NULL poisons that vector's
+# dist²/norm, which ranks it LAST (asc_nulls_last argmin, NULL-guarded
+# cosine below) instead of crashing the pipeline.
+_QUANT = "transform({col}, x -> TRY_CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
 _DIST2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+_DOT = "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+_NRM = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"
 
 
 def quantize(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -37,15 +45,69 @@ def quantize(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding")
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """Nearest centroid per vector: broadcast k centroids, map-side dist²,
-    deterministic argmin (ties → smallest cluster id)."""
+    deterministic argmin (ties → smallest cluster id; NULL dist² — a
+    non-finite vector — ranks last, never winning the argmin)."""
     d = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "dist2", F.expr(_DIST2.format(a="qvec", b="cvec"))
     )
-    w = Window.partitionBy(id_col).orderBy("dist2", "cluster_id")
+    w = Window.partitionBy(id_col).orderBy(F.asc_nulls_last("dist2"), "cluster_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "qvec", "cluster_id", "dist2")
+    )
+
+
+def _route_probe_rank(
+    queries: DataFrame,
+    lists: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    topk: int,
+    id_col: str,
+    broadcast_probes: bool,
+) -> DataFrame:
+    """The shared route → probe → cosine → rank block (review r11:
+    previously duplicated between ivf_topk and probe_ivf_index, so a
+    cosine fix had to land twice). ``queries`` is (query_id, qq);
+    ``lists`` is the candidate side (id_col, qvec, cluster_id).
+
+    Zero-norm guard: an all-zero (or NULL-poisoned non-finite) vector
+    has no defined cosine — 0/0 would be NaN, and Spark sorts NaN ABOVE
+    every number, so a degenerate stored vector would rank #1 for every
+    query probing its cluster. The cosine is therefore NULL unless both
+    norms are positive, and DESC ordering puts NULLs last."""
+    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", F.expr(_DIST2.format(a="qq", b="cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc_nulls_last("dist2"), "cluster_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qq", "cluster_id")
+    )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    nrm_q = F.expr(_NRM.format(v="qq"))
+    nrm_c = F.expr(_NRM.format(v="qvec"))
+    cand = (
+        lists.join(probes, "cluster_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.when(
+                (nrm_q > 0) & (nrm_c > 0),
+                F.round(F.expr(_DOT) / (F.sqrt(nrm_q) * F.sqrt(nrm_c)), 6),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -122,36 +184,8 @@ def ivf_topk(
     queries = assigned.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
     )
-    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist2", F.expr(_DIST2.format(a="qq", b="cvec"))
-    )
-    wq = Window.partitionBy("query_id").orderBy("dist2", "cluster_id")
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qq", "cluster_id")
-    )
-    dot = "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    nrm = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"
-    cand = (
-        assigned.join(F.broadcast(probes), "cluster_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("cand_id"),
-            F.round(
-                F.expr(dot)
-                / (F.sqrt(F.expr(nrm.format(v="qq"))) * F.sqrt(F.expr(nrm.format(v="qvec")))),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "cand_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
+    return _route_probe_rank(
+        queries, assigned, centroids, nprobe, topk, id_col, broadcast_probes=True
     )
 
 
@@ -230,38 +264,14 @@ def probe_ivf_index(
     q = quantize(batch_emb, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
     )
-    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist2", F.expr(_DIST2.format(a="qq", b="cvec"))
+    ranked = _route_probe_rank(
+        q, spark.table(table), centroids, nprobe, topk, id_col,
+        broadcast_probes=False,  # the pinned bucketed-scan plan relies on
+        # the optimizer (not a hint) choosing the probe side as build
     )
-    wq = Window.partitionBy("query_id").orderBy("dist2", "cluster_id")
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qq", "cluster_id")
-    )
-    idx = spark.table(table)
-    dot = "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    nrm = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"
-    cand = (
-        idx.join(probes, "cluster_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("cand_id"),
-            F.round(
-                F.expr(dot)
-                / (F.sqrt(F.expr(nrm.format(v="qq"))) * F.sqrt(F.expr(nrm.format(v="qvec")))),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank"))
-        .orderBy("query_id", "rank")
-    )
+    return ranked.select(
+        "query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
 
 
 def append_to_ivf_index(
@@ -279,14 +289,28 @@ def append_to_ivf_index(
     id column — ids are unique per vector, so this is the whole key).
     Centroid staleness is the standard IVF trade: lists drift as the
     corpus grows until an explicit ``write_ivf_index`` rebuild, which is
-    the Faiss add-vs-retrain contract."""
+    the Faiss add-vs-retrain contract.
+
+    Scale (review r11): the admission anti-join must NOT shuffle the
+    corpus-sized stored id column per epoch. Routing is deterministic
+    under the frozen centroids, so a previously stored copy of an id
+    lives in the SAME cluster the batch routes it to — the stored side
+    is first restricted to the batch's routed cluster_ids (a broadcast
+    semi-filter over the bucketed scan), making the anti-join
+    probed-list-sized, corpus-size-independent."""
     centroids = spark.table(f"{table}_centroids")
-    routed = _assign(
-        quantize(batch_emb, id_col, vec_col), centroids, id_col
-    ).select(id_col, "qvec", "cluster_id")
-    fresh = routed.join(
-        spark.table(table).select(id_col), [id_col], "left_anti"
+    routed = ckpt_local(  # read twice: cluster set + admission/append
+        _assign(quantize(batch_emb, id_col, vec_col), centroids, id_col).select(
+            id_col, "qvec", "cluster_id"
+        )
     )
+    batch_clusters = routed.select("cluster_id").distinct()
+    stored_ids = (
+        spark.table(table)
+        .join(F.broadcast(batch_clusters), "cluster_id")
+        .select(id_col)
+    )
+    fresh = routed.join(stored_ids, [id_col], "left_anti")
     (
         fresh.write.format("parquet")
         .mode("append")
@@ -350,7 +374,7 @@ def _assign_grouped(vectors: DataFrame, centroids: DataFrame, id_col: str) -> Da
     d = vectors.join(centroids, "group_id").withColumn(
         "dist2", F.expr(_DIST2.format(a="qvec", b="cvec"))
     )
-    w = Window.partitionBy(id_col).orderBy("dist2", "fine_id")
+    w = Window.partitionBy(id_col).orderBy(F.asc_nulls_last("dist2"), "fine_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

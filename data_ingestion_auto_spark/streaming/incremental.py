@@ -429,8 +429,12 @@ def start_cdc_ingest_stream(
             )
         spark.catalog.refreshTable(index_table)
         batch = batch_df.localCheckpoint()
+        # chunk ONCE for both legs (the band loop's shared-signature
+        # discipline): the per-window-md5 chunking is the dominant
+        # per-batch cost, and probe + append both consume this frame
+        chunked = CI.cdc_chunk_rows(batch).localCheckpoint()
         (
-            CI.probe_chunk_index(spark, batch, index_table)
+            CI.probe_chunk_index(spark, batch, index_table, chunks=chunked)
             .withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("append")
             .parquet(assign_path)
@@ -441,6 +445,7 @@ def start_cdc_ingest_stream(
             buckets=buckets,
             max_per_chunk=max_per_chunk,
             mode="append",
+            chunks=chunked,
         )
         spark.catalog.refreshTable(index_table)
 
