@@ -71,8 +71,14 @@ def hmac_sha256(key: str | bytes, payload: Column) -> Column:
 
 def clamp(col: Column, lo: float, hi: float) -> Column:
     """F8: coordinate clamp — reference raster_vector.py:15-23 clamps
-    lon to [−180,180], lat to [−90,90]."""
-    return F.greatest(F.least(col, F.lit(hi)), F.lit(lo))
+    lon to [−180,180], lat to [−90,90]. NaN PROPAGATES (review r11):
+    Spark's greatest/least order NaN above every double, so the bare
+    composition would map a NaN coordinate to exactly ``hi`` — turning a
+    broken upstream value into a plausible point on the boundary. The
+    reference's numpy-style clamp keeps NaN NaN (routed to nodata
+    downstream), so we guard explicitly."""
+    clamped = F.greatest(F.least(col, F.lit(hi)), F.lit(lo))
+    return F.when(F.isnan(col), col).otherwise(clamped)
 
 
 def pentad_of_day(day: Column) -> Column:

@@ -70,18 +70,28 @@ def _contour_group(pdf: pd.DataFrame, interval: float) -> pd.DataFrame:
     ys = np.sort(pdf["y"].unique())
     xs = np.sort(pdf["x"].unique())
     z = np.full((len(ys), len(xs)), np.nan)
-    yi = {v: i for i, v in enumerate(ys)}
-    xi = {v: i for i, v in enumerate(xs)}
-    for _, r in pdf.iterrows():
-        if pd.notna(r["value"]):
-            z[yi[r["y"]], xi[r["x"]]] = r["value"]
+    # vectorized z assembly (review r11): per-row iterrows was a Python
+    # loop over every grid cell in the task's hot path — numpy fancy
+    # indexing builds the dense array in one shot
+    mask = pdf["value"].notna()
+    yidx = np.searchsorted(ys, pdf.loc[mask, "y"].to_numpy())
+    xidx = np.searchsorted(xs, pdf.loc[mask, "x"].to_numpy())
+    z[yidx, xidx] = pdf.loc[mask, "value"].to_numpy()
     out = []
     finite = z[~np.isnan(z)]
     if finite.size:
         lo = np.floor(finite.min() / interval) * interval
         hi = finite.max()
-        level = lo + interval
-        while level < hi:
+        # levels = lo + k·interval by MULTIPLICATION (review r11): repeated
+        # float addition accumulates drift for non-binary-exact intervals
+        # (interval=0.1 emitted a spurious ~max level and off-by-ulp level
+        # values); the multiplied form matches the oracle's k*interval CTE
+        # exactly and is drift-free. Identical for binary-exact intervals.
+        k = 1
+        while True:
+            level = lo + k * interval
+            if not level < hi:
+                break
             segs = _segments_for_level(z, ys, xs, float(level))
             if segs:
                 wkts = [
@@ -89,7 +99,7 @@ def _contour_group(pdf: pd.DataFrame, interval: float) -> pd.DataFrame:
                 ]
                 for wkt in wkts:
                     out.append((variable, time, float(level), "LineString", wkt, len(segs)))
-            level += interval
+            k += 1
     return pd.DataFrame(
         out, columns=["variable", "time", "level_value", "geom_type", "geom_wkt", "n_segments"]
     )
@@ -97,9 +107,18 @@ def _contour_group(pdf: pd.DataFrame, interval: float) -> pd.DataFrame:
 
 def contour_features(grid: DataFrame, interval: float = 5.0) -> DataFrame:
     """U2: grouped-map contour extraction. The configured interval matches
-    the reference's `-i 5` (ecmwf_opendata/__init__.py:48-52)."""
+    the reference's `-i 5` (ecmwf_opendata/__init__.py:48-52).
+
+    Grid-identity columns beyond (variable, time) — ``namespace``/
+    ``level``, when present — join the GROUPING keys (review r11):
+    without them, two levels of the same variable/time collapse into one
+    z array with last-write-wins cell overwrites and the traced contours
+    correspond to neither surface. The output schema stays (variable,
+    time, ...) — callers contouring multi-surface frames should carry
+    the identity columns on the result by joining back if needed."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _contour_group(pdf, interval)
 
-    return grid.groupBy("variable", "time").applyInPandas(fn, CONTOUR_SCHEMA)
+    extra = [c for c in ("namespace", "level") if c in grid.columns]
+    return grid.groupBy("variable", "time", *extra).applyInPandas(fn, CONTOUR_SCHEMA)

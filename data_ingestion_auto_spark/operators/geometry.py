@@ -70,8 +70,18 @@ def _segments_intersect(p1, p2, p3, p4) -> bool:
 
 def is_simple(pts: np.ndarray) -> bool:
     """Shapely is_simple for linestrings: no self-intersection except
-    consecutive segments sharing their joint vertex."""
+    consecutive segments sharing their joint vertex. ADJACENT pairs are
+    checked too (review r11): shapely reports a collinear retrace
+    (A→B→A', the second segment doubling back over the first) as
+    non-simple, which the non-adjacent sweep alone misses — cross==0 with
+    a negative direction dot is overlap beyond the shared vertex."""
     n = len(pts) - 1  # segment count
+    for i in range(n - 1):
+        a, b, c = pts[i], pts[i + 1], pts[i + 2]
+        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        dot = (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1])
+        if cross == 0.0 and dot < 0.0:
+            return False
     for i in range(n):
         for j in range(i + 2, n):
             if i == 0 and j == n - 1 and np.array_equal(pts[0], pts[-1]):

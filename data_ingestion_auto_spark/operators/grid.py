@@ -40,10 +40,18 @@ def climatology_normal(grid: DataFrame, variable: str) -> DataFrame:
     NULL cells don't contribute (avg ignores NULLs = the reference's mask
     semantics). Output is small (12 × cells) → broadcastable; persist it as
     the materialized normals table (W7) rather than recomputing per batch.
+
+    Grid-identity columns beyond the cell (review r11): when the frame
+    carries ``level`` / ``namespace`` (GRID_SCHEMA declares both), they
+    join the grouping keys — otherwise a multi-level grid's normals
+    silently average level-500 with level-850 and every level's anomaly
+    is computed against a cross-level-contaminated mean. Frames without
+    those columns (single-surface pipelines) group exactly as before.
     """
+    extra = [c for c in ("namespace", "level") if c in grid.columns]
     return (
         grid.filter(F.col("variable") == variable)
-        .groupBy(F.month("time").alias("moy"), "y", "x")
+        .groupBy(F.month("time").alias("moy"), "y", "x", *extra)
         .agg(F.avg("value").alias("normal"))
     )
 
@@ -54,19 +62,28 @@ def anomaly_join(current: DataFrame, normal: DataFrame) -> DataFrame:
     propagation gives this for free).
 
     The normals side broadcasts (bounded cardinality) — no shuffle of the
-    current side beyond its scan.
-    """
+    current side beyond its scan. Grid-identity columns shared by both
+    sides (``namespace``, ``level``) join the key set — NULL-SAFELY for
+    level, whose GRID_SCHEMA convention uses NULL for surface fields (a
+    plain equi-join would silently drop every surface row)."""
     cur = current.withColumn("moy", F.month("time"))
-    joined = cur.join(F.broadcast(normal), ["moy", "y", "x"], "left")
+    keys = ["moy", "y", "x"] + [
+        c for c in ("namespace", "level") if c in cur.columns and c in normal.columns
+    ]
+    cond = None
+    for k in keys:
+        c = cur[k].eqNullSafe(normal[k]) if k == "level" else cur[k] == normal[k]
+        cond = c if cond is None else cond & c
+    joined = cur.join(F.broadcast(normal), cond, "left")
     return joined.select(
-        "namespace",
-        "variable",
-        "time",
-        "y",
-        "x",
-        F.col("value").alias("current"),
-        "normal",
-        (F.col("value") - F.col("normal")).alias("anomaly"),
+        cur["namespace"],
+        cur["variable"],
+        cur["time"],
+        cur["y"],
+        cur["x"],
+        cur["value"].alias("current"),
+        normal["normal"],
+        (cur["value"] - normal["normal"]).alias("anomaly"),
     )
 
 
@@ -75,13 +92,17 @@ def derived_wide(grid: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     — no self-join (SURVEY J2's preferred mapping). The pivot is one
     shuffle on (time, cell); the derivation is codegen.
     """
+    from ..functions import wind_speed
+
     wide = (
         grid.filter(F.col("variable").isin(u, v))
         .groupBy("namespace", "time", "level", "y", "x")
         .pivot("variable", [u, v])
         .agg(F.first("value"))
     )
-    return wide.withColumn("wind_speed", F.sqrt(F.col(u) * F.col(u) + F.col(v) * F.col(v)))
+    # ONE wind-speed definition (functions.scalars.wind_speed, F2) — an
+    # inline re-derivation here could silently diverge from it
+    return wide.withColumn("wind_speed", wind_speed(F.col(u), F.col(v)))
 
 
 def mosaic_coalesce(tiles: DataFrame) -> DataFrame:
@@ -139,6 +160,13 @@ def time_partition_paths(grid: DataFrame, namespace_col: str = "namespace") -> D
 
 def window_rank_latest(grid: DataFrame) -> DataFrame:
     """Latest value per cell via row_number over time desc — the engine's
-    'current state of the grid' view."""
-    w = Window.partitionBy("variable", "y", "x").orderBy(F.desc("time"))
+    'current state of the grid' view. Partitions additionally by
+    ``namespace``/``level`` when the frame carries them (review r11:
+    otherwise one arbitrary namespace's row silently wins per cell), and
+    breaks exact-time ties deterministically on ``value`` so repeated
+    runs return the same 'current state'."""
+    extra = [c for c in ("namespace", "level") if c in grid.columns]
+    w = Window.partitionBy("variable", "y", "x", *extra).orderBy(
+        F.desc("time"), F.asc_nulls_last("value")
+    )
     return grid.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

@@ -264,7 +264,7 @@ xpair AS (  -- orientation signs for every non-adjacent segment pair
   JOIN ring r ON r.user_id = s1.user_id
   WHERE NOT (s1.i = 0 AND s2.i = l.n - 2 AND r.closed)
 ),
-simple AS (
+nonadj AS (
   SELECT l.user_id,
          coalesce(NOT bool_or(
            (x.o1 <> x.o2 AND x.o3 <> x.o4)
@@ -276,9 +276,23 @@ simple AS (
                         AND x.p1y BETWEEN least(x.p3y,x.p4y) AND greatest(x.p3y,x.p4y))
            OR (x.o4 = 0 AND x.p2x BETWEEN least(x.p3x,x.p4x) AND greatest(x.p3x,x.p4x)
                         AND x.p2y BETWEEN least(x.p3y,x.p4y) AND greatest(x.p3y,x.p4y))
-         ), TRUE) AS was_simple
+         ), TRUE) AS nonadj_simple
   FROM line l LEFT JOIN xpair x ON x.user_id = l.user_id
   GROUP BY l.user_id
+),
+adj AS (  -- adjacent collinear retrace (cross=0, dot<0): shapely non-simple
+  SELECT s1.user_id,
+         bool_or(
+           ((s1.bx-s1.ax)*(s2.by-s2.ay) - (s1.by-s1.ay)*(s2.bx-s2.ax)) = 0
+           AND ((s1.bx-s1.ax)*(s2.bx-s2.ax) + (s1.by-s1.ay)*(s2.by-s2.ay)) < 0
+         ) AS retrace
+  FROM seg s1 JOIN seg s2 ON s1.user_id = s2.user_id AND s2.i = s1.i + 1
+  GROUP BY s1.user_id
+),
+simple AS (
+  SELECT n.user_id,
+         (n.nonadj_simple AND NOT coalesce(a.retrace, FALSE)) AS was_simple
+  FROM nonadj n LEFT JOIN adj a USING (user_id)
 ),
 -- Douglas-Peucker as a span fixpoint: split (lo,hi) at the farthest
 -- interior point (first index on ties = np.argmax) while its distance

@@ -67,12 +67,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): read as nanos-since-epoch long
-    # (spark.sql.legacy.parquet.nanosAsLong), floor-truncated here to
+    # (spark.sql.legacy.parquet.nanosAsLong), FLOOR-divided here to
     # microseconds — matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast — as a
-    # naive (ntz) timestamp.
+    # naive (ntz) timestamp. Spark's `div` truncates toward zero, which
+    # differs from floor for PRE-EPOCH nanos with a sub-µs remainder
+    # (review r11, verified: -1500 ns is -2 µs in DuckDB but -1 µs under
+    # `div`), so negative remainders get the explicit -1 correction.
+    # Integer arithmetic throughout: double division would lose precision
+    # past 2^53 ns (~104 days from epoch).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+            "ts",
+            F.expr(
+                "CAST(timestamp_micros(ts div 1000 - IF(ts % 1000 < 0, 1, 0)) "
+                "AS TIMESTAMP_NTZ)"
+            ),
         )
     return df
 
