@@ -22,6 +22,20 @@ from data_ingestion_auto_spark.streaming.incremental import (
     start_search_ingest_stream,
 )
 
+
+def _drop_with_location(spark, *tables):
+    """DROP + remove the warehouse dir: the local in-memory catalog forgets
+    managed tables across JVMs while their warehouse directories persist,
+    so a bare DROP IF EXISTS no-ops and the bootstrap's saveAsTable dies
+    with LOCATION_ALREADY_EXISTS on re-runs."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
 _LONG = " ".join(f"tok{i}" for i in range(60))
 
 
@@ -48,7 +62,7 @@ def test_dedup_loop_cold_starts_from_no_index(spark, tmp_path):
     b1 = [(1, "alpha beta gamma delta " + _LONG)]
     b2 = [(2, "alpha beta gamma delta " + _LONG), (3, "totally different words here")]
     stream = _src(spark, tmp_path, "cold_dedup", [b1, b2])
-    spark.sql("DROP TABLE IF EXISTS t_cold_band")
+    _drop_with_location(spark, "t_cold_band")
     q = start_dedup_ingest_stream(
         spark,
         stream,
@@ -69,7 +83,7 @@ def test_cdc_loop_cold_starts_from_no_index(spark, tmp_path):
     b1 = [(10, "prefix words " + _LONG)]
     b2 = [(20, "other lead-in quoting " + _LONG), (30, "novel standalone text")]
     stream = _src(spark, tmp_path, "cold_cdc", [b1, b2])
-    spark.sql("DROP TABLE IF EXISTS t_cold_cdc")
+    _drop_with_location(spark, "t_cold_cdc")
     q = start_cdc_ingest_stream(
         spark,
         stream,
@@ -89,8 +103,7 @@ def test_search_loop_cold_starts_from_no_index(spark, tmp_path):
     b1 = [(1, "spark shuffle join"), (2, "window order sort")]
     b2 = [(3, "spark spark spark shuffle")]
     stream = _src(spark, tmp_path, "cold_search", [b1, b2])
-    spark.sql("DROP TABLE IF EXISTS t_cold_post")
-    spark.sql("DROP TABLE IF EXISTS t_cold_post_docs")
+    _drop_with_location(spark, "t_cold_post", "t_cold_post_docs")
     q = start_search_ingest_stream(
         spark,
         stream,
@@ -120,7 +133,7 @@ def test_ann_loop_refuses_cold_start_with_clear_error(spark, tmp_path):
         [[(1, [0.1, 0.2, 0.3, 0.4])]],
         schema="vec_id long, embedding array<double>",
     )
-    spark.sql("DROP TABLE IF EXISTS t_cold_ivf")
+    _drop_with_location(spark, "t_cold_ivf")
     q = start_ann_ingest_stream(
         spark,
         stream,
