@@ -113,12 +113,22 @@ def contour_features(grid: DataFrame, interval: float = 5.0) -> DataFrame:
     ``level``, when present — join the GROUPING keys (review r11):
     without them, two levels of the same variable/time collapse into one
     z array with last-write-wins cell overwrites and the traced contours
-    correspond to neither surface. The output schema stays (variable,
-    time, ...) — callers contouring multi-surface frames should carry
-    the identity columns on the result by joining back if needed."""
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _contour_group(pdf, interval)
+    correspond to neither surface. The same identity columns are CARRIED
+    ON THE OUTPUT (review r12): with only (variable, time) in the result,
+    two levels of the same variable/time emit interleaved, unattributable
+    contour rows that no join key can separate — appending the grouping
+    columns to the schema makes every segment attributable to exactly one
+    surface. Frames without the columns keep the base 6-column schema."""
 
     extra = [c for c in ("namespace", "level") if c in grid.columns]
-    return grid.groupBy("variable", "time", *extra).applyInPandas(fn, CONTOUR_SCHEMA)
+    schema = CONTOUR_SCHEMA + "".join(
+        f", {c} {grid.schema[c].dataType.simpleString()}" for c in extra
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _contour_group(pdf, interval)
+        for c in extra:
+            out[c] = pdf[c].iloc[0]
+        return out
+
+    return grid.groupBy("variable", "time", *extra).applyInPandas(fn, schema)

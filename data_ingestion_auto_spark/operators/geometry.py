@@ -82,6 +82,17 @@ def is_simple(pts: np.ndarray) -> bool:
         dot = (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1])
         if cross == 0.0 and dot < 0.0:
             return False
+    # closed ring: the WRAPAROUND junction (last segment into segment 0)
+    # is adjacent too (review r12) — a ring whose closing segment doubles
+    # back over the first segment is non-simple in shapely, and the pair
+    # is excluded from the non-adjacent sweep below, so test it here with
+    # the same collinear-retrace predicate
+    if n >= 2 and np.array_equal(pts[0], pts[-1]):
+        a, b, c = pts[n - 1], pts[n], pts[1]
+        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        dot = (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1])
+        if cross == 0.0 and dot < 0.0:
+            return False
     for i in range(n):
         for j in range(i + 2, n):
             if i == 0 and j == n - 1 and np.array_equal(pts[0], pts[-1]):

@@ -171,10 +171,21 @@ def append_to_postings_index(
     stored = spark.table(table)
     # postings-side idempotence: (term, doc_id) keys already stored — e.g.
     # by a crashed run that committed postings but not docs — drop here,
-    # BEFORE capacity ranking, so a replay appends nothing and burns no cap
-    rows = rows.join(stored.select("term", "doc_id"), ["term", "doc_id"], "left_anti")
-    existing = stored.groupBy("term").agg(
-        F.count(F.lit(1)).alias("n_existing")
+    # BEFORE capacity ranking, so a replay appends nothing and burns no cap.
+    # The stored side is first semi-filtered to the BATCH'S terms via a
+    # broadcast (term is also the bucket key), so the anti-join's right
+    # side is batch-term-sized — not a corpus-sized scan+shuffle per
+    # micro-batch (review r12, the same fix as the IVF append's semi-filter)
+    batch_terms = F.broadcast(rows.select("term").distinct())
+    stored_keys = stored.join(batch_terms, ["term"], "left_semi").select("term", "doc_id")
+    rows = rows.join(stored_keys, ["term", "doc_id"], "left_anti")
+    # capacity counts likewise only matter for the batch's terms — the
+    # left join below keys on rows.term, so non-batch terms in `existing`
+    # would be dead weight shuffled for nothing
+    existing = (
+        stored.join(batch_terms, ["term"], "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_existing"))
     )
     w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
     capped = (

@@ -48,19 +48,32 @@ def _corpus_memo(spark, sf_dir: str, name: str, build):
     $SPARK_GRAFT_CC_MEMO_DIR (MUST be a shared filesystem on a real
     cluster) or the local tempdir. ``build()`` returns the DataFrame to
     materialize on first call."""
+    import hashlib
     import os
     import shutil
     import tempfile
     import uuid
 
     src = os.path.join(sf_dir, "documents.parquet")
-    stats = []
+    entries = []
     if os.path.isdir(src):
         for root, _, files in os.walk(src):
-            stats.extend(os.stat(os.path.join(root, f)) for f in files)
+            for f in files:
+                p = os.path.join(root, f)
+                s = os.stat(p)
+                entries.append((os.path.relpath(p, src), s.st_size, s.st_mtime_ns))
     else:
-        stats.append(os.stat(src))
-    fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
+        s = os.stat(src)
+        entries.append((os.path.basename(src), s.st_size, s.st_mtime_ns))
+    # fingerprint = file count + sha256 over sorted (relpath, size,
+    # mtime_ns) triples (review r12): total-bytes + integer max-mtime let a
+    # corpus regenerated in place within the same second with equal total
+    # size serve stale memos; per-file paths + nanosecond mtimes close
+    # that hole without reading corpus bytes (100 TB-safe)
+    h = hashlib.sha256()
+    for relpath, size, mtime_ns in sorted(entries):
+        h.update(f"{relpath}|{size}|{mtime_ns};".encode())
+    fp = f"{len(entries)}_{h.hexdigest()[:16]}"
     key = f"{os.path.basename(sf_dir.rstrip('/'))}_{_MEMO_VERSION}_{fp}"
     root_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
     base = os.path.join(root_dir, f"spark_graft_{name}_{key}")
@@ -69,8 +82,14 @@ def _corpus_memo(spark, sf_dir: str, name: str, build):
         build().write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, base)
-        except OSError:  # lost a concurrent-build race; winner is identical
+        except OSError:
+            # lost a concurrent-build race only if the winner actually
+            # published (review r12: a bare OSError swallow could read a
+            # base dir that never materialized — e.g. a permissions
+            # failure — and crash later with a misleading read error)
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(base, "_SUCCESS")):
+                raise
     return spark.read.parquet(base)
 
 

@@ -280,13 +280,20 @@ nonadj AS (
   FROM line l LEFT JOIN xpair x ON x.user_id = l.user_id
   GROUP BY l.user_id
 ),
-adj AS (  -- adjacent collinear retrace (cross=0, dot<0): shapely non-simple
+adj AS (  -- adjacent collinear retrace (cross=0, dot<0): shapely non-simple.
+          -- For a closed ring the WRAPAROUND junction (last segment into
+          -- segment 0) is adjacent too (review r12) — same predicate, same
+          -- vector form, mirroring the operator's closed-ring check.
   SELECT s1.user_id,
          bool_or(
            ((s1.bx-s1.ax)*(s2.by-s2.ay) - (s1.by-s1.ay)*(s2.bx-s2.ax)) = 0
            AND ((s1.bx-s1.ax)*(s2.bx-s2.ax) + (s1.by-s1.ay)*(s2.by-s2.ay)) < 0
          ) AS retrace
-  FROM seg s1 JOIN seg s2 ON s1.user_id = s2.user_id AND s2.i = s1.i + 1
+  FROM seg s1
+  JOIN line l ON l.user_id = s1.user_id
+  JOIN ring r ON r.user_id = s1.user_id
+  JOIN seg s2 ON s1.user_id = s2.user_id
+             AND (s2.i = s1.i + 1 OR (r.closed AND s1.i = l.n - 2 AND s2.i = 0))
   GROUP BY s1.user_id
 ),
 simple AS (

@@ -48,6 +48,27 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _parse_watermark(prev: str, sample):
+    """Parse a stored watermark string back into the partition value's
+    native type so monotonicity compares in-domain, not lexicographically
+    (review r12: '9' > '10' as strings). For string partitions the stored
+    form IS the domain. A stored value that no longer parses in the
+    column's current type is corrupt state — raise, don't guess."""
+    import datetime as _dt
+
+    if isinstance(sample, bool) or sample is None:
+        return prev
+    if isinstance(sample, int):
+        return int(prev)
+    if isinstance(sample, float):
+        return float(prev)
+    if isinstance(sample, _dt.datetime):
+        return _dt.datetime.fromisoformat(prev)
+    if isinstance(sample, _dt.date):
+        return _dt.date.fromisoformat(prev)
+    return prev
+
+
 def file_stream(spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
     """Incremental file source: new files in `path` are the micro-batches —
     the engine's analogue of the reference's per-tick catalog poll (S4/W1).
@@ -139,8 +160,13 @@ def start_foreach_batch_upsert(
     whose max(partition_col) is below the stored last_update rewrites
     its partitions (idempotent) but never regresses the watermark —
     otherwise should_skip/consumer reads would re-admit already-ingested
-    work (review r11). String max is correct for the ISO-formatted
-    partition values this sink is documented for.
+    work (review r11). The monotonicity comparison happens in the
+    partition column's NATIVE domain (review r12): the state store holds
+    strings, and lexicographic prev > mx is wrong for non-fixed-width
+    values (integer day keys: '9' > '10'), permanently pinning a stale
+    high-water mark. The stored string is parsed back to the batch
+    value's type before comparing; for genuine string partitions the
+    lexicographic order IS the native order.
     """
     from ..sinks import overwrite_partitions
 
@@ -149,10 +175,13 @@ def start_foreach_batch_upsert(
             return
         overwrite_partitions(batch_df, out_path, [partition_col])
         if state_store is not None:
-            mx = str(batch_df.agg(F.max(partition_col)).collect()[0][0])
+            raw = batch_df.agg(F.max(partition_col)).collect()[0][0]
+            mx = str(raw)
             prev = state_store.get(dataset_id, "last_update")
-            if prev is not None and prev > mx:
-                mx = prev  # late batch: keep the high-water mark
+            if prev is not None and (
+                raw is None or _parse_watermark(prev, raw) > raw
+            ):
+                mx = prev  # late/null batch: keep the high-water mark
             state_store.commit(dataset_id, {"last_update": mx, "epoch": str(epoch_id)})
 
     return (

@@ -54,6 +54,25 @@ def test_contour_nodata_cells_produce_no_segments(spark):
     assert contour_features(grid, interval=5.0).count() == 0
 
 
+def test_contour_multi_surface_rows_are_attributable(spark):
+    """Two pressure levels of one variable/time → output carries the
+    grouping identity columns so each segment maps to exactly one surface
+    (review r12: without them the interleaved rows had no join key)."""
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        ("ns", "2t", t, lev, float(iy), float(ix), ix * 10.0 + float(lev), "degC")
+        for lev in (850, 500)
+        for iy in range(4)
+        for ix in range(4)
+    ]
+    grid = spark.createDataFrame(rows, GRID_SCHEMA)
+    out = contour_features(grid, interval=10.0)
+    assert "namespace" in out.columns and "level" in out.columns
+    per_level = {r["level"]: r["count"] for r in out.groupBy("level").count().collect()}
+    assert set(per_level) == {850, 500}
+    assert all(n > 0 for n in per_level.values())
+
+
 def test_contour_groups_are_independent(spark):
     """Two timestamps → grouped-map runs per (variable, time)."""
     g1 = _ramp_grid(spark)

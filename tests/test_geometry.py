@@ -41,6 +41,14 @@ def test_is_simple():
     assert not is_simple(bowtie)
     ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)  # closed ok
     assert is_simple(ring)
+    # closed ring whose CLOSING segment doubles back over segment 0: the
+    # wraparound junction is adjacent too (review r12) — shapely non-simple
+    retrace_ring = np.array([[0, 0], [2, 0], [2, 2], [1, 0], [0, 0]], dtype=float)
+    assert not is_simple(retrace_ring)
+    # closing segment overshooting the whole first segment — the
+    # wraparound retrace predicate fires directly (cross=0, dot<0 at p0)
+    overshoot = np.array([[0, 0], [2, 0], [2, 2], [3, 0], [0, 0]], dtype=float)
+    assert not is_simple(overshoot)
 
 
 def test_dp_collinear_collapses_to_endpoints():

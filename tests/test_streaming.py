@@ -135,6 +135,28 @@ def test_foreach_batch_upsert_idempotent_with_state(spark, tmp_path):
     assert spark.read.parquet(sink).count() == n1
 
 
+def test_foreach_batch_upsert_integer_watermark_advances(spark, tmp_path):
+    """Watermark monotonicity compares in the partition column's native
+    domain (review r12): with an INTEGER day key, prev=9 then batch max=10
+    must advance to '10' — lexicographic '9' > '10' would pin it forever."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.state import StateStore
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    _write_events(spark, src, day=1)
+    state = StateStore(str(tmp_path / "state.json"))
+    state.commit("ev", {"last_update": "9"})  # prior integer high-water mark
+
+    stream = file_stream(spark, src).withColumn("day_num", F.lit(10))
+    q = start_foreach_batch_upsert(
+        stream, sink, "day_num", str(tmp_path / "ckpt"), state_store=state, dataset_id="ev"
+    )
+    q.awaitTermination(120)
+    assert state.get("ev", "last_update") == "10"
+
+
 def test_stream_static_anomaly_join(spark, tmp_path):
     """W7 stream-static join: micro-batches score against the
     materialized normals table; a normals refresh between runs is picked
