@@ -36,6 +36,15 @@ Design (round-4 rework, per VERDICT r3 "Next round" #1/#3 + ADVICE):
   wedged driver pass can no longer overwrite the recorded per-query
   baseline.
 
+* **Memo cost is visible, not hidden** (round-12): the per-corpus memo
+  tables (CC/CDC/SSJoin/k-means models — plans/dedup.py, plans/ann_memo.py)
+  amortize one build across many queries, which is the correct production
+  accounting but could hide a build-time regression. Every run emits
+  "memo_cold" (did this run build any memo) and "memo_build_sec" /
+  "memo_builds" (per-memo build seconds); `--cold` (or
+  SPARK_GRAFT_BENCH_COLD=1) clears the memo root first so the ratchet can
+  measure the build path deliberately.
+
 Each query executes end-to-end (plan + shuffle + noop-sink write, falling
 back to collect) after a warm-up primes JVM/codegen/parquet footers.
 """
@@ -120,10 +129,41 @@ def _prior_costs() -> dict[str, float]:
         return {}
 
 
+def _memo_root() -> str:
+    import tempfile
+
+    return os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
+
+
+def _clear_memos() -> int:
+    """--cold: drop every published memo so the run pays (and records)
+    the one-time per-corpus build cost — the ratchet's view of a memo
+    build-time regression (round-12). Only `spark_graft_*` entries under
+    the memo root are touched."""
+    import shutil
+
+    n = 0
+    root = _memo_root()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return 0
+    for e in entries:
+        if e.startswith("spark_graft_"):
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            n += 1
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_ingestion_auto_spark import plans
+    from data_ingestion_auto_spark.plans.dedup import MEMO_BUILD_LOG
     from data_ingestion_auto_spark.session import get_session
+
+    cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    if cold:
+        _clear_memos()
 
     spark = get_session("bench")
 
@@ -241,12 +281,20 @@ def main() -> None:
                 "median": round(ss[len(ss) // 2], 3),
                 "n": len(ss),
             }
+        # Memo accounting (round-12): memo_cold = this run BUILT at least
+        # one per-corpus memo (its timings include one-time build cost —
+        # the production "at ingest" cost); a warm run joins materialized
+        # artifacts only. memo_builds carries the per-memo build seconds
+        # so a build-time regression is ratchet-visible.
+        memo_builds = {n: round(t, 3) for n, t in MEMO_BUILD_LOG}
         detail = {
             "sf": sf_val,
             "repeats": repeats,
             "host_factor": state["host_factor"],
             "queries": timings,
             "spread": spread,
+            "memo_cold": bool(memo_builds),
+            "memo_builds": memo_builds,
         }
         if errors:
             detail["errors"] = errors
@@ -285,6 +333,8 @@ def main() -> None:
             "total_all_sec": round(sum(timings.values()), 3),
             "n_queries": len(timings),
             "host_factor": state["host_factor"],
+            "memo_cold": bool(memo_builds),
+            "memo_build_sec": round(sum(memo_builds.values()), 3),
             "queries": shown,
             "detail_file": "BENCH_DETAIL_last.json",
         }

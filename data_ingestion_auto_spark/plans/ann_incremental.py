@@ -108,18 +108,29 @@ def incremental_ann_with_k(spark, sf_dir, k: int):
     pins at k=8 for its oracle; the k ∝ corpus path keeps probed lists
     constant-sized as the corpus grows (the IVF deployment contract —
     Faiss sizes nlist ≈ n/target_list_size for exactly this reason)."""
-    from ..operators.ivf import _DIST2, kmeans_lite, quantize
+    from ..operators.ivf import _DIST2, quantize
+    from .ann_memo import kml_model
 
     emb = T(spark, sf_dir, "embeddings")
     is_new = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
         "0", "1", "2", "3"
     )
-    corpus = emb.filter(~is_new)
     batch = emb.filter(is_new)
-    # corpus-side quantizer: k×dim driver-held model state (the stored
-    # centroid table's stand-in), assignments = the stored lists
-    assigned, cent_rows = kmeans_lite(corpus, k=k, iters=2)
-    centroids = spark.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
+    # corpus-side quantizer: the FROZEN stored model — assignments (the
+    # inverted lists) and centroids are MEMOIZED per corpus version
+    # (plans/ann_memo.py, round-12), exactly the `write_ivf_index`
+    # materialization this query's module docstring maps to
+    assigned, centroids = kml_model(
+        spark,
+        sf_dir,
+        "ivfcorpus",
+        lambda: T(spark, sf_dir, "embeddings").filter(
+            ~F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        ),
+        k=k,
+    )
     q = quantize(batch).select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
     )

@@ -37,24 +37,34 @@ sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)
 # stale memo can never serve a superseded algorithm's output
 _MEMO_VERSION = "v1"
 
+# (memo name, build seconds) for every memo BUILT in this process —
+# bench.py reads it to surface cold-build cost (round-12: the committed
+# bench medians measure warm-memo reads, which is the right production
+# accounting, but a build-time regression must not be invisible to the
+# ratchet)
+MEMO_BUILD_LOG: list[tuple[str, float]] = []
 
-def _corpus_memo(spark, sf_dir: str, name: str, build):
+
+def _corpus_memo(spark, sf_dir: str, name: str, build, src_file: str = "documents.parquet"):
     """Shared machinery for the per-corpus-version memo tables: key =
-    sf-dir basename + documents file fingerprint (bytes + mtime, so a
-    changed corpus rebuilds) + _MEMO_VERSION (so a changed ALGORITHM
-    rebuilds); atomic publish — each builder writes a PRIVATE
-    `.building-<uuid>` dir and renames it over, so a lost race can never
-    leak straggler files into the winner's published dir; location
-    $SPARK_GRAFT_CC_MEMO_DIR (MUST be a shared filesystem on a real
-    cluster) or the local tempdir. ``build()`` returns the DataFrame to
-    materialize on first call."""
+    sf-dir basename + source-table file fingerprint (count + per-file
+    path/size/mtime_ns hash, so a changed corpus rebuilds) +
+    _MEMO_VERSION (so a changed ALGORITHM rebuilds); atomic publish —
+    each builder writes a PRIVATE `.building-<uuid>` dir and renames it
+    over, so a lost race can never leak straggler files into the
+    winner's published dir; location $SPARK_GRAFT_CC_MEMO_DIR (MUST be
+    a shared filesystem on a real cluster) or the local tempdir.
+    ``build()`` returns the DataFrame to materialize on first call.
+    ``src_file`` picks the fingerprinted source table — documents for
+    the text-dedup memos, embeddings for the ANN/semdedup model tables
+    (plans/ann_memo.py)."""
     import hashlib
     import os
     import shutil
     import tempfile
     import uuid
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, src_file)
     entries = []
     if os.path.isdir(src):
         for root, _, files in os.walk(src):
@@ -78,8 +88,12 @@ def _corpus_memo(spark, sf_dir: str, name: str, build):
     root_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
     base = os.path.join(root_dir, f"spark_graft_{name}_{key}")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        import time as _time
+
+        t0 = _time.perf_counter()
         tmp = f"{base}.building-{uuid.uuid4().hex}"
         build().write.mode("overwrite").parquet(tmp)
+        MEMO_BUILD_LOG.append((name, _time.perf_counter() - t0))
         try:
             os.rename(tmp, base)
         except OSError:

@@ -88,15 +88,17 @@ def hierarchical_kmeans_assign(spark, sf_dir):
     Scale: coarse assignment broadcasts 3 centroids (map-side); fine
     assignment joins the centroid DataFrame on group_id — the centroid
     table is never collected, so total k may grow with the corpus while
-    per-iteration cost stays n·O(√k)."""
-    from ..operators.ivf import kmeans_hierarchical
+    per-iteration cost stays n·O(√k). The assignment table is MEMOIZED
+    per corpus version (plans/ann_memo.py, round-12) — trained once,
+    joined thereafter; exact BIGINT k-means keeps the memo bit-identical
+    to the live derivation."""
+    from .ann_memo import emb_full, kmh_assign
 
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    assigned = kmh_assign(
+        spark, sf_dir, "full", lambda: emb_full(spark, sf_dir), k=9
     )
     return (
-        kmeans_hierarchical(emb, k=9, iters=2)
-        .select("vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        assigned.select("vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
         .orderBy("vec_id")
     )
 

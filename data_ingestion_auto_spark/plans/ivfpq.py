@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .helpers import T
+# helpers.T now reached via ann_memo.emb_full
 from .hier_kmeans import _FINE_DIST, _fine_assign, _fine_update
 from .registry import query
 from .semdedup import _KM_CTES
@@ -127,30 +127,37 @@ def ivfpq_adc_topk(spark, sf_dir):
     scan side carries 1-byte codes (the PQ win); the residual distance
     tables are n_queries·nprobe·m·k integers — broadcast. This is the
     same index layout a Faiss-style store shards across a cluster."""
-    from ..operators.ivf import _DIST2, kmeans_grouped, kmeans_lite, quantize
+    from ..operators.ivf import _DIST2, quantize
+    from .ann_memo import emb_full, kmg_model, kml_model
 
-    spark_ = spark
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    emb = emb_full(spark, sf_dir)
+    # coarse quantizer + residual PQ codebooks are the MEMOIZED IVF-PQ
+    # model (plans/ann_memo.py, round-12): the residual-subspace build
+    # chains on the memoized coarse tables, so a cold run trains each
+    # tier once and every later query joins the stored model — the Faiss
+    # train/add/search separation
+    assigned, c2 = kml_model(spark, sf_dir, "full", lambda: emb, k=4)
+
+    def _residual_sub():
+        res = assigned.join(F.broadcast(c2), "cluster_id").select(
+            "vec_id",
+            "cluster_id",
+            F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias("rvec"),
+        )
+        return res.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_M - 1))).alias("group_id"),
+            "rvec",
+        ).select(
+            (F.col("vec_id") * _M + F.col("group_id")).alias("rid"),
+            "group_id",
+            F.expr(f"slice(rvec, group_id * {_SUBDIM} + 1, {_SUBDIM})").alias("qvec"),
+        )
+
+    pq_codes, pq_cents = kmg_model(
+        spark, sf_dir, "ivfpqres", _residual_sub, k_per_group=_K
     )
-    assigned, cent_rows = kmeans_lite(emb, k=4, iters=2)
-    c2 = spark_.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
-    res = assigned.join(F.broadcast(c2), "cluster_id").select(
-        "vec_id",
-        "cluster_id",
-        F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias("rvec"),
-    )
-    sub = res.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_M - 1))).alias("group_id"),
-        "rvec",
-    ).select(
-        (F.col("vec_id") * _M + F.col("group_id")).alias("rid"),
-        "group_id",
-        F.expr(f"slice(rvec, group_id * {_SUBDIM} + 1, {_SUBDIM})").alias("qvec"),
-    )
-    pq_assigned, pq_cents = kmeans_grouped(sub, k_per_group=_K, iters=2, id_col="rid")
-    codes = pq_assigned.select(
+    codes = pq_codes.select(
         F.expr(f"rid div {_M}").alias("orig_id"), "group_id", "fine_id"
     )
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .helpers import T
+# helpers.T now reached via ann_memo.emb_full
 from .hier_kmeans import _FINE_DIST, _fine_assign, _fine_update
 from .registry import query
 
@@ -99,11 +99,10 @@ def pq_adc_topk(spark, sf_dir):
     table into one equi-join with the codes — the scan side carries
     1-byte codes, not 256-byte vectors, which is the entire point of PQ
     at 100 TB. Ties rank by cand_id for cross-engine determinism."""
-    from ..operators.ivf import _DIST2, kmeans_grouped, quantize
+    from ..operators.ivf import _DIST2, quantize
+    from .ann_memo import emb_full, kmg_model
 
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
-    )
+    emb = emb_full(spark, sf_dir)
     qv = quantize(emb)
     sub = qv.select(
         "vec_id",
@@ -114,8 +113,11 @@ def pq_adc_topk(spark, sf_dir):
         "group_id",
         F.expr(f"slice(qvec, group_id * {_SUBDIM} + 1, {_SUBDIM})").alias("qvec"),
     )
-    assigned, cents = kmeans_grouped(sub, k_per_group=_K, iters=2, id_col="rid")
-    codes = assigned.select(
+    # the subspace codebooks + codes are the MEMOIZED PQ model
+    # (plans/ann_memo.py, round-12) — trained once per corpus version,
+    # exactly Faiss's train-once/encode-once contract
+    pq_codes, cents = kmg_model(spark, sf_dir, "pqsub", lambda: sub, k_per_group=_K)
+    codes = pq_codes.select(
         F.expr(f"rid div {_M}").alias("orig_id"), "group_id", "fine_id"
     )
     qsub = sub.filter(F.expr(f"rid div {_M} < {_NQ}")).select(

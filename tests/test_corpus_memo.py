@@ -55,6 +55,83 @@ def test_changed_corpus_rebuilds_unchanged_corpus_reuses(spark, tmp_path, monkey
     assert sorted((r.doc_id, r.n) for r in got2.collect()) == [(1, 4), (2, 2), (3, 1)]
 
 
+def test_same_second_same_size_regeneration_rebuilds(spark, tmp_path, monkeypatch):
+    """Review r12: a corpus regenerated in place with EQUAL total bytes
+    (content swapped between files, mtimes unchanged at second
+    granularity) must still rebuild — the fingerprint hashes per-file
+    (relpath, size, mtime_ns), not just totals."""
+    monkeypatch.setenv("SPARK_GRAFT_CC_MEMO_DIR", str(tmp_path / "memo3"))
+    os.makedirs(str(tmp_path / "memo3"))
+    sf = _mini_sf(spark, tmp_path, "sfC", [(1, "ab"), (2, "cd")])
+    src = f"{sf}/documents.parquet"
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.read.parquet(src).select("doc_id", "text")
+
+    first = {(r.doc_id, r.text) for r in _corpus_memo(spark, sf, "t3", build).collect()}
+    assert first == {(1, "ab"), (2, "cd")}
+    # regenerate with the same row widths (≈ same bytes) and force every
+    # file's mtime to a FIXED whole second so the old bytes+max-int-mtime
+    # key could not distinguish the two corpora
+    spark.createDataFrame(
+        [(1, "xy"), (2, "zw")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + ".new")
+    shutil.rmtree(src)
+    os.rename(src + ".new", src)
+    stamp = int(os.stat(src).st_mtime) + 2
+    for root, _, files in os.walk(src):
+        for f in files:
+            os.utime(os.path.join(root, f), (stamp, stamp))
+    os.utime(src, (stamp, stamp))
+    got2 = {(r.doc_id, r.text) for r in _corpus_memo(spark, sf, "t3", build).collect()}
+    assert builds == [1, 1]
+    assert got2 == {(1, "xy"), (2, "zw")}
+
+
+def test_ann_model_memo_matches_live_kmeans(spark, tmp_path, monkeypatch):
+    """plans/ann_memo.py (round-12): the memoized kmeans_lite model is
+    BIT-IDENTICAL to the live derivation (exact BIGINT k-means), and the
+    second call serves the memo without retraining."""
+    from data_ingestion_auto_spark.operators.ivf import kmeans_lite
+    from data_ingestion_auto_spark.plans.ann_memo import kml_model
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_MEMO_DIR", str(tmp_path / "memo4"))
+    os.makedirs(str(tmp_path / "memo4"))
+    sf = tmp_path / "sfD"
+    sf.mkdir()
+    rows = [(i, [float((i * 7 + d * 3) % 11) / 10 for d in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb.coalesce(1).write.mode("overwrite").parquet(str(sf / "embeddings.parquet"))
+
+    trains = []
+
+    def emb_builder():
+        trains.append(1)
+        return spark.read.parquet(str(sf / "embeddings.parquet"))
+
+    assigned, cents = kml_model(spark, str(sf), "t", emb_builder, k=4)
+    live_assigned, live_cents = kmeans_lite(
+        spark.read.parquet(str(sf / "embeddings.parquet")), k=4, iters=2
+    )
+    memo = {(r.vec_id, r.cluster_id, tuple(r.qvec)) for r in assigned.collect()}
+    live = {
+        (r.vec_id, r.cluster_id, tuple(r.qvec))
+        for r in live_assigned.select("vec_id", "qvec", "cluster_id").collect()
+    }
+    assert memo == live
+    assert {(r.cluster_id, tuple(r.cvec)) for r in cents.collect()} == {
+        (c, tuple(v)) for c, v in live_cents
+    }
+    n_trains = len(trains)
+    assert n_trains >= 1
+    a2, c2 = kml_model(spark, str(sf), "t", emb_builder, k=4)  # warm: no retrain
+    a2.collect(), c2.collect()
+    assert len(trains) == n_trains
+
+
 def test_publication_is_rename_atomic(spark, tmp_path, monkeypatch):
     """The published dir appears only complete (Spark's _SUCCESS inside);
     no shared '.building' path exists that a second builder could write

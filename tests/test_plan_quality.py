@@ -588,22 +588,22 @@ def test_prefix_filter_join_reads_checkpointed_sets_no_cartesian(
 
 
 def test_semdedup_hier_fine_centroids_joined_not_collected(spark, sf_dir, registry):
-    """The deployment-regime SemDeDup's scale claims, pinned in the plan:
-    (a) no unbounded cartesian anywhere — the only nested-loop joins are
-    the coarse level's broadcast of k1 ≈ √k driver-held centroids (bounded
-    model state, same pattern as MLlib coefficients); (b) the FINE
-    centroid table participates as a joined DataFrame keyed on group_id —
-    it appears as an equi-join, so total k may scale with the corpus
-    without a driver round-trip; (c) the dup-pair step is an equi-join on
-    the composite cluster_id, never all-pairs."""
+    """The deployment-regime SemDeDup's scale claims, pinned in the plan
+    (round-12 memo contract): (a) the two-level k-means is BEHIND the
+    per-corpus memo — the query plan reads the materialized assignment
+    table instead of re-deriving centroids (no embeddings scan, no
+    quantize lambda, no group_id training join); (b) no unbounded
+    cartesian anywhere; (c) the live part — the dup-pair step — is an
+    equi-join on the composite cluster_id, never all-pairs. The training
+    plan itself (fine centroids joined on group_id, never collected) is
+    pinned by tests/test_ivf.py on kmeans_grouped directly."""
     df = registry["semdedup_hier"].spark(spark, sf_dir)
     p = _plan(spark, df, "simple")
     assert "CartesianProduct" not in p
-    lines = p.splitlines()
-    # fine assignment: an equi-join whose keys are the coarse group id
-    assert any("Join" in l and "group_id" in l for l in lines)
+    assert "spark_graft_kmh_aug" in p  # reads the memoized model table
+    assert "embeddings.parquet" not in p  # training stays behind the memo
     # dup pairs: an equi-join on the composite cluster id
-    assert any("Join" in l and "cluster_id" in l for l in lines)
+    assert any("Join" in l and "cluster_id" in l for l in p.splitlines())
 
 
 def test_prefix_bucket_stats_reads_checkpointed_sets(spark, sf_dir, registry):
