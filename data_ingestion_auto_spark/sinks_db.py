@@ -59,6 +59,63 @@ def _check_ident(name: str) -> str:
     return name
 
 
+class DuckDbDialect:
+    """Publish SQL for the embedded DuckDB stand-in: the DB's native
+    parquet reader ingests the staging dir directly (the glob travels as
+    a BOUND parameter). This is what ``upsert_staged`` executes here."""
+
+    name = "duckdb"
+    paramstyle = "qmark"  # staging path / dates bind as ?
+
+    @staticmethod
+    def delete_dates_sql(schema: str, table: str) -> str:
+        return (
+            f"DELETE FROM {schema}.{table} WHERE date IN "
+            "(SELECT DISTINCT date FROM read_parquet(?))"
+        )
+
+    @staticmethod
+    def insert_sql(schema: str, table: str, collist: str) -> str:
+        return (
+            f"INSERT INTO {schema}.{table} ({collist}) "
+            f"SELECT {collist} FROM read_parquet(?)"
+        )
+
+    @staticmethod
+    def retention_sql(schema: str, table: str) -> str:
+        return f"DELETE FROM {schema}.{table} WHERE date < ?"
+
+
+class PostgresDialect:
+    """The documented live-PostGIS twin of the publish SQL (reference
+    raster_vector.py:146-163 runs this shape through psycopg2): Postgres
+    has no parquet reader, so the delete keys on a bound date array and
+    the bulk load is ``COPY ... FROM STDIN`` — the driver streams the
+    staged files through the COPY protocol (psycopg2 ``copy_expert``),
+    which beats row INSERTs by orders of magnitude and keeps the txn
+    shape identical (BEGIN → DELETE → COPY → retention DELETE → COMMIT).
+    Text generation only in this sandbox (no live Postgres); pinned by
+    tests/test_db_sink.py so the seam cannot rot."""
+
+    name = "postgres"
+    paramstyle = "pyformat"  # psycopg2 binds %(name)s
+
+    @staticmethod
+    def delete_dates_sql(schema: str, table: str) -> str:
+        return f"DELETE FROM {schema}.{table} WHERE date = ANY(%(dates)s)"
+
+    @staticmethod
+    def insert_sql(schema: str, table: str, collist: str) -> str:
+        return (
+            f"COPY {schema}.{table} ({collist}) "
+            "FROM STDIN WITH (FORMAT csv, HEADER false)"
+        )
+
+    @staticmethod
+    def retention_sql(schema: str, table: str) -> str:
+        return f"DELETE FROM {schema}.{table} WHERE date < %(latest)s"
+
+
 def bootstrap_ddl(
     db_path: str,
     table: str,
@@ -109,25 +166,17 @@ def upsert_staged(
     table = _check_ident(table)
     glob = os.path.join(staging_dir, "*.parquet")
     collist = ", ".join(_check_ident(c) for c in columns)
+    d = DuckDbDialect  # the embedded engine this module executes against;
+    # PostgresDialect generates the same txn's COPY-shaped twin
     con = duckdb.connect(db_path)
     try:
         con.execute("BEGIN TRANSACTION")
-        con.execute(
-            f"DELETE FROM {schema}.{table} WHERE date IN "
-            "(SELECT DISTINCT date FROM read_parquet(?))",
-            [glob],
-        )
+        con.execute(d.delete_dates_sql(schema, table), [glob])
         # DuckDB's INSERT reports the inserted-row count — no third scan
         # of the staged files just to count them
-        n = con.execute(
-            f"INSERT INTO {schema}.{table} ({collist}) "
-            f"SELECT {collist} FROM read_parquet(?)",
-            [glob],
-        ).fetchone()[0]
+        n = con.execute(d.insert_sql(schema, table, collist), [glob]).fetchone()[0]
         if latest_date is not None:
-            con.execute(
-                f"DELETE FROM {schema}.{table} WHERE date < ?", [latest_date]
-            )
+            con.execute(d.retention_sql(schema, table), [latest_date])
         con.execute("COMMIT")
         return int(n)
     except BaseException:

@@ -114,7 +114,7 @@ def _subprocess_decode_main() -> None:
         out.write(f"{variable},{y},{x},{float(v).hex()}\n")
 
 
-def decode_grid_files_subprocess(binary_df: DataFrame) -> DataFrame:
+def decode_grid_files_subprocess(binary_df: DataFrame, argv: list[str] | None = None) -> DataFrame:
     """U1: the SUBPROCESS decode shape (reference ingest/__init__.py:74-91
     shells out to ``cdo -f nc copy in out`` with subprocess.run(...,
     check=True)) — each executor task pipes the raw message bytes
@@ -123,17 +123,24 @@ def decode_grid_files_subprocess(binary_df: DataFrame) -> DataFrame:
     row-for-row); operationally it exercises what a real cdo/GDAL
     integration needs: per-task process spawn, stdin/stdout streaming
     (no temp-file churn), check=True error propagation, and bit-exact
-    value transport (IEEE hex, not decimal). Swapping the argv below for
-    ``["cdo", "-f", "nc", "copy", "-", out]`` is the documented real-
-    codec change; everything Spark-side stays put."""
+    value transport (IEEE hex, not decimal).
+
+    ``argv`` is the decoder-process contract seam: any program that
+    reads raw message bytes on stdin and emits
+    ``variable,y,x,float.hex(value)`` CSV lines on stdout plugs in —
+    the default is the in-package SGB1 decoder; a real-codec wrapper
+    around ``cdo -f nc copy`` is the documented one-argument swap
+    (exercised by tests/test_real_codec.py whenever cdo IS installed;
+    skip-if-absent in this sandbox). Everything Spark-side stays put."""
     import os
     import subprocess
     import sys
 
-    argv = [sys.executable, "-c", (
-        "from data_ingestion_auto_spark.sources.gribsim import "
-        "_subprocess_decode_main; _subprocess_decode_main()"
-    )]
+    if argv is None:
+        argv = [sys.executable, "-c", (
+            "from data_ingestion_auto_spark.sources.gribsim import "
+            "_subprocess_decode_main; _subprocess_decode_main()"
+        )]
     # the child process must be able to import this package; each task
     # resolves its OWN package root (on a cluster that's wherever
     # --py-files unpacked it on that executor) and ships it via PYTHONPATH

@@ -195,3 +195,35 @@ def test_streaming_foreach_batch_equals_batch_control(spark, tmp_path):
             con.close()
 
     assert read(db_s) == read(db_c) and len(read(db_s)) == 5
+
+
+def test_dialect_sql_generation_duckdb_and_postgres():
+    """The publish SQL seam (round-12 verdict #5): both dialects generate
+    the same txn shape — delete staged dates, bulk-load, retention — with
+    engine-appropriate load paths (DuckDB read_parquet vs Postgres COPY
+    FROM STDIN) and paramstyles. ``upsert_staged`` executes the DuckDB
+    text (pinned by the roundtrip tests above); this pins the Postgres
+    twin so the documented live-PostGIS path cannot rot silently."""
+    dd, pg = S.DuckDbDialect, S.PostgresDialect
+    assert dd.delete_dates_sql("ingest", "alerts") == (
+        "DELETE FROM ingest.alerts WHERE date IN "
+        "(SELECT DISTINCT date FROM read_parquet(?))"
+    )
+    assert dd.insert_sql("ingest", "alerts", "date, geom, alert_level") == (
+        "INSERT INTO ingest.alerts (date, geom, alert_level) "
+        "SELECT date, geom, alert_level FROM read_parquet(?)"
+    )
+    assert dd.retention_sql("ingest", "alerts") == (
+        "DELETE FROM ingest.alerts WHERE date < ?"
+    )
+    assert pg.delete_dates_sql("ingest", "alerts") == (
+        "DELETE FROM ingest.alerts WHERE date = ANY(%(dates)s)"
+    )
+    assert pg.insert_sql("ingest", "alerts", "date, geom, alert_level") == (
+        "COPY ingest.alerts (date, geom, alert_level) "
+        "FROM STDIN WITH (FORMAT csv, HEADER false)"
+    )
+    assert pg.retention_sql("ingest", "alerts") == (
+        "DELETE FROM ingest.alerts WHERE date < %(latest)s"
+    )
+    assert (dd.paramstyle, pg.paramstyle) == ("qmark", "pyformat")
