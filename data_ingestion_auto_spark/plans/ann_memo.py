@@ -32,8 +32,16 @@ from .helpers import T
 _CENT_SCHEMA = "cluster_id int, cvec array<bigint>"
 
 
-def _emb_memo(spark, sf_dir, name, build):
-    return _corpus_memo(spark, sf_dir, name, build, src_file="embeddings.parquet")
+def _emb_memo(spark, sf_dir, name, build, wide: bool = False):
+    """``wide=True`` for the corpus-sized assignment/code tables: they
+    feed EXPANSION joins (probe lists × queries, codes × query distance
+    tables), so the memo must come back with full read parallelism —
+    see `_corpus_memo(partitions=...)`. Centroid/codebook tables stay
+    single-file (bounded model state, broadcast by consumers)."""
+    parts = spark.sparkContext.defaultParallelism if wide else None
+    return _corpus_memo(
+        spark, sf_dir, name, build, src_file="embeddings.parquet", partitions=parts
+    )
 
 
 # --- corpus frames the models are trained on -------------------------------
@@ -69,6 +77,7 @@ def kml_model(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2):
         sf_dir,
         f"kml_{tag}_assign",
         lambda: _train()["a"].select("vec_id", "qvec", "cluster_id"),
+        wide=True,
     )
     cents = _emb_memo(
         spark,
@@ -103,6 +112,7 @@ def kmg_model(spark, sf_dir, variant: str, sub_builder, k_per_group: int, iters:
         sf_dir,
         f"kmg_{tag}_codes",
         lambda: _train()["a"].select("rid", "group_id", "fine_id"),
+        wide=True,
     )
     cents = _emb_memo(spark, sf_dir, f"kmg_{tag}_cents", lambda: _train()["c"])
     return codes, cents
@@ -121,4 +131,5 @@ def kmh_assign(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2)
         sf_dir,
         f"kmh_{variant}_k{k}i{iters}_assign",
         lambda: kmeans_hierarchical(emb_builder(), k=k, iters=iters),
+        wide=True,
     )

@@ -37,15 +37,26 @@ sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)
 # stale memo can never serve a superseded algorithm's output
 _MEMO_VERSION = "v1"
 
-# (memo name, build seconds) for every memo BUILT in this process —
-# bench.py reads it to surface cold-build cost (round-12: the committed
-# bench medians measure warm-memo reads, which is the right production
-# accounting, but a build-time regression must not be invisible to the
-# ratchet)
+# (memo name, build seconds) for every OUTERMOST memo built in this
+# process — bench.py/tools/soak.py read it to surface cold-build cost
+# (round-12: the committed bench medians measure warm-memo reads, which
+# is the right production accounting, but a build-time regression must
+# not be invisible to the ratchet). Builds NEST (components → pairs →
+# sig), so only the outermost frame logs — its wall time already
+# contains the chain, and summing nested frames would double-count
+# (first soak run showed memo_build_sec > total wall time).
 MEMO_BUILD_LOG: list[tuple[str, float]] = []
+_MEMO_DEPTH = [0]
 
 
-def _corpus_memo(spark, sf_dir: str, name: str, build, src_file: str = "documents.parquet"):
+def _corpus_memo(
+    spark,
+    sf_dir: str,
+    name: str,
+    build,
+    src_file: str = "documents.parquet",
+    partitions: int | None = None,
+):
     """Shared machinery for the per-corpus-version memo tables: key =
     sf-dir basename + source-table file fingerprint (count + per-file
     path/size/mtime_ns hash, so a changed corpus rebuilds) +
@@ -57,7 +68,15 @@ def _corpus_memo(spark, sf_dir: str, name: str, build, src_file: str = "document
     ``build()`` returns the DataFrame to materialize on first call.
     ``src_file`` picks the fingerprinted source table — documents for
     the text-dedup memos, embeddings for the ANN/semdedup model tables
-    (plans/ann_memo.py)."""
+    (plans/ann_memo.py).
+    ``partitions`` forces the memo's FILE COUNT on write (round-12 soak
+    catch): AQE coalesces a small build to 1-3 shuffle partitions → 1-3
+    parquet files → 1-3 read partitions, and a consumer whose join
+    EXPANDS the memoized rows (the ANN probe joins multiply each list
+    row by its probing queries) then runs the whole expansion in 1-3
+    tasks — the zipf-10× soak sat a single 50%-CPU task for >10 min.
+    Writing defaultParallelism files restores read-side parallelism for
+    every consumer at one build-time shuffle; content is unchanged."""
     import hashlib
     import os
     import shutil
@@ -92,8 +111,16 @@ def _corpus_memo(spark, sf_dir: str, name: str, build, src_file: str = "document
 
         t0 = _time.perf_counter()
         tmp = f"{base}.building-{uuid.uuid4().hex}"
-        build().write.mode("overwrite").parquet(tmp)
-        MEMO_BUILD_LOG.append((name, _time.perf_counter() - t0))
+        _MEMO_DEPTH[0] += 1
+        try:
+            df = build()
+            if partitions:
+                df = df.repartition(partitions)
+            df.write.mode("overwrite").parquet(tmp)
+        finally:
+            _MEMO_DEPTH[0] -= 1
+        if _MEMO_DEPTH[0] == 0:
+            MEMO_BUILD_LOG.append((name, _time.perf_counter() - t0))
         try:
             os.rename(tmp, base)
         except OSError:
