@@ -142,6 +142,13 @@ def incremental_ann_with_k(spark, sf_dir, k: int):
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _NPROBE)
         .select("query_id", "qq", "cluster_id")
+        # EXPLICIT repartition (AQE never coalesces a user-fixed count,
+        # round-12 soak catch): when the stored lists are small enough to
+        # broadcast, THIS becomes the streamed side of the candidate
+        # join, and AQE's coalesce of the window shuffle (a few thousand
+        # tiny rows → 1 partition) would run the entire probed-list
+        # expansion — 25M cosine rows at zipf-10× — in a single task.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     dot = "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     nrm = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"

@@ -69,14 +69,19 @@ def _corpus_memo(
     ``src_file`` picks the fingerprinted source table — documents for
     the text-dedup memos, embeddings for the ANN/semdedup model tables
     (plans/ann_memo.py).
-    ``partitions`` forces the memo's FILE COUNT on write (round-12 soak
-    catch): AQE coalesces a small build to 1-3 shuffle partitions → 1-3
-    parquet files → 1-3 read partitions, and a consumer whose join
-    EXPANDS the memoized rows (the ANN probe joins multiply each list
-    row by its probing queries) then runs the whole expansion in 1-3
-    tasks — the zipf-10× soak sat a single 50%-CPU task for >10 min.
-    Writing defaultParallelism files restores read-side parallelism for
-    every consumer at one build-time shuffle; content is unchanged."""
+    ``partitions`` guarantees the memo comes back with at least that
+    READ parallelism (round-12 soak catch): a small memo collapses to a
+    handful of read partitions — AQE coalesces the build to 1-3 files,
+    and even a many-file layout is PACKED back into one split by
+    maxPartitionBytes — and a consumer whose join EXPANDS the memoized
+    rows (the ANN probe joins multiply each list row by its probing
+    queries) then runs the whole expansion in 1-3 tasks: the zipf-10×
+    soak sat a single 100%-one-core task for >10 min. The build writes
+    ``partitions`` files, and the read applies an EXPLICIT repartition
+    (which AQE never coalesces) only when the scan came back narrower —
+    a no-op at real scale where the memo spans ≥ that many splits, a
+    trivial shuffle of small data exactly when small data is the
+    problem; content is unchanged either way."""
     import hashlib
     import os
     import shutil
@@ -131,7 +136,10 @@ def _corpus_memo(
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(base, "_SUCCESS")):
                 raise
-    return spark.read.parquet(base)
+    out = spark.read.parquet(base)
+    if partitions and out.rdd.getNumPartitions() < partitions:
+        out = out.repartition(partitions)
+    return out
 
 
 def corpus_minhash_sig(spark, sf_dir: str):
