@@ -132,6 +132,32 @@ def test_ann_model_memo_matches_live_kmeans(spark, tmp_path, monkeypatch):
     assert len(trains) == n_trains
 
 
+def test_wide_memo_read_parallelism_guaranteed(spark, tmp_path, monkeypatch):
+    """Round-12 soak catch, pinned: a memo built with ``partitions=N``
+    must come BACK with ≥N partitions even though the files are tiny —
+    AQE coalesces the build and maxPartitionBytes PACKS small files into
+    one split, and a consumer whose join expands the memoized rows then
+    runs the whole expansion in one task (incremental_ann_assign sat
+    >12 min single-task at zipf-10× before the fix)."""
+    monkeypatch.setenv("SPARK_GRAFT_CC_MEMO_DIR", str(tmp_path / "memo5"))
+    os.makedirs(str(tmp_path / "memo5"))
+    sf = _mini_sf(spark, tmp_path, "sfE", [(i, "x" * 10) for i in range(100)])
+    n = spark.sparkContext.defaultParallelism
+
+    def build():
+        return spark.read.parquet(f"{sf}/documents.parquet")
+
+    got = _corpus_memo(spark, sf, "t5", build, partitions=n)
+    assert got.rdd.getNumPartitions() >= n
+    assert got.count() == 100
+    # warm read honors the same guarantee
+    again = _corpus_memo(spark, sf, "t5", build, partitions=n)
+    assert again.rdd.getNumPartitions() >= n
+    # and a no-partitions memo keeps its natural (packed) layout
+    plain = _corpus_memo(spark, sf, "t5b", build)
+    assert plain.count() == 100
+
+
 def test_publication_is_rename_atomic(spark, tmp_path, monkeypatch):
     """The published dir appears only complete (Spark's _SUCCESS inside);
     no shared '.building' path exists that a second builder could write
