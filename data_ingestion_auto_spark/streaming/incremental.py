@@ -176,13 +176,17 @@ def start_foreach_batch_upsert(
         overwrite_partitions(batch_df, out_path, [partition_col])
         if state_store is not None:
             raw = batch_df.agg(F.max(partition_col)).collect()[0][0]
-            mx = str(raw)
             prev = state_store.get(dataset_id, "last_update")
             if prev is not None and (
                 raw is None or _parse_watermark(prev, raw) > raw
             ):
                 mx = prev  # late/null batch: keep the high-water mark
-            state_store.commit(dataset_id, {"last_update": mx, "epoch": str(epoch_id)})
+            else:
+                mx = str(raw) if raw is not None else None
+            state = {"epoch": str(epoch_id)}
+            if mx is not None:  # an all-NULL first batch must not commit
+                state["last_update"] = mx  # the literal string 'None'
+            state_store.commit(dataset_id, state)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -157,6 +157,30 @@ def test_foreach_batch_upsert_integer_watermark_advances(spark, tmp_path):
     assert state.get("ev", "last_update") == "10"
 
 
+def test_foreach_batch_upsert_all_null_keys_commit_no_watermark(spark, tmp_path):
+    """An all-NULL partition-key first batch must not commit the literal
+    string 'None' as the watermark (review r12: a later real batch would
+    fail to parse it); the epoch still commits, last_update stays absent."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.state import StateStore
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    _write_events(spark, src, day=1)
+    state = StateStore(str(tmp_path / "state.json"))
+
+    stream = file_stream(spark, src).withColumn(
+        "day_key", F.lit(None).cast("string")
+    )
+    q = start_foreach_batch_upsert(
+        stream, sink, "day_key", str(tmp_path / "ckpt"), state_store=state, dataset_id="ev"
+    )
+    q.awaitTermination(120)
+    assert state.get("ev", "last_update") is None
+    assert state.get("ev", "epoch") is not None
+
+
 def test_stream_static_anomaly_join(spark, tmp_path):
     """W7 stream-static join: micro-batches score against the
     materialized normals table; a normals refresh between runs is picked
