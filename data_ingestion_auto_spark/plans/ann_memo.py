@@ -20,6 +20,12 @@ Each (assignments, centroids) pair shares ONE training run on a cold memo
 via the `shared` dict — the second memo's build reuses the first's model
 instead of re-running Lloyd iterations; on a crash between the two
 publishes the survivor retrains, which is rare and correct.
+
+CONTRACT: the (variant, k, iters) triple IS the model's identity — the
+``emb_builder``/``sub_builder`` passed for a given variant must be a pure
+function of the fingerprinted embeddings table (the key cannot see the
+builder's code). Registering a new training frame means a new variant
+name, exactly like `_MEMO_VERSION` for algorithm changes.
 """
 
 from __future__ import annotations
