@@ -226,48 +226,66 @@ def test_bench_calibration_probes_plan_pinned(spark, sf_dir, registry):
 def test_suffix_repeat_spans_pruned_no_cartesian_no_global_window(
     spark, sf_dir, registry
 ):
-    """The suffix-array variant reads only (doc_id, text); every join is
-    hash/broadcast (a cartesian over suffix rows would be corpus²); and
-    — the construction's whole point — the suffix-sort windows run
-    partitioned on spark_partition_id, so the ONLY single-partition
-    windows in the plan are the ≤ _P_SA-row boundary-seam rankings,
-    never a data-sized one. The data-sized windows are the per-pid
-    rank/lag/lead (pre-checkpoint) and the per-doc island merges."""
+    """Round-12 memo split: the REGISTERED query reads the memoized
+    repeat-span table (no suffix explode, no corpus re-sort — only the
+    per-doc island windows remain), while the direct-sort CONSTRUCTION
+    (`_reps_direct`) keeps its original pins — scans pruned to
+    (doc_id, text), every join hash/broadcast, suffix-sort windows
+    partitioned on spark_partition_id (the ≤ _P_SA-row boundary-seam
+    rankings are the only single-partition windows), checkpointed
+    adjacency (ExistingRDD)."""
+    from data_ingestion_auto_spark.plans.substring_sa import _reps_direct
+
     df = registry["suffix_repeat_spans"].spark(spark, sf_dir)
     p = _plan(spark, df)
+    assert "spark_graft_sareps_direct" in p  # reads the memoized artifact
+    # the query's only live documents scan (island accounting's n_tokens)
+    # stays pruned to (doc_id, text)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    # final plan consumes the checkpointed suffix adjacency, not a re-run
-    # of the suffix explode
-    assert "ExistingRDD" in p
-    # no single-partition window over data-sized input in the final plan:
-    # every Window node here partitions by doc_id (island merge)
     simple = _plan(spark, df, "simple")
     for line in simple.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "doc_id" in line, line
 
+    cp = _plan(spark, _reps_direct(spark, sf_dir))
+    assert "CartesianProduct" not in cp
+    assert "BroadcastNestedLoopJoin" not in cp
+    # construction consumes the checkpointed suffix adjacency (the pruned
+    # documents scan runs inside the pre-checkpoint stage), not a re-run
+    # of the suffix explode
+    assert "ExistingRDD" in cp
+
 
 def test_suffix_unbounded_pruned_no_cartesian_no_global_window(
     spark, sf_dir, registry
 ):
-    """The prefix-doubling (unbounded-document) suffix-array variant:
-    scans pruned to (doc_id, text); every join hash/broadcast (the LCP
-    walk and SA adjacency are integer equi-joins — a cartesian would be
-    corpus²); the rank ladders feed in as checkpointed frames
-    (ExistingRDD), so the only windows left in the final plan are the
-    per-_pid parallel rankings / ≤ np-row broadcast-offset scans of
-    `_dense_rank` and the per-doc island merges — NO data-sized global
-    window anywhere (the whole point of replacing the direct sort)."""
+    """Round-12 memo split, prefix-doubling variant: the registered
+    query reads its OWN memoized span table (each construction still
+    runs once per corpus at build time); the construction (`_reps_pd`)
+    keeps the original pins — scans pruned to (doc_id, text), every
+    join hash/broadcast (the LCP walk and SA adjacency are integer
+    equi-joins), rank ladders as checkpointed frames, and NO data-sized
+    global window anywhere (the whole point of replacing the direct
+    sort)."""
+    from data_ingestion_auto_spark.plans.substring_sa import _reps_pd
+
     df = registry["suffix_repeat_spans_unbounded"].spark(spark, sf_dir)
     p = _plan(spark, df)
-    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "spark_graft_sareps_pd" in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "ExistingRDD" in p
     simple = _plan(spark, df, "simple")
     for line in simple.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "doc_id" in line, line
+
+    cp = _plan(spark, _reps_pd(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in cp
+    assert "CartesianProduct" not in cp
+    assert "BroadcastNestedLoopJoin" not in cp
+    assert "ExistingRDD" in cp
+    csimple = _plan(spark, _reps_pd(spark, sf_dir), "simple")
+    for line in csimple.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "_pid" in line or "doc_id" in line, line
 
