@@ -277,7 +277,7 @@ def suffix_repeat_spans(spark, sf_dir):
     reps = _corpus_memo(
         spark,
         sf_dir,
-        "sareps_direct",
+        f"sareps_direct_t{_T}",
         lambda: _reps_direct(spark, sf_dir),
         partitions=spark.sparkContext.defaultParallelism,
     )
@@ -371,7 +371,7 @@ def suffix_repeat_spans_unbounded(spark, sf_dir):
     reps = _corpus_memo(
         spark,
         sf_dir,
-        "sareps_pd",
+        f"sareps_pd_t{_T}",
         lambda: _reps_pd(spark, sf_dir),
         partitions=spark.sparkContext.defaultParallelism,
     )
