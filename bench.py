@@ -135,21 +135,27 @@ def _memo_root() -> str:
     return os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
 
 
-def _clear_memos() -> int:
-    """--cold: drop every published memo so the run pays (and records)
-    the one-time per-corpus build cost — the ratchet's view of a memo
-    build-time regression (round-12). Only `spark_graft_*` entries under
-    the memo root are touched."""
+def _clear_memos(sf_dir: str) -> int:
+    """--cold: drop the published memos FOR THIS CORPUS so the run pays
+    (and records) the one-time per-corpus build cost — the ratchet's view
+    of a memo build-time regression (round-12). Scoped to entries whose
+    name embeds this sf_dir's corpus key (ADVICE r12): the memo root is
+    a SHARED filesystem on the documented deployment, and bulk-deleting
+    every `spark_graft_*` entry would yank other corpora's memos out from
+    under concurrently-running drivers mid-read."""
     import shutil
 
     n = 0
     root = _memo_root()
+    corpus = os.path.basename(sf_dir.rstrip("/"))
     try:
         entries = os.listdir(root)
     except OSError:
         return 0
     for e in entries:
-        if e.startswith("spark_graft_"):
+        if e.startswith("spark_graft_") and (
+            f"_{corpus}_" in e or e.endswith(f"_{corpus}")
+        ):
             shutil.rmtree(os.path.join(root, e), ignore_errors=True)
             n += 1
     return n
@@ -163,7 +169,7 @@ def main() -> None:
 
     cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     if cold:
-        _clear_memos()
+        _clear_memos(sf_dir)
 
     spark = get_session("bench")
 
@@ -285,8 +291,13 @@ def main() -> None:
         # one per-corpus memo (its timings include one-time build cost —
         # the production "at ingest" cost); a warm run joins materialized
         # artifacts only. memo_builds carries the per-memo build seconds
-        # so a build-time regression is ratchet-visible.
-        memo_builds = {n: round(t, 3) for n, t in MEMO_BUILD_LOG}
+        # so a build-time regression is ratchet-visible. Summed per name
+        # (ADVICE r12): a memo rebuilt after a mid-run clear, or built
+        # once per corpus under the same name, must report BOTH builds —
+        # a last-write-wins dict silently under-reported memo_build_sec.
+        memo_builds: dict = {}
+        for n, t in MEMO_BUILD_LOG:
+            memo_builds[n] = round(memo_builds.get(n, 0.0) + t, 3)
         detail = {
             "sf": sf_val,
             "repeats": repeats,

@@ -122,6 +122,12 @@ def _corpus_memo(
             if partitions:
                 df = df.repartition(partitions)
             df.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            # a build that fails (or is watchdog-cancelled) mid-write must
+            # not leak its corpus-sized private dir into the shared memo
+            # root (ADVICE r12) — only the rename-race path cleaned up
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         finally:
             _MEMO_DEPTH[0] -= 1
         if _MEMO_DEPTH[0] == 0:

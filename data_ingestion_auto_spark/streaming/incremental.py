@@ -52,21 +52,39 @@ def _parse_watermark(prev: str, sample):
     """Parse a stored watermark string back into the partition value's
     native type so monotonicity compares in-domain, not lexicographically
     (review r12: '9' > '10' as strings). For string partitions the stored
-    form IS the domain. A stored value that no longer parses in the
-    column's current type is corrupt state — raise, don't guess."""
-    import datetime as _dt
+    form IS the domain.
 
-    if isinstance(sample, bool) or sample is None:
-        return prev
-    if isinstance(sample, int):
-        return int(prev)
-    if isinstance(sample, float):
-        return float(prev)
-    if isinstance(sample, _dt.datetime):
-        return _dt.datetime.fromisoformat(prev)
-    if isinstance(sample, _dt.date):
-        return _dt.date.fromisoformat(prev)
-    return prev
+    An UNUSABLE stored value returns None, meaning "treat as absent —
+    re-derive from the current batch" (ADVICE r12): raising here would
+    permanently fail every subsequent foreachBatch call, turning one
+    corrupt state row (a legacy literal 'None', a partition column whose
+    type changed, a tz-aware batch against naive stored state) into a
+    dead stream. Types beyond int/float/date/datetime (e.g. Decimal)
+    parse via the sample's own constructor."""
+    import datetime as _dt
+    import logging
+
+    if sample is None:
+        return None
+    try:
+        if isinstance(sample, bool) or isinstance(sample, str):
+            parsed = prev
+        elif isinstance(sample, _dt.datetime):
+            parsed = _dt.datetime.fromisoformat(prev)
+        elif isinstance(sample, _dt.date):
+            parsed = _dt.date.fromisoformat(prev)
+        else:
+            parsed = type(sample)(prev)  # int, float, Decimal, ...
+        parsed > sample  # tz-aware vs naive datetimes raise on compare
+    except (ValueError, TypeError, ArithmeticError):
+        logging.getLogger(__name__).warning(
+            "stored watermark %r unusable against batch type %s; "
+            "re-deriving from the current batch",
+            prev,
+            type(sample).__name__,
+        )
+        return None
+    return parsed
 
 
 def file_stream(spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
@@ -177,11 +195,14 @@ def start_foreach_batch_upsert(
         if state_store is not None:
             raw = batch_df.agg(F.max(partition_col)).collect()[0][0]
             prev = state_store.get(dataset_id, "last_update")
-            if prev is not None and (
-                raw is None or _parse_watermark(prev, raw) > raw
-            ):
+            parsed = None if raw is None else (
+                _parse_watermark(prev, raw) if prev is not None else None
+            )
+            if prev is not None and (raw is None or (parsed is not None and parsed > raw)):
                 mx = prev  # late/null batch: keep the high-water mark
             else:
+                # no stored mark, or stored state unusable (parsed None
+                # with a live batch — re-derive rather than dead-stream)
                 mx = str(raw) if raw is not None else None
             state = {"epoch": str(epoch_id)}
             if mx is not None:  # an all-NULL first batch must not commit

@@ -181,6 +181,30 @@ def test_foreach_batch_upsert_all_null_keys_commit_no_watermark(spark, tmp_path)
     assert state.get("ev", "epoch") is not None
 
 
+def test_foreach_batch_upsert_legacy_corrupt_watermark_recovers(spark, tmp_path):
+    """ADVICE r12: legacy state written by the pre-r12 code (the literal
+    string 'None') must not crash int() on every batch and permanently
+    fail the stream — the unusable stored mark is treated as absent and
+    the watermark re-derives from the current batch."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.state import StateStore
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    _write_events(spark, src, day=1)
+    state = StateStore(str(tmp_path / "state.json"))
+    state.commit("ev", {"last_update": "None"})  # legacy corrupt state
+
+    stream = file_stream(spark, src).withColumn("day_num", F.lit(10))
+    q = start_foreach_batch_upsert(
+        stream, sink, "day_num", str(tmp_path / "ckpt"), state_store=state, dataset_id="ev"
+    )
+    q.awaitTermination(120)
+    assert state.get("ev", "last_update") == "10"
+    assert spark.read.parquet(sink).count() == 20
+
+
 def test_stream_static_anomaly_join(spark, tmp_path):
     """W7 stream-static join: micro-batches score against the
     materialized normals table; a normals refresh between runs is picked

@@ -229,16 +229,25 @@ def _cc_rounds(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--cold"]
+    target = args[0] if args else os.path.join(REPO, ".scratch", "sf1")
     if "--cold" in sys.argv:
-        # drop every published memo so BOTH corpora pay (and report)
-        # their one-time build this run — the honest cold measurement
+        # drop the published memos for BOTH corpora this soak touches so
+        # both pay (and report) their one-time build this run — the
+        # honest cold measurement. Scoped by corpus key (ADVICE r12):
+        # the memo root is shared; unrelated corpora's memos must
+        # survive a soak's cold-clear.
         import tempfile
 
         root = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
+        corpora = {
+            os.path.basename(p.rstrip("/"))
+            for p in (target, os.environ.get("SPARK_SOAK_BASE", "/root/testdata/sf0.1"))
+        }
         for e in os.listdir(root) if os.path.isdir(root) else []:
-            if e.startswith("spark_graft_"):
+            if e.startswith("spark_graft_") and any(
+                f"_{c}_" in e or e.endswith(f"_{c}") for c in corpora
+            ):
                 shutil.rmtree(os.path.join(root, e), ignore_errors=True)
-    target = args[0] if args else os.path.join(REPO, ".scratch", "sf1")
     queries = args[1:] or LADDER
     from data_ingestion_auto_spark.session import get_session
 
