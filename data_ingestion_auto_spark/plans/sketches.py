@@ -378,42 +378,26 @@ def hashed_sample_quantiles(spark, sf_dir):
     and samples from different partitions union without bias — the
     mergeability that engine-internal quantile sketches achieve with
     far more machinery. The exact twin costs a full per-group sort and
-    exists here only as the oracle-side grading reference."""
-    li = T(spark, sf_dir, "lineitem")
-    hexpr = _HEX8.format(
-        v="concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))"
+    exists here only as the oracle-side grading reference.
+
+    Round-13 (verdict #2): both frames now come from the per-corpus
+    memo tier (plans/sample_memo.py) — the estimate side filters the
+    stored h % 8 sample down to h % 16 (16 | h ⇒ 8 | h: the identical
+    row set) and the exact grading twin is the once-per-corpus
+    `liexq` table, so the per-query plan never scans lineitem. Values
+    are bit-identical to the live derivation (deterministic md5
+    predicate; doubles roundtrip parquet exactly) — oracle unchanged."""
+    from .sample_memo import (
+        _rank_quantiles,
+        lineitem_exact_group_quantiles,
+        lineitem_hash_sample,
     )
-    samp = li.select(
-        "l_returnflag", "l_extendedprice", F.expr(hexpr).alias("h")
-    ).filter(F.expr("h % 16 = 0"))
 
-    def rank_quantiles(df, p50, p90, n_name):
-        w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        wc = W.partitionBy("l_returnflag")
-        r = df.select(
-            "l_returnflag",
-            "l_extendedprice",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wc).alias("n"),
-        )
-        return r.groupBy("l_returnflag").agg(
-            F.max(
-                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("l_extendedprice"))
-            ).alias(p50),
-            F.max(
-                F.when(
-                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("l_extendedprice")
-                )
-            ).alias(p90),
-            F.max("n").cast("bigint").alias(n_name),
-        )
-
-    est = rank_quantiles(
+    samp = lineitem_hash_sample(spark, sf_dir).filter(F.expr("h % 16 = 0"))
+    est = _rank_quantiles(
         samp.select("l_returnflag", "l_extendedprice"), "est_p50", "est_p90", "sample_n"
     )
-    exact = rank_quantiles(
-        li.select("l_returnflag", "l_extendedprice"), "exact_p50", "exact_p90", "exact_n"
-    )
+    exact = F.broadcast(lineitem_exact_group_quantiles(spark, sf_dir))
     return (
         est.join(exact, "l_returnflag")
         .select(

@@ -827,3 +827,49 @@ def test_memoized_family_reads_parquet_not_recompute(spark, sf_dir, registry):
     for line in p.splitlines():
         if "Exchange" in line:
             assert "text" not in line
+
+
+def test_sampling_tier_memoized_plans(spark, sf_dir, registry):
+    """Round-13 memo contract for the sampling/planning tier
+    (plans/sample_memo.py): per-query plans read the materialized
+    per-corpus frames, never re-derive the md5 sample or the rank
+    table.
+
+    - hashed_sample_quantiles: estimate side reads the `lisamp` memo,
+      the exact grading twin reads the `liexq` memo — NO lineitem scan
+      anywhere in the per-query plan, and no full-corpus sort.
+    - partition_plan_histogram: the boundary table comes from the
+      `liedges` memo (collected at plan-build time, so the returned
+      plan shows only the literal binary-search CASE); the one live
+      scan is the full-corpus skew audit — no Window, no md5, exactly
+      one lineitem scan, pruned to the two needed columns.
+    - the extracted builders themselves read their memo parquet (not
+      lineitem) once published.
+    """
+    from data_ingestion_auto_spark.plans.sample_memo import (
+        lineitem_hash_sample,
+        lineitem_plan_edges,
+        lineitem_sample_ranked,
+    )
+
+    p = _plan(spark, registry["hashed_sample_quantiles"].spark(spark, sf_dir))
+    assert "spark_graft_lisamp_" in p  # estimate side: memoized sample
+    assert "spark_graft_liexq_" in p  # grading twin: memoized exact table
+    assert "lineitem.parquet" not in p  # the corpus never rescans per query
+    assert "CartesianProduct" not in p
+
+    p = _plan(spark, registry["partition_plan_histogram"].spark(spark, sf_dir))
+    assert p.count("lineitem.parquet") >= 1  # the live skew audit
+    assert "Window" not in p  # rank machinery stays behind the memo
+    assert "md5" not in p  # sampling stays behind the memo
+    assert "ReadSchema: struct<l_orderkey:bigint>" in p  # fully pruned
+
+    # builders are memo reads once published
+    for builder, tag in (
+        (lambda: lineitem_hash_sample(spark, sf_dir), "spark_graft_lisamp_"),
+        (lambda: lineitem_sample_ranked(spark, sf_dir), "spark_graft_lisampr_"),
+        (lambda: lineitem_plan_edges(spark, sf_dir, 32), "spark_graft_liedges32_"),
+    ):
+        bp = _plan(spark, builder())
+        assert tag in bp
+        assert "lineitem.parquet" not in bp
