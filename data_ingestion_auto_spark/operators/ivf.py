@@ -449,15 +449,68 @@ def kmeans_hierarchical(
     scale (k ∝ n) that is the difference between O(n^1.5) and O(n²)
     total work. Returns (id, cluster_id) with cluster_id = coarse·k2 +
     fine (stable composite id)."""
+    return kmeans_hierarchical_model(emb, k, iters, id_col, vec_col)[0]
+
+
+def hier_split(k: int) -> tuple[int, int]:
+    """The (k1, k2) coarse/fine split for a hierarchical budget of k
+    composite clusters — shared by training and the frozen-model
+    assignment of appended rows (the composite id is group·k2 + fine,
+    so k2 is part of the model's identity)."""
     import math
 
     k1 = max(2, int(math.isqrt(k)))
     k2 = max(2, math.ceil(k / k1))
-    coarse, _ = kmeans_lite(emb, k=k1, iters=iters, id_col=id_col, vec_col=vec_col)
+    return k1, k2
+
+
+def kmeans_hierarchical_model(
+    emb: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list, DataFrame]:
+    """`kmeans_hierarchical` exposing the trained MODEL alongside the
+    assignments: (assign_df, coarse centroid rows, fine centroids
+    DataFrame). The memo tier (plans/ann_memo.py) persists all three so
+    a corpus APPEND can route new rows through the frozen model —
+    coarse `_assign` then grouped `_assign_grouped` — instead of
+    retraining (round-13; the same contract as `append_to_ivf_index`)."""
+    k1, k2 = hier_split(k)
+    coarse, coarse_cents = kmeans_lite(
+        emb, k=k1, iters=iters, id_col=id_col, vec_col=vec_col
+    )
     grouped = ckpt(coarse.select(
         id_col, F.col("cluster_id").alias("group_id"), "qvec"
     ))
-    fine, _ = kmeans_grouped(grouped, k_per_group=k2, iters=iters, id_col=id_col)
+    fine, fine_cents = kmeans_grouped(grouped, k_per_group=k2, iters=iters, id_col=id_col)
+    assign = fine.select(
+        id_col,
+        "qvec",
+        (F.col("group_id").cast("bigint") * k2 + F.col("fine_id")).alias("cluster_id"),
+    )
+    return assign, coarse_cents, fine_cents
+
+
+def assign_hierarchical_frozen(
+    vectors: DataFrame,
+    coarse_cents: DataFrame,
+    fine_cents: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign (id, qvec) rows under a FROZEN two-level model: broadcast
+    coarse `_assign` routes each vector to its group, grouped
+    `_assign_grouped` picks the fine cluster within that group, and the
+    composite id uses the model's own k2 — bit-compatible with
+    `kmeans_hierarchical_model`'s final assignment pass over the same
+    rows."""
+    _, k2 = hier_split(k)
+    routed = _assign(vectors, coarse_cents, id_col).select(
+        id_col, "qvec", F.col("cluster_id").alias("group_id")
+    )
+    fine = _assign_grouped(routed, fine_cents, id_col)
     return fine.select(
         id_col,
         "qvec",

@@ -64,33 +64,83 @@ def emb_full(spark, sf_dir):
 # --- kmeans_lite (flat, driver-held centroids) ------------------------------
 
 
+def _frozen_prior(sf_dir, *memo_names):
+    """The frozen-model append contract (round-13, verdict #4): when the
+    embeddings corpus has been APPENDED to (old files untouched, new
+    files added — detected via the per-memo _manifest.json), the prior
+    corpus version's model tables are reusable: the quantizer stays
+    FROZEN and only the new rows get assigned. Returns the prior memo
+    paths for ALL of ``memo_names`` (they must come from the same prior
+    corpus version — a crash between publishes leaves a partial set, in
+    which case retrain), else None."""
+    import os
+
+    from .dedup import find_appendable_prior
+
+    paths = [
+        find_appendable_prior(sf_dir, n, src_file="embeddings.parquet")
+        for n in memo_names
+    ]
+    if any(p is None for p in paths):
+        return None
+    # all priors must describe the SAME prior corpus version: the dir
+    # name ends in the fingerprint (count_hash16), which must match
+    # across the set
+    fps = {"_".join(os.path.basename(p).rsplit("_", 2)[1:]) for p in paths}
+    if len(fps) != 1:
+        return None
+    return paths
+
+
 def kml_model(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2):
     """Memoized ``kmeans_lite`` model: returns (assignments (vec_id, qvec,
     cluster_id), centroids (cluster_id, cvec)) — both parquet memo reads
-    after the first call per corpus version."""
-    from ..operators.ivf import kmeans_lite
+    after the first call per corpus version.
+
+    Append path (round-13): if the corpus is an APPEND of a prior
+    version with published model memos, the centroids are FROZEN (copied
+    from the prior memo) and only the new rows — those absent from the
+    prior assignment table — are assigned via broadcast `_assign`. Old
+    rows keep their exact prior assignments; a full retrain happens only
+    on in-place regeneration or an algorithm/version change (SCALE.md
+    round-13). Same contract as `append_to_ivf_index`
+    (operators/ivf.py:277)."""
+    from ..operators.ivf import _assign, kmeans_lite, quantize
 
     shared = {}
+    tag = f"{variant}_k{k}i{iters}"
+    names = (f"kml_{tag}_assign", f"kml_{tag}_cents")
 
     def _train():
         if "a" not in shared:
             shared["a"], shared["c"] = kmeans_lite(emb_builder(), k=k, iters=iters)
         return shared
 
-    tag = f"{variant}_k{k}i{iters}"
-    assigned = _emb_memo(
-        spark,
-        sf_dir,
-        f"kml_{tag}_assign",
-        lambda: _train()["a"].select("vec_id", "qvec", "cluster_id"),
-        wide=True,
-    )
-    cents = _emb_memo(
-        spark,
-        sf_dir,
-        f"kml_{tag}_cents",
-        lambda: spark.createDataFrame(_train()["c"], _CENT_SCHEMA).coalesce(1),
-    )
+    def _prior():
+        if "p" not in shared:
+            shared["p"] = _frozen_prior(sf_dir, *names)
+        return shared["p"]
+
+    def build_assign():
+        pr = _prior()
+        if pr:
+            old = spark.read.parquet(pr[0]).select("vec_id", "qvec", "cluster_id")
+            cents = spark.read.parquet(pr[1])
+            fresh = quantize(emb_builder())
+            new = fresh.join(old.select("vec_id"), "vec_id", "left_anti")
+            return old.unionByName(
+                _assign(new, cents, "vec_id").select("vec_id", "qvec", "cluster_id")
+            )
+        return _train()["a"].select("vec_id", "qvec", "cluster_id")
+
+    def build_cents():
+        pr = _prior()
+        if pr:
+            return spark.read.parquet(pr[1]).coalesce(1)
+        return spark.createDataFrame(_train()["c"], _CENT_SCHEMA).coalesce(1)
+
+    assigned = _emb_memo(spark, sf_dir, names[0], build_assign, wide=True)
+    cents = _emb_memo(spark, sf_dir, names[1], build_cents)
     return assigned, cents
 
 
@@ -100,8 +150,14 @@ def kml_model(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2):
 def kmg_model(spark, sf_dir, variant: str, sub_builder, k_per_group: int, iters: int = 2):
     """Memoized ``kmeans_grouped`` model over a pre-grouped (rid, group_id,
     qvec) frame: returns (codes (rid, group_id, fine_id), centroids
-    (group_id, fine_id, cvec))."""
-    from ..operators.ivf import kmeans_grouped
+    (group_id, fine_id, cvec)).
+
+    Append path (round-13): on a corpus append the per-group fine
+    centroids stay FROZEN and only sub-frame rows absent from the prior
+    code table are assigned via `_assign_grouped` (for the residual
+    variants the sub frame derives from the kml model, itself frozen on
+    append, so old rows' groupings are unchanged)."""
+    from ..operators.ivf import _assign_grouped, kmeans_grouped
 
     shared = {}
 
@@ -113,14 +169,32 @@ def kmg_model(spark, sf_dir, variant: str, sub_builder, k_per_group: int, iters:
         return shared
 
     tag = f"{variant}_k{k_per_group}i{iters}"
-    codes = _emb_memo(
-        spark,
-        sf_dir,
-        f"kmg_{tag}_codes",
-        lambda: _train()["a"].select("rid", "group_id", "fine_id"),
-        wide=True,
-    )
-    cents = _emb_memo(spark, sf_dir, f"kmg_{tag}_cents", lambda: _train()["c"])
+    names = (f"kmg_{tag}_codes", f"kmg_{tag}_cents")
+
+    def _prior():
+        if "p" not in shared:
+            shared["p"] = _frozen_prior(sf_dir, *names)
+        return shared["p"]
+
+    def build_codes():
+        pr = _prior()
+        if pr:
+            old = spark.read.parquet(pr[0]).select("rid", "group_id", "fine_id")
+            cents = spark.read.parquet(pr[1])
+            new = sub_builder().join(old.select("rid"), "rid", "left_anti")
+            return old.unionByName(
+                _assign_grouped(new, cents, "rid").select("rid", "group_id", "fine_id")
+            )
+        return _train()["a"].select("rid", "group_id", "fine_id")
+
+    def build_cents():
+        pr = _prior()
+        if pr:
+            return spark.read.parquet(pr[1])
+        return _train()["c"]
+
+    codes = _emb_memo(spark, sf_dir, names[0], build_codes, wide=True)
+    cents = _emb_memo(spark, sf_dir, names[1], build_cents)
     return codes, cents
 
 
@@ -129,13 +203,64 @@ def kmg_model(spark, sf_dir, variant: str, sub_builder, k_per_group: int, iters:
 
 def kmh_assign(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2):
     """Memoized ``kmeans_hierarchical`` assignment table (vec_id, qvec,
-    cluster_id) — the composite coarse·k2+fine ids."""
-    from ..operators.ivf import kmeans_hierarchical
+    cluster_id) — the composite coarse·k2+fine ids.
 
-    return _emb_memo(
-        spark,
-        sf_dir,
-        f"kmh_{variant}_k{k}i{iters}_assign",
-        lambda: kmeans_hierarchical(emb_builder(), k=k, iters=iters),
-        wide=True,
+    Round-13: the coarse centroid rows and fine centroid table are
+    memoized ALONGSIDE the assignments (one shared training run via
+    `kmeans_hierarchical_model`), which is what makes the frozen-model
+    append path possible for the hierarchical tier: on a corpus append,
+    new rows route coarse→fine through the stored model
+    (`assign_hierarchical_frozen`) and old rows keep their exact prior
+    composite ids."""
+    from ..operators.ivf import (
+        assign_hierarchical_frozen,
+        kmeans_hierarchical_model,
+        quantize,
     )
+
+    shared = {}
+    tag = f"kmh_{variant}_k{k}i{iters}"
+    names = (f"{tag}_assign", f"{tag}_ccents", f"{tag}_fcents")
+
+    def _train():
+        if "a" not in shared:
+            shared["a"], shared["cc"], shared["fc"] = kmeans_hierarchical_model(
+                emb_builder(), k=k, iters=iters
+            )
+        return shared
+
+    def _prior():
+        if "p" not in shared:
+            shared["p"] = _frozen_prior(sf_dir, *names)
+        return shared["p"]
+
+    def build_assign():
+        pr = _prior()
+        if pr:
+            old = spark.read.parquet(pr[0]).select("vec_id", "qvec", "cluster_id")
+            ccents = spark.read.parquet(pr[1])
+            fcents = spark.read.parquet(pr[2])
+            new = quantize(emb_builder()).join(
+                old.select("vec_id"), "vec_id", "left_anti"
+            )
+            return old.unionByName(
+                assign_hierarchical_frozen(new, ccents, fcents, k=k)
+            )
+        return _train()["a"]
+
+    def build_ccents():
+        pr = _prior()
+        if pr:
+            return spark.read.parquet(pr[1]).coalesce(1)
+        return spark.createDataFrame(_train()["cc"], _CENT_SCHEMA).coalesce(1)
+
+    def build_fcents():
+        pr = _prior()
+        if pr:
+            return spark.read.parquet(pr[2])
+        return _train()["fc"]
+
+    assigned = _emb_memo(spark, sf_dir, names[0], build_assign, wide=True)
+    _emb_memo(spark, sf_dir, names[1], build_ccents)
+    _emb_memo(spark, sf_dir, names[2], build_fcents)
+    return assigned

@@ -49,6 +49,104 @@ MEMO_BUILD_LOG: list[tuple[str, float]] = []
 _MEMO_DEPTH = [0]
 
 
+def _corpus_entries(sf_dir: str, src_file: str) -> list[tuple[str, int, int]]:
+    """The fingerprinted file set of a source table: sorted (relpath,
+    size, mtime_ns) triples — no corpus bytes read (100 TB-safe)."""
+    import os
+
+    src = os.path.join(sf_dir, src_file)
+    entries = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                s = os.stat(p)
+                entries.append((os.path.relpath(p, src), s.st_size, s.st_mtime_ns))
+    else:
+        s = os.stat(src)
+        entries.append((os.path.basename(src), s.st_size, s.st_mtime_ns))
+    return sorted(entries)
+
+
+def _memo_root_dir() -> str:
+    import os
+    import tempfile
+
+    return os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
+
+
+def _memo_base(sf_dir: str, name: str, entries: list[tuple[str, int, int]]) -> str:
+    """Memo dir path for a (name, corpus-version) pair. Fingerprint =
+    file count + sha256 over the sorted (relpath, size, mtime_ns)
+    triples (review r12): total-bytes + integer max-mtime let a corpus
+    regenerated in place within the same second with equal total size
+    serve stale memos; per-file paths + nanosecond mtimes close that
+    hole without reading corpus bytes."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for relpath, size, mtime_ns in entries:
+        h.update(f"{relpath}|{size}|{mtime_ns};".encode())
+    fp = f"{len(entries)}_{h.hexdigest()[:16]}"
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{_MEMO_VERSION}_{fp}"
+    return os.path.join(_memo_root_dir(), f"spark_graft_{name}_{key}")
+
+
+def find_appendable_prior(sf_dir: str, name: str, src_file: str = "documents.parquet"):
+    """Locate a PUBLISHED sibling memo of ``name`` built from an earlier
+    version of this corpus whose file manifest is a STRICT SUBSET of the
+    current file set — i.e. the corpus was APPENDED to (every old file
+    byte-identical by (path, size, mtime_ns), new files added). Returns
+    the prior memo's path, or None when no such prior exists (including
+    any in-place regeneration, which changes old files' stats and
+    correctly forces a full rebuild). The largest subset wins — the most
+    recent link of an append chain.
+
+    This is the memo tier's analogue of `append_to_ivf_index`'s
+    frozen-model contract (round-13, verdict #4): an append must not
+    force a full retrain of every per-corpus model table. Pre-r13 memos
+    carry no _manifest.json and are skipped (their corpora re-train once
+    on first append, then chain)."""
+    import json
+    import os
+
+    def data_files(ents):
+        # marker/hidden files (_SUCCESS, .crc) are rewritten by an
+        # append commit even though no old DATA file changed — they
+        # stay in the fingerprint (any change still rebuilds) but must
+        # not veto append detection
+        return {
+            t
+            for t in map(tuple, ents)
+            if not os.path.basename(t[0]).startswith(("_", "."))
+        }
+
+    entries = data_files(_corpus_entries(sf_dir, src_file))
+    root_dir = _memo_root_dir()
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    prefix = f"spark_graft_{name}_{corpus}_{_MEMO_VERSION}_"
+    best: tuple[int, str] | None = None
+    try:
+        names = os.listdir(root_dir)
+    except OSError:
+        return None
+    for e in names:
+        if not e.startswith(prefix) or ".building-" in e:
+            continue
+        p = os.path.join(root_dir, e)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            continue
+        try:
+            with open(os.path.join(p, "_manifest.json")) as f:
+                prior = data_files(json.load(f))
+        except (OSError, ValueError):
+            continue
+        if prior and prior < entries and (best is None or len(prior) > best[0]):
+            best = (len(prior), p)
+    return best[1] if best else None
+
+
 def _corpus_memo(
     spark,
     sf_dir: str,
@@ -82,35 +180,13 @@ def _corpus_memo(
     a no-op at real scale where the memo spans ≥ that many splits, a
     trivial shuffle of small data exactly when small data is the
     problem; content is unchanged either way."""
-    import hashlib
+    import json
     import os
     import shutil
-    import tempfile
     import uuid
 
-    src = os.path.join(sf_dir, src_file)
-    entries = []
-    if os.path.isdir(src):
-        for root, _, files in os.walk(src):
-            for f in files:
-                p = os.path.join(root, f)
-                s = os.stat(p)
-                entries.append((os.path.relpath(p, src), s.st_size, s.st_mtime_ns))
-    else:
-        s = os.stat(src)
-        entries.append((os.path.basename(src), s.st_size, s.st_mtime_ns))
-    # fingerprint = file count + sha256 over sorted (relpath, size,
-    # mtime_ns) triples (review r12): total-bytes + integer max-mtime let a
-    # corpus regenerated in place within the same second with equal total
-    # size serve stale memos; per-file paths + nanosecond mtimes close
-    # that hole without reading corpus bytes (100 TB-safe)
-    h = hashlib.sha256()
-    for relpath, size, mtime_ns in sorted(entries):
-        h.update(f"{relpath}|{size}|{mtime_ns};".encode())
-    fp = f"{len(entries)}_{h.hexdigest()[:16]}"
-    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{_MEMO_VERSION}_{fp}"
-    root_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
-    base = os.path.join(root_dir, f"spark_graft_{name}_{key}")
+    entries = _corpus_entries(sf_dir, src_file)
+    base = _memo_base(sf_dir, name, entries)
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         import time as _time
 
@@ -122,6 +198,12 @@ def _corpus_memo(
             if partitions:
                 df = df.repartition(partitions)
             df.write.mode("overwrite").parquet(tmp)
+            # the manifest rides inside the memo (underscore files are
+            # invisible to Spark's file index): `find_appendable_prior`
+            # needs it to recognize a corpus APPEND and reuse the frozen
+            # model instead of retraining (round-13, verdict #4)
+            with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+                json.dump([list(t) for t in entries], f)
         except BaseException:
             # a build that fails (or is watchdog-cancelled) mid-write must
             # not leak its corpus-sized private dir into the shared memo
