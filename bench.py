@@ -161,6 +161,42 @@ def _clear_memos(sf_dir: str) -> int:
     return n
 
 
+def _merge_record(prior: dict, new: dict) -> dict:
+    """Ratchet merge for the committed per-query record (round-13,
+    verdict #1: BASELINE.md's rule — the record ratchets and NEVER
+    relaxes — was violated when a memo-cold run's inflated medians were
+    committed wholesale, giving future regressions ~1.5-1.9x slack on
+    ~13 queries). A refresh keeps, per query, whichever row has the
+    lower CALIBRATED median (median / host_factor); a carried prior row
+    is rescaled into the new run's host-factor frame so the merged file
+    stays single-host_factor coherent, and is flagged "carried": true
+    so a reader can tell record-holding rows from this run's measures.
+    A query whose code change makes it genuinely slower keeps the old
+    record on purpose — that IS the ratchet: the regression stays
+    visible instead of being re-baselined away."""
+    hf_new = new.get("host_factor") or 1.0
+    hf_old = prior.get("host_factor") or 1.0
+    scale = hf_new / hf_old
+    carried = 0
+    for q, prow in (prior.get("spread") or {}).items():
+        nrow = new["spread"].get(q)
+        if nrow is None:
+            continue
+        if prow["median"] / hf_old < nrow["median"] / hf_new:
+            new["spread"][q] = {
+                "best": round(prow["best"] * scale, 3),
+                "median": round(prow["median"] * scale, 3),
+                "n": prow["n"],
+                "carried": True,
+            }
+            if q in (prior.get("queries") or {}) and q in new["queries"]:
+                new["queries"][q] = round(prior["queries"][q] * scale, 3)
+            carried += 1
+    if carried:
+        new["record_carried_rows"] = carried
+    return new
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_ingestion_auto_spark import plans
@@ -323,6 +359,11 @@ def main() -> None:
         # "Clean" excludes watchdog-capped runs (ADVICE r4): a capped time
         # is a ~90s host artifact, and letting it into BENCH_DETAIL.json
         # would corrupt cross-round comparison and cheapest-first order.
+        # Round-13 (verdict #1): a refresh additionally requires a WARM
+        # run (memo-cold medians are inflated by interleaved builds) and
+        # MERGES with the prior committed record via `_merge_record` so
+        # the per-query ratchet never relaxes. Cold runs still publish
+        # their full detail to BENCH_DETAIL_last.json above.
         clean = (
             not state["truncated"]
             and not errors
@@ -330,10 +371,20 @@ def main() -> None:
             and len(timings) >= len(plans.REGISTRY)
             and sf_val == 0.1
         )
-        if clean:
+        if clean and not detail["memo_cold"]:
+            import copy
+
+            record = copy.deepcopy(detail)
+            try:
+                with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json")) as f:
+                    prior = json.load(f)
+            except (OSError, ValueError):
+                prior = None
+            if prior:
+                record = _merge_record(prior, record)
             try:
                 with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
-                    json.dump(detail, f, indent=1, sort_keys=True)
+                    json.dump(record, f, indent=1, sort_keys=True)
             except OSError:
                 pass
         line = {
