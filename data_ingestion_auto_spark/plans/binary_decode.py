@@ -105,6 +105,109 @@ def binary_grid_decode_roundtrip(spark, sf_dir):
     )
 
 
+def _ensure_grib2_fixture(spark, sf_dir: str) -> str:
+    """Encode the dense raster's floor-integer twin into two REAL GRIB2
+    files (sources/grib2.py — WMO FM-92 edition 2, grid template 3.0,
+    simple packing): file 0 holds 't' (= floor of grid 'a') and 'u'
+    (= floor of 'b') as a multi-message file, file 1 holds 'v' =
+    negated 't'. Integer fields at E=D=0 round-trip bit-exactly
+    (tests/test_grib2.py), which is what makes the oracle hash
+    meaningful. Same per-sf staleness key + atomic publish as the SGB1
+    fixture."""
+    import math
+
+    from ..sources.grib2 import encode_message as encode_grib2
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            stats.extend(os.stat(os.path.join(root, f)) for f in files)
+    else:
+        stats.append(os.stat(src))
+    fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_grib2_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        pdf = _dense_grid(spark, sf_dir).orderBy("variable", "y", "x").toPandas()
+        grids = {}
+        for src_v, out_v, sign in (("a", "t", 1), ("b", "u", 1), ("a", "v", -1)):
+            part = pdf[pdf.variable == src_v]
+            ny = int(part.y.max()) + 1
+            nx = int(part.x.max()) + 1
+            vals = [sign * float(math.floor(x)) for x in part.value.to_numpy()]
+            span = int(max(vals) - min(vals))
+            grids[out_v] = (ny, nx, vals, max(1, span.bit_length()))
+        import uuid
+
+        tmp = f"{base}.building-{uuid.uuid4().hex}"
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "grid-0.grib2"), "wb") as f:
+            for v in ("t", "u"):
+                ny, nx, vals, nbits = grids[v]
+                f.write(encode_grib2(v, ny, nx, vals, nbits=nbits))
+        with open(os.path.join(tmp, "grid-1.grib2"), "wb") as f:
+            ny, nx, vals, nbits = grids["v"]
+            f.write(encode_grib2("v", ny, nx, vals, nbits=nbits))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a concurrent-build race; winner is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+@query(
+    "grib2_decode_roundtrip",
+    oracle=f"""
+WITH {DENSE_CTES},
+ints AS (SELECT variable, y, x, CAST(floor(value) AS DOUBLE) AS value FROM dense)
+SELECT CASE variable WHEN 'a' THEN 't' ELSE 'u' END AS variable, y, x, value FROM ints
+UNION ALL
+SELECT 'v' AS variable, y, x, -value AS value FROM ints WHERE variable = 'a'
+ORDER BY variable, y, x
+""",
+    tags=("S5", "U1", "binaryFile", "mapInPandas", "grib2"),
+)
+def grib2_decode_roundtrip(spark, sf_dir):
+    """S5 on the REAL public wire format (round-13): three GRIB2
+    messages — WMO FM-92 edition 2, regular lat/lon template 3.0,
+    simple packing, written by sources/grib2.py — scanned with
+    ``binaryFile`` and decoded executor-side by the same pure-python
+    section parser, into the long grid model. The oracle recomputes the
+    floor-integer raster from events, so the hash match proves the
+    GRIB2 encode → binaryFile → Arrow → parse path is bit-lossless for
+    integer fields (the E=D=0 exactness contract). Files any standard
+    GRIB tool can read; the cdo/eccodes swap stays the argv seam
+    (reference cdo decode ingest/__init__.py:74-91)."""
+    from ..sources.grib2 import decode_file as decode_grib2_file
+
+    base = _ensure_grib2_fixture(spark, sf_dir)
+    bins = spark.read.format("binaryFile").option("pathGlobFilter", "*.grib2").load(base)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"variable": [], "y": [], "x": [], "value": []}
+            for content in pdf["content"]:
+                for variable, y, x, v in decode_grib2_file(bytes(content)):
+                    out["variable"].append(variable)
+                    out["y"].append(y)
+                    out["x"].append(x)
+                    out["value"].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        bins.select("content")
+        .mapInPandas(decode, "variable string, y long, x long, value double")
+        .orderBy("variable", "y", "x")
+    )
+
+
 @query(
     "cds_retrieval_roundtrip",
     oracle=f"""
