@@ -43,6 +43,24 @@ def quantize(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding")
     return emb.select(F.col(id_col), F.expr(_QUANT.format(col=vec_col)).alias("qvec"))
 
 
+def cent_df(spark, cent_rows) -> DataFrame:
+    """Driver-held centroid rows → a JVM-side VALUES-literal DataFrame.
+    A local-list ``createDataFrame`` is backed by a Python RDD: every
+    job that touches it (each Lloyd iteration's broadcast, every model
+    memo write) forks Python workers — measured at 2-6 s of pure
+    startup latency per tiny write on the round-13 host, which
+    dominated the cold memo-build bill. A VALUES literal plans as a
+    LocalTableScan: zero Python workers, same rows, same schema. k×dim
+    ints is bounded model state, well under any SQL-length concern."""
+    if not cent_rows:
+        return spark.createDataFrame([], "cluster_id int, cvec array<bigint>")
+    vals = ", ".join(
+        f"(CAST({int(cid)} AS INT), CAST(array({','.join(str(int(v)) for v in vec)}) AS array<bigint>))"
+        for cid, vec in cent_rows
+    )
+    return spark.sql(f"SELECT cluster_id, cvec FROM (VALUES {vals}) AS t(cluster_id, cvec)")
+
+
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """Nearest centroid per vector: broadcast k centroids, map-side dist²,
     deterministic argmin (ties → smallest cluster id; NULL dist² — a
@@ -154,13 +172,13 @@ def kmeans_lite(
     )
     cent_rows = [(i, list(r["qvec"])) for i, r in enumerate(init)]
     for _ in range(iters):
-        centroids = spark.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
+        centroids = cent_df(spark, cent_rows)
         assigned = _assign(vectors, centroids, id_col)
         cent_rows = [
             (r["cluster_id"], list(r["cvec"])) for r in _update(assigned).collect()
         ]
         cent_rows.sort()
-    centroids = spark.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
+    centroids = cent_df(spark, cent_rows)
     return _assign(vectors, centroids, id_col), cent_rows
 
 
@@ -179,7 +197,7 @@ def ivf_topk(
     candidates. Output: (query_id, cand_id, cosine, rank)."""
     spark = emb.sparkSession
     assigned, cent_rows = kmeans_lite(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    centroids = spark.createDataFrame(cent_rows, "cluster_id int, cvec array<bigint>")
+    centroids = cent_df(spark, cent_rows)
 
     queries = assigned.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
@@ -229,9 +247,7 @@ def write_ivf_index(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
-    cw = spark.createDataFrame(
-        cent_rows, "cluster_id int, cvec array<bigint>"
-    ).coalesce(1).write.format("parquet").mode("overwrite")
+    cw = cent_df(spark, cent_rows).coalesce(1).write.format("parquet").mode("overwrite")
     if path is not None:
         cw = cw.option("path", path + "_centroids")
     cw.saveAsTable(f"{table}_centroids")

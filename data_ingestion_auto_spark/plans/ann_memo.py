@@ -35,9 +35,6 @@ from pyspark.sql import functions as F
 from .dedup import _corpus_memo
 from .helpers import T
 
-_CENT_SCHEMA = "cluster_id int, cvec array<bigint>"
-
-
 def _emb_memo(spark, sf_dir, name, build, wide: bool = False):
     """``wide=True`` for the corpus-sized assignment/code tables: they
     feed EXPANSION joins (probe lists × queries, codes × query distance
@@ -105,7 +102,7 @@ def kml_model(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2):
     on in-place regeneration or an algorithm/version change (SCALE.md
     round-13). Same contract as `append_to_ivf_index`
     (operators/ivf.py:277)."""
-    from ..operators.ivf import _assign, kmeans_lite, quantize
+    from ..operators.ivf import _assign, cent_df, kmeans_lite, quantize
 
     shared = {}
     tag = f"{variant}_k{k}i{iters}"
@@ -137,7 +134,7 @@ def kml_model(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2):
         pr = _prior()
         if pr:
             return spark.read.parquet(pr[1]).coalesce(1)
-        return spark.createDataFrame(_train()["c"], _CENT_SCHEMA).coalesce(1)
+        return cent_df(spark, _train()["c"]).coalesce(1)
 
     assigned = _emb_memo(spark, sf_dir, names[0], build_assign, wide=True)
     cents = _emb_memo(spark, sf_dir, names[1], build_cents)
@@ -214,6 +211,7 @@ def kmh_assign(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2)
     composite ids."""
     from ..operators.ivf import (
         assign_hierarchical_frozen,
+        cent_df,
         kmeans_hierarchical_model,
         quantize,
     )
@@ -252,7 +250,7 @@ def kmh_assign(spark, sf_dir, variant: str, emb_builder, k: int, iters: int = 2)
         pr = _prior()
         if pr:
             return spark.read.parquet(pr[1]).coalesce(1)
-        return spark.createDataFrame(_train()["cc"], _CENT_SCHEMA).coalesce(1)
+        return cent_df(spark, _train()["cc"]).coalesce(1)
 
     def build_fcents():
         pr = _prior()

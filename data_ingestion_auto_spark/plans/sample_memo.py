@@ -127,8 +127,14 @@ def lineitem_plan_edges(spark, sf_dir, b: int):
                 F.col("rn").isin(sorted({t for _, t in want}))
             ).collect()
         }
-        return spark.createDataFrame(
-            [(i, by_rank[t]) for i, t in want], "i int, edge bigint"
+        vals = ", ".join(
+            f"(CAST({i} AS INT), CAST({by_rank[t]} AS BIGINT))" for i, t in want
+        )
+        # VALUES literal, not a local-list createDataFrame: the latter is
+        # Python-RDD-backed and its write forks Python workers (~6 s of
+        # startup on the round-13 host for a 31-row table)
+        return spark.sql(
+            f"SELECT i, edge FROM (VALUES {vals}) AS t(i, edge)"
         ).coalesce(1)
 
     return _li_memo(spark, sf_dir, f"liedges{b}", build)
