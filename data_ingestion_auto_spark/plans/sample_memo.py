@@ -169,7 +169,16 @@ def lineitem_exact_group_quantiles(spark, sf_dir):
     """Memoized exact per-group quantile table over FULL lineitem:
     (l_returnflag, exact_p50, exact_p90, exact_n), ≤|distinct flags|
     rows — bounded model state, single-file memo (consumers broadcast
-    it)."""
+    it).
+
+    Scale honesty: this build sorts each of the ~3 flag groups through
+    one task (the window is partitioned by l_returnflag only) — the
+    documented exact-tier shape, acceptable ONLY because it is the
+    grading reference, runs once per corpus version, and the estimate
+    it grades is the production path. At deployment scale the exact
+    twin is dropped or rebuilt on `_dense_rank`'s range-partitioned
+    construction (`order_value_deciles_binned` is the registered scale
+    twin of this whole pattern)."""
     return _li_memo(
         spark,
         sf_dir,
