@@ -208,6 +208,129 @@ def grib2_decode_roundtrip(spark, sf_dir):
     )
 
 
+def _ensure_grib2_bitmap_fixture(spark, sf_dir: str) -> str:
+    """One GRIB2 message with a section-6 BITMAP: grid 'a' floor-ints
+    with every cell whose value is divisible by 5 masked out (a
+    deterministic predicate both engines replay). Published next to the
+    no-bitmap fixture, same staleness key."""
+    import math
+
+    from ..sources.grib2 import encode_message as encode_grib2
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            stats.extend(os.stat(os.path.join(root, f)) for f in files)
+    else:
+        stats.append(os.stat(src))
+    fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_grib2bm_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        pdf = _dense_grid(spark, sf_dir).orderBy("variable", "y", "x").toPandas()
+        part = pdf[pdf.variable == "a"]
+        ny = int(part.y.max()) + 1
+        nx = int(part.x.max()) + 1
+        vals = [
+            None if math.floor(x) % 5 == 0 else float(math.floor(x))
+            for x in part.value.to_numpy()
+        ]
+        span = int(max(v for v in vals if v is not None) - min(v for v in vals if v is not None))
+        import uuid
+
+        tmp = f"{base}.building-{uuid.uuid4().hex}"
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "masked.grib2"), "wb") as f:
+            f.write(encode_grib2("t", ny, nx, vals, nbits=max(1, span.bit_length())))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+@query(
+    "grib2_bitmap_mask_stats",
+    oracle=f"""
+WITH {DENSE_CTES},
+masked AS (
+  SELECT y, x,
+         CASE WHEN CAST(floor(value) AS BIGINT) % 5 = 0 THEN NULL
+              ELSE CAST(floor(value) AS DOUBLE) END AS value
+  FROM dense WHERE variable = 'a'
+)
+SELECT 't' AS variable,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(count(value) AS BIGINT) AS n_present,
+       CAST(count(*) - count(value) AS BIGINT) AS n_missing,
+       CAST(sum(value) AS BIGINT) AS sum_present,
+       CAST(min(value) AS BIGINT) AS min_present,
+       CAST(max(value) AS BIGINT) AS max_present
+FROM masked
+GROUP BY 1
+ORDER BY variable
+""",
+    tags=("S5", "P4", "bitmap", "grib2", "binaryFile"),
+)
+def grib2_bitmap_mask_stats(spark, sf_dir):
+    """S5 × P4 on the real wire format: a GRIB2 message whose section-6
+    BITMAP masks every divisible-by-5 cell is decoded executor-side;
+    missing points surface as NULL (the nodata → NULL normalization the
+    reference applies at decode, chirps_rainfall/__init__.py nodata
+    handling), and the per-variable accounting — total cells, present,
+    missing, exact integer sum/min/max of the present values — hashes
+    against a DuckDB replay of the same mask. Proves the bitmap path
+    end-to-end: population check, NULL restoration, and that masked
+    cells never leak into aggregates."""
+    from ..sources.grib2 import decode_file as decode_grib2_file
+
+    base = _ensure_grib2_bitmap_fixture(spark, sf_dir)
+    bins = spark.read.format("binaryFile").option("pathGlobFilter", "*.grib2").load(base)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"variable": [], "y": [], "x": [], "value": []}
+            for content in pdf["content"]:
+                for variable, y, x, v in decode_grib2_file(bytes(content)):
+                    out["variable"].append(variable)
+                    out["y"].append(y)
+                    out["x"].append(x)
+                    out["value"].append(v)
+            # dtype=object keeps None as a true NULL through Arrow (a
+            # float64 column would silently turn it into NaN)
+            yield pd.DataFrame(
+                {
+                    "variable": out["variable"],
+                    "y": out["y"],
+                    "x": out["x"],
+                    "value": pd.Series(out["value"], dtype="object"),
+                }
+            )
+
+    rows = bins.select("content").mapInPandas(
+        decode, "variable string, y long, x long, value double"
+    )
+    return (
+        rows.groupBy("variable")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.count("value").cast("bigint").alias("n_present"),
+            (F.count("*") - F.count("value")).cast("bigint").alias("n_missing"),
+            F.sum("value").cast("bigint").alias("sum_present"),
+            F.min("value").cast("bigint").alias("min_present"),
+            F.max("value").cast("bigint").alias("max_present"),
+        )
+        .orderBy("variable")
+    )
+
+
 @query(
     "cds_retrieval_roundtrip",
     oracle=f"""

@@ -14,7 +14,12 @@ subset a regular-lat-lon ingest actually touches —
   section 3  grid definition      template 3.0  regular lat/lon
   section 4  product definition   template 4.0  analysis/forecast
   section 5  data representation  template 5.0  simple packing
-  section 6  bitmap               indicator 255 (none) only
+  section 6  bitmap               indicator 255 (none) or 0 (bitmap
+                                  present: 1 bit per grid point, 1 =
+                                  data at that point — the spec's
+                                  missing-value mechanism; missing
+                                  cells decode to None, the engine's
+                                  P4 nodata → NULL semantics)
   section 7  data                 MSB-first bit-packed integers
   section 8  end                  ("7777")
 
@@ -27,8 +32,8 @@ concatenated messages, exactly like the SGB1 framing.
 
 What this is NOT: a general GRIB reader. Other grid templates (gaussian,
 lambert), other packing (JPEG2000, complex/spatial differencing),
-bitmaps, and the full parameter tables are out of scope and REJECTED
-with explicit errors — swapping in eccodes/cdo via the
+predefined bitmaps (indicator 1-254), and the full parameter tables are
+out of scope and REJECTED with explicit errors — swapping in eccodes/cdo via the
 `decode_grid_files_subprocess` argv seam remains the documented
 one-argument change for those (tests/test_real_codec.py). But files this
 encoder writes are honest GRIB2: any standard tool can read them, and
@@ -141,9 +146,22 @@ def encode_message(
     """One GRIB2 message: a nj×ni regular lat/lon grid scanned row-major
     from (lat0, lon0) stepping -dlat south / +dlon east (scanning mode
     0). Values quantize per simple packing with the given scales; see
-    module docstring for the exactness contract."""
+    module docstring for the exactness contract.
+
+    A value of None (or NaN) marks a MISSING grid point: the message
+    then carries a section-6 bitmap (indicator 0) and section 7 packs
+    only the present points — the spec's missing-value mechanism, and
+    the wire form of the engine's nodata → NULL normalization (P4)."""
+    import math
+
     if len(values) != nj * ni:
         raise ValueError(f"expected {nj * ni} values, got {len(values)}")
+    present = [
+        v is not None and not (isinstance(v, float) and math.isnan(v))
+        for v in values
+    ]
+    values = [v for v, p in zip(values, present) if p]
+    has_bitmap = len(values) != nj * ni
     if variable in _PARAMS_INV:
         disc, cat, num = _PARAMS_INV[variable]
     else:
@@ -202,13 +220,17 @@ def encode_message(
     )
     sec4 = struct.pack(">IBHH", 34, 4, 0, 0) + tmpl40
     sec5 = (
-        struct.pack(">IBIH", 21, 5, ni * nj, 0)
+        struct.pack(">IBIH", 21, 5, len(values), 0)
         + struct.pack(">f", ref)
         + _s16(e)
         + _s16(d)
         + struct.pack(">BB", nbits, 0)  # bits per value, field type: float
     )
-    sec6 = struct.pack(">IBB", 6, 6, 255)  # no bitmap
+    if has_bitmap:
+        bits = _pack_bits([1 if p else 0 for p in present], 1)
+        sec6 = struct.pack(">IBB", 6 + len(bits), 6, 0) + bits
+    else:
+        sec6 = struct.pack(">IBB", 6, 6, 255)  # no bitmap
     packed = _pack_bits(xs, nbits) if nbits else b""
     sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
 
@@ -238,7 +260,9 @@ def _parse_message(buf: bytes, off: int):
     e = d = 0
     nbits = 0
     npoints = 0
+    ndata = 0
     packed = b""
+    bitmap = None
     while p < end - 4:
         (slen,) = struct.unpack(">I", buf[p : p + 4])
         snum = buf[p + 4]
@@ -265,8 +289,13 @@ def _parse_message(buf: bytes, off: int):
             d = _rs16(body[12:14])
             nbits = body[14]
         elif snum == 6:
-            if body[0] != 255:
-                raise ValueError("bitmaps not supported")
+            if body[0] == 0:
+                # bitmap applies: 1 bit per GRID point, 1 = value present
+                bitmap = _unpack_bits(body[1:], 1, ndata)
+            elif body[0] != 255:
+                raise ValueError(
+                    f"bitmap indicator {body[0]} not supported (only 0/255)"
+                )
         elif snum == 7:
             packed = body
         p += slen
@@ -276,9 +305,16 @@ def _parse_message(buf: bytes, off: int):
     scale = 10.0 ** d
     if e == 0 and d == 0:
         # the bit-exact path: Y = R + X with both integral
-        values = [ref + x for x in xs]
+        present = [ref + x for x in xs]
     else:
-        values = [(ref + x * (2.0 ** e)) / scale for x in xs]
+        present = [(ref + x * (2.0 ** e)) / scale for x in xs]
+    if bitmap is not None:
+        if sum(bitmap) != npoints:
+            raise ValueError("bitmap population does not match packed count")
+        it = iter(present)
+        values = [next(it) if b else None for b in bitmap]
+    else:
+        values = present
     variable = _PARAMS.get((disc, cat, num), f"d{disc}.c{cat}.p{num}")
     return variable, nj, ni, values, end
 
@@ -302,13 +338,16 @@ def _subprocess_decode_main() -> None:
     `decode_grid_files_subprocess` argv seam: GRIB2 bytes on stdin,
     ``variable,y,x,float.hex(value)`` CSV on stdout, nonzero exit on any
     parse error — byte-compatible with the SGB1 decoder contract, so the
-    swap really is one argv argument."""
+    swap really is one argv argument. Bitmap-missing points travel as
+    'nan' (float.fromhex round-trips it); the engine's NaN→NULL
+    normalization (P5, operators/grid.py) restores NULL downstream —
+    the CSV pipe itself stays a pure float channel."""
     import sys
 
     buf = sys.stdin.buffer.read()
     out = sys.stdout
     for variable, y, x, v in decode_file(buf):
-        out.write(f"{variable},{y},{x},{float(v).hex()}\n")
+        out.write(f"{variable},{y},{x},{'nan' if v is None else float(v).hex()}\n")
 
 
 GRIB2_DECODER_ARGV = [

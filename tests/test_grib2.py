@@ -180,3 +180,66 @@ def test_subprocess_argv_seam_decodes_real_grib2(spark, tmp_path):
         decode_grid_files_subprocess(
             spark.read.format("binaryFile").load(str(p2)), argv=GRIB2_DECODER_ARGV
         ).collect()
+
+
+def test_bitmap_roundtrip_missing_values():
+    """Section-6 bitmap (indicator 0): None/NaN inputs mark missing grid
+    points; section 7 packs only present points and the decoder restores
+    None at the masked positions."""
+    vals = [10.0, None, 12.0, float("nan"), 14.0, 15.0]
+    msg = encode_message("t", 2, 3, vals, nbits=8)
+    got = [v for *_k, v in decode_file(msg)]
+    assert got == [10.0, None, 12.0, None, 14.0, 15.0]
+    # golden check of the section layout shifts: section 5 counts only
+    # the 4 present points; section 6 is indicator 0 + one bitmap octet
+    s5 = 16 + 21 + 72 + 34
+    assert struct.unpack(">IBIH", msg[s5 : s5 + 11]) == (21, 5, 4, 0)
+    s6 = s5 + 21
+    assert struct.unpack(">IBB", msg[s6 : s6 + 6]) == (7, 6, 0)
+    # bits 101011, MSB-first, zero-padded → 0b10101100 = 0xAC
+    assert msg[s6 + 6] == 0xAC
+    # section 7 carries 4 octets: X = v - R for the present points
+    s7 = s6 + 7
+    assert struct.unpack(">IB", msg[s7 : s7 + 5]) == (9, 7)
+    assert msg[s7 + 5 : s7 + 9] == bytes([0, 2, 4, 5])
+
+
+def test_bitmap_all_missing_and_none_missing():
+    msg = encode_message("t", 1, 3, [None, None, None], nbits=8)
+    assert [v for *_k, v in decode_file(msg)] == [None, None, None]
+    # no missing values → no bitmap section payload (indicator 255)
+    msg2 = encode_message("t", 1, 3, [1.0, 2.0, 3.0], nbits=8)
+    s6 = 16 + 21 + 72 + 34 + 21
+    assert struct.unpack(">IBB", msg2[s6 : s6 + 6]) == (6, 6, 255)
+
+
+def test_bitmap_corrupt_population_rejected():
+    msg = bytearray(encode_message("t", 2, 3, [1.0, None, 3.0, 4.0, None, 6.0], nbits=8))
+    s6 = 16 + 21 + 72 + 34 + 21
+    msg[s6 + 6] = 0xFC  # claim 6 present bits vs 4 packed values
+    with pytest.raises(ValueError, match="population"):
+        list(decode_file(bytes(msg)))
+
+
+def test_subprocess_seam_transports_missing_as_nan(spark, tmp_path):
+    """Bitmap-missing points travel the CSV pipe as 'nan' (the pipe is a
+    pure float channel); the engine's NaN→NULL fold restores NULL
+    downstream."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_auto_spark.sources.gribsim import (
+        decode_grid_files_subprocess,
+    )
+
+    msg = encode_message("t", 1, 4, [1.0, None, 3.0, None], nbits=8)
+    p = tmp_path / "m.grib2"
+    p.write_bytes(msg)
+    got = (
+        decode_grid_files_subprocess(
+            spark.read.format("binaryFile").load(str(p)), argv=GRIB2_DECODER_ARGV
+        )
+        .withColumn("value", F.when(~F.isnan("value"), F.col("value")))
+        .orderBy("x")
+        .collect()
+    )
+    assert [r.value for r in got] == [1.0, None, 3.0, None]
