@@ -358,3 +358,86 @@ GRIB2_DECODER_ARGV = [
         "_subprocess_decode_main; _subprocess_decode_main()"
     ),
 ]
+
+
+def encode_grid_files(grid_rows, nbits: int | None = None):
+    """K-side twin of the decode path: long grid-model rows (variable,
+    y, x, value) → one GRIB2 message PER VARIABLE, encoded
+    EXECUTOR-SIDE via applyInPandas (one group = one surface = one
+    message, the grouping the contour UDTF established). NULL/NaN cells
+    become section-6 bitmap holes — the write loop of the
+    nodata → NULL ↔ bitmap correspondence.
+
+    ``nbits=None`` sizes the packing from each variable's integer value
+    range (exact for the E=D=0 integral contract); pass an explicit
+    width plus scale handling upstream for float fields. Returns
+    (variable, ny, nx, n_missing, content binary) — a sink row per
+    message; pair with `write_grib2_dir` to land files.
+
+    Reference analogue: the grid writers in raster_vector.py /
+    convertmodis.py land one file per variable/product; the Spark shape
+    is a groupBy-encode with the bytes as a binary column, so the same
+    frame can feed a parquet landing table, a foreachBatch uploader, or
+    a direct file write."""
+    import pandas as pd
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["y", "x"])
+        variable = str(pdf["variable"].iloc[0])
+        ny = int(pdf["y"].max()) + 1
+        nx = int(pdf["x"].max()) + 1
+        if len(pdf) != ny * nx:
+            raise ValueError(
+                f"variable {variable!r}: {len(pdf)} rows for a {ny}x{nx} grid"
+            )
+        vals = [None if pd.isna(v) else float(v) for v in pdf["value"]]
+        present = [v for v in vals if v is not None]
+        width = nbits
+        if width is None:
+            span = int(max(present) - min(present)) if present else 0
+            width = max(1, span.bit_length())
+        msg = encode_message(variable, ny, nx, vals, nbits=width)
+        return pd.DataFrame(
+            {
+                "variable": [variable],
+                "ny": [ny],
+                "nx": [nx],
+                "n_missing": [len(vals) - len(present)],
+                "content": [msg],
+            }
+        )
+
+    return grid_rows.groupBy("variable").applyInPandas(
+        enc, "variable string, ny long, nx long, n_missing long, content binary"
+    )
+
+
+def write_grib2_dir(encoded, out_dir: str):
+    """Land (variable, content) rows as ``<variable>.grib2`` files —
+    executor-side, write-then-rename per file (the atomic-publish rule
+    every sink in this engine follows, sinks.py). ``out_dir`` must be a
+    shared filesystem on a real cluster. Returns (variable, path,
+    n_bytes) rows; the action is the caller's collect/count."""
+    import pandas as pd
+
+    def write(batches):
+        import os
+        import uuid
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            out = {"variable": [], "path": [], "n_bytes": []}
+            for variable, content in zip(pdf["variable"], pdf["content"]):
+                final = os.path.join(out_dir, f"{variable}.grib2")
+                tmp = f"{final}.writing-{uuid.uuid4().hex}"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(content))
+                os.replace(tmp, final)
+                out["variable"].append(variable)
+                out["path"].append(final)
+                out["n_bytes"].append(len(content))
+            yield pd.DataFrame(out)
+
+    return encoded.select("variable", "content").mapInPandas(
+        write, "variable string, path string, n_bytes long"
+    )

@@ -243,3 +243,49 @@ def test_subprocess_seam_transports_missing_as_nan(spark, tmp_path):
         .collect()
     )
     assert [r.value for r in got] == [1.0, None, 3.0, None]
+
+
+def test_encode_grid_files_roundtrip_distributed(spark, tmp_path):
+    """The K-side write loop: long grid rows (with NULL holes) →
+    executor-side per-variable GRIB2 messages → atomic file landing →
+    binaryFile scan → decode == input. Every hop is the engine's own
+    operator, no driver-side encode."""
+    from data_ingestion_auto_spark.sources.grib2 import (
+        encode_grid_files,
+        write_grib2_dir,
+    )
+
+    rows = []
+    for v, ny, nx in (("t", 3, 4), ("u", 2, 5)):
+        for y in range(ny):
+            for x in range(nx):
+                val = None if (y + x) % 4 == 0 else float(10 + 3 * y + x)
+                rows.append((v, y, x, val))
+    src = spark.createDataFrame(rows, "variable string, y long, x long, value double")
+
+    encoded = encode_grid_files(src)
+    meta = {r.variable: (r.ny, r.nx, r.n_missing) for r in encoded.collect()}
+    assert meta["t"][:2] == (3, 4) and meta["u"][:2] == (2, 5)
+    assert meta["t"][2] == sum(1 for v, y, x, val in rows if v == "t" and val is None)
+
+    out = str(tmp_path / "landed")
+    landed = write_grib2_dir(encode_grid_files(src), out).collect()
+    assert sorted(r.variable for r in landed) == ["t", "u"]
+    for r in landed:
+        assert r.n_bytes > 0 and r.path.endswith(f"{r.variable}.grib2")
+
+    back = []
+    for r in spark.read.format("binaryFile").load(out).collect():
+        back.extend(decode_file(bytes(r.content)))
+    got = sorted((v, y, x, val) for v, y, x, val in back)
+    assert got == sorted(rows)
+
+
+def test_encode_grid_files_incomplete_grid_fails(spark):
+    from data_ingestion_auto_spark.sources.grib2 import encode_grid_files
+
+    src = spark.createDataFrame(
+        [("t", 0, 0, 1.0), ("t", 1, 1, 2.0)], "variable string, y long, x long, value double"
+    )
+    with pytest.raises(Exception, match="rows for a"):
+        encode_grid_files(src).collect()
