@@ -591,18 +591,25 @@ def test_winnowing_match_pairs_lambdas_never_reach_a_scan(spark, sf_dir, registr
 def test_prefix_filter_join_reads_checkpointed_sets_no_cartesian(
     spark, sf_dir, registry
 ):
-    """prefix_filter_jaccard_join: the ordered-set frame is the MEMOIZED
-    per-corpus parquet (round 11) serving its three readers (prefix
-    explode + both verify sides), so the final plan scans ONLY the memo
-    — never the documents table — and holds no shingle-building lambdas;
-    candidates come from an equi-join on the prefix token, never a
-    cartesian."""
+    """prefix_filter_jaccard_join (round-13 memo contract): the VERIFIED
+    pair table is the memoized per-corpus parquet, so the final plan is
+    a bounded memo read — no documents scan, no explode, no join at
+    all. The live construction is pinned on `_build_verified_pairs`:
+    the ordered-set memo (round 11) serves its three readers (prefix
+    explode + both verify sides), candidates come from an equi-join on
+    the prefix token, never a cartesian."""
+    from data_ingestion_auto_spark.plans.ppjoin import _build_verified_pairs
+
     p = _plan(spark, registry["prefix_filter_jaccard_join"].spark(spark, sf_dir))
-    assert "spark_graft_ppjoin_sets" in p  # the memo is the only source
+    assert "spark_graft_ppjoin_pairs" in p  # the pair memo is the source
     assert "documents.parquet" not in p
-    assert "concat_ws" not in p  # shingle construction stays behind the memo
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" not in p  # no prefix explode per query
+    bp = _plan(spark, _build_verified_pairs(spark, sf_dir))
+    assert "spark_graft_ppjoin_sets" in bp  # sets memo is the only source
+    assert "documents.parquet" not in bp
+    assert "concat_ws" not in bp  # shingle construction stays behind the memo
+    assert "CartesianProduct" not in bp
+    assert "BroadcastNestedLoopJoin" not in bp
 
 
 def test_semdedup_hier_fine_centroids_joined_not_collected(spark, sf_dir, registry):
