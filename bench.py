@@ -45,6 +45,18 @@ Design (round-4 rework, per VERDICT r3 "Next round" #1/#3 + ADVICE):
   SPARK_GRAFT_BENCH_COLD=1) clears the memo root first so the ratchet can
   measure the build path deliberately.
 
+* **Every run is memo-cold** (optimization r13): the default memo root is
+  now a per-PROCESS scratch dir (data_ingestion_auto_spark/scratch.py) —
+  nothing derived from the input tables persists across invocations, so
+  each bench run computes every artifact it consumes from the parquet
+  inputs and the one-time builds land inside this run's timings
+  (attributed to the first consumer, itemized in "memo_builds"). The
+  warm steady-state record retired with this change
+  (BASELINE_warm_record_r13.json keeps it for history); the committed
+  BENCH_DETAIL.json record is cold-based from r13 on, still min-merge
+  ratcheted between clean runs. OPTIMIZATION_r13.md documents the
+  methodology change and carries both old and new numbers.
+
 Each query executes end-to-end (plan + shuffle + noop-sink write, falling
 back to collect) after a warm-up primes JVM/codegen/parquet footers.
 """
@@ -371,7 +383,14 @@ def main() -> None:
             and len(timings) >= len(plans.REGISTRY)
             and sf_val == 0.1
         )
-        if clean and not detail["memo_cold"]:
+        # Optimization r13: the memo root is per-process (scratch.py), so
+        # EVERY run is memo-cold — cross-run memo reuse is gone by design
+        # (no precomputation across runs; every invocation computes from
+        # the parquet inputs). The committed record is therefore cold-run
+        # based from r13 on; the old warm-mode record is preserved as
+        # BASELINE_warm_record_r13.json. The min-merge ratchet still
+        # applies between cold runs.
+        if clean:
             import copy
 
             record = copy.deepcopy(detail)

@@ -24,6 +24,20 @@ from .registry import query
 from .warp import DENSE_CTES, _dense_grid
 
 
+
+def _scratch_root() -> str:
+    """Built-fixture root: per-process scratch (optimization r13 — built
+    inputs must not persist across invocations; see scratch.py), or the
+    shared memo root when a deployment explicitly configured one."""
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR")
+    if root:
+        return root
+    from ..scratch import process_scratch_dir
+
+    return process_scratch_dir()
+
 def _ensure_sgb_fixture(spark, sf_dir: str) -> str:
     """Encode the dense raster into two SGB1 files — file 0 holds
     messages 'a' and 'b' (multi-message framing exercised), file 1 holds
@@ -45,7 +59,7 @@ def _ensure_sgb_fixture(spark, sf_dir: str) -> str:
         stats.append(os.stat(src))
     fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"spark_graft_sgb_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
     marker = os.path.join(base, "_SUCCESS")
@@ -127,7 +141,7 @@ def _ensure_grib2_fixture(spark, sf_dir: str) -> str:
         stats.append(os.stat(src))
     fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"spark_graft_grib2_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
     marker = os.path.join(base, "_SUCCESS")
@@ -226,7 +240,7 @@ def _ensure_grib2_bitmap_fixture(spark, sf_dir: str) -> str:
         stats.append(os.stat(src))
     fp = f"{sum(s.st_size for s in stats)}_{max(int(s.st_mtime) for s in stats)}"
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"spark_graft_grib2bm_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
     marker = os.path.join(base, "_SUCCESS")

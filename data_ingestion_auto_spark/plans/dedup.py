@@ -69,10 +69,18 @@ def _corpus_entries(sf_dir: str, src_file: str) -> list[tuple[str, int, int]]:
 
 
 def _memo_root_dir() -> str:
+    """$SPARK_GRAFT_CC_MEMO_DIR (shared storage, a production deployment
+    decision) or the per-PROCESS scratch root — never a dir that outlives
+    the invocation (optimization r13: every bench/oracle run must compute
+    its artifacts from the parquet inputs; see scratch.py)."""
     import os
-    import tempfile
 
-    return os.environ.get("SPARK_GRAFT_CC_MEMO_DIR", tempfile.gettempdir())
+    root = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR")
+    if root:
+        return root
+    from ..scratch import process_scratch_dir
+
+    return process_scratch_dir()
 
 
 def _memo_base(sf_dir: str, name: str, entries: list[tuple[str, int, int]]) -> str:
