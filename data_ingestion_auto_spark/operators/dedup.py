@@ -55,11 +55,22 @@ def shingles(
     text_col: str = "text",
     k: int = 5,
     partitions: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct k-character shingles per document (positional substrings).
 
     posexplode over a sequence of start offsets — stays JVM-side; the
     distinct collapses repeated shingles before any join.
+
+    ``distinct=False`` skips the set-collapse for consumers whose
+    aggregate is multiset-invariant — MinHash minima are identical over
+    the multiset and the set (min(md5(i|s)) ignores duplicates), so the
+    signature path sets it False and saves a full (id, shingle) shuffle:
+    the explode stays hash-partitioned on ``id_col`` from the explicit
+    repartition, and the per-doc min aggregation reuses that exchange
+    (0 additional shuffles vs 2 through the distinct). Consumers that
+    COUNT shingles (Jaccard sizes, simhash ±1 sums) need the set
+    semantics and keep the default.
     """
     n = f"greatest(length({text_col}) - {k - 1}, 1)"
     # Documents often arrive as few large files (locally: one) — spread
@@ -69,16 +80,13 @@ def shingles(
     # byte size, serializing all post-explode work. Hash-partitioning on id
     # also co-locates each doc's shingles for the per-doc groupBys.
     nparts = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        df.repartition(nparts, F.col(id_col))
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(f"transform(sequence(1, {n}), i -> substring({text_col}, i, {k}))")).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
+    out = df.repartition(nparts, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.expr(f"transform(sequence(1, {n}), i -> substring({text_col}, i, {k}))")).alias(
+            "shingle"
+        ),
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(

@@ -247,7 +247,9 @@ def corpus_minhash_sig(spark, sf_dir: str):
         spark,
         sf_dir,
         "sig",
-        lambda: D.minhash_signature(D.shingles(T(spark, sf_dir, "documents")), num_perm=16),
+        lambda: D.minhash_signature(
+            D.shingles(T(spark, sf_dir, "documents"), distinct=False), num_perm=16
+        ),
     )
 
 
@@ -411,7 +413,7 @@ def minhash_lsh_candidates(spark, sf_dir):
     no RNG).
     """
     docs = T(spark, sf_dir, "documents")
-    sig = D.minhash_signature(D.shingles(docs), num_perm=16)
+    sig = D.minhash_signature(D.shingles(docs, distinct=False), num_perm=16)
     return D.lsh_candidates(sig, bands=4, rows_per_band=4).orderBy("a", "b")
 
 
@@ -658,7 +660,9 @@ def chunk_minhash_neardup(spark, sf_dir):
         ).alias("idx", "chunk"),
     ).select((F.col("doc_id") * 1000 + F.col("idx")).alias("chunk_key"), "chunk")
     sig = D.minhash_signature(
-        D.shingles(chunks, id_col="chunk_key", text_col="chunk"), id_col="chunk_key", num_perm=16
+        D.shingles(chunks, id_col="chunk_key", text_col="chunk", distinct=False),
+        id_col="chunk_key",
+        num_perm=16,
     )
     pairs = D.lsh_candidates(sig, id_col="chunk_key", bands=4, rows_per_band=4)
     return (

@@ -95,7 +95,7 @@ def incremental_lsh_dedup_assign(spark, sf_dir):
     earlier batch members), or itself if new-unique. See module
     docstring for the production index mapping."""
     docs = T(spark, sf_dir, "documents")
-    banded = D.band_signature(D.minhash_signature(D.shingles(docs)))
+    banded = D.band_signature(D.minhash_signature(D.shingles(docs, distinct=False)))
     is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1", "2", "3"
     )

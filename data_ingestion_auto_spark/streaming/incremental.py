@@ -328,7 +328,7 @@ def start_dedup_ingest_stream(
         # raises TABLE_OR_VIEW_NOT_FOUND and kills the stream.
         if not spark.catalog.tableExists(index_table):
             D.write_band_index(
-                D.band_signature(D.minhash_signature(D.shingles(batch_df.limit(0)))),
+                D.band_signature(D.minhash_signature(D.shingles(batch_df.limit(0), distinct=False))),
                 index_table,
                 buckets=buckets,
                 max_bucket=max_bucket,
@@ -341,7 +341,7 @@ def start_dedup_ingest_stream(
         # assignments silently lost their batch-1 partners).
         spark.catalog.refreshTable(index_table)
         banded = D.band_signature(
-            D.minhash_signature(D.shingles(batch_df))
+            D.minhash_signature(D.shingles(batch_df, distinct=False))
         ).localCheckpoint()  # signature DAG runs once for probe + append
         (
             D.probe_band_index(spark, banded, index_table)
