@@ -22,19 +22,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..checkpoints import ckpt, ckpt_local
+from ..sources.tables import spread
 
 _W = 4  # rolling-window length (tokens) — must match plans/cdc_chunks.py
 _D = 8  # boundary divisor -> expected chunk length (tokens)
 
-_HEX8S = (
-    "("
-    + " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(md5({{v}}), {i + 1}, 1)) - 1 "
-        f"AS BIGINT) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ")"
-)
+# Spark-only operator: decode via one conv() (bit-equal to the instr
+# nibble sum — the plans/sketches.py _HEX8_SPARK idiom). This expression
+# runs inside higher-order-function lambdas, which Spark evaluates
+# interpreted (no codegen, no common-subexpression elimination): the old
+# eight-term form recomputed md5 once per nibble, 8 md5 calls per window.
+_HEX8S = "(CAST(conv(substr(md5({v}), 1, 8), 16, 10) AS BIGINT))"
 
 
 def cdc_chunk_rows(docs: DataFrame, durable: bool = False) -> DataFrame:
@@ -64,7 +62,11 @@ def cdc_chunk_rows(docs: DataFrame, durable: bool = False) -> DataFrame:
     )
     carry = [c for c in ("source",) if c in docs.columns]
     spans = (
-        docs.select("doc_id", *carry, F.split("text", " ").alias("w"))
+        # corpus-side callers read one unsplittable fixture file — spread
+        # before the interpreted rolling-hash lambdas (no-op for batch
+        # probes with no file scan, and at real multi-file scale)
+        spread(docs)
+        .select("doc_id", *carry, F.split("text", " ").alias("w"))
         .select("doc_id", *carry, "w", F.expr(bp).alias("bp"))
         .select(
             "doc_id",

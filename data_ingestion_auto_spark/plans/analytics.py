@@ -51,9 +51,25 @@ def rollup_revenue(spark, sf_dir):
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
     )
+    # Aggregate BEFORE the rollup Expand (optimization r13, guide §2.3
+    # "aggregate before you shuffle"): rollup(a, b) expands every input
+    # row 3× ahead of the aggregate, so rolling up the raw join paid the
+    # decimal partial-agg over ~3× lineitem rows. Both keys are non-null
+    # (inner-join images of nation/region), and the DECIMAL(38,6) sum is
+    # exact and associative, so summing per (region, nation) first — one
+    # ordinary map-side-combining groupBy — and rolling up the ≤25-row
+    # image is bit-identical (the final round(…, 2) happens once, on the
+    # exact recombined sum).
+    pre = joined.groupBy("r_name", "n_name").agg(
+        F.expr(f"sum(CAST({REVENUE} AS DECIMAL(38,6)))").alias("rev_dec"),
+        F.count("*").alias("n_pre"),
+    )
     return (
-        joined.rollup("r_name", "n_name")
-        .agg(dec_sum(REVENUE, "revenue"), F.count("*").alias("n_items"))
+        pre.rollup("r_name", "n_name")
+        .agg(
+            F.expr("CAST(round(sum(rev_dec), 2) AS DOUBLE)").alias("revenue"),
+            F.sum("n_pre").cast("bigint").alias("n_items"),
+        )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..checkpoints import ckpt
-from .helpers import T
+from .helpers import T, spread
 from .registry import query
 
 # NB: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty like
@@ -73,7 +73,7 @@ def boilerplate_ngram_mass(spark, sf_dir):
     twice; the blacklist is bounded by (grams/doc)/0.005 entries
     independent of corpus size, hence explicitly broadcast; docs with
     fewer than 3 words report 0/0/0 via the left join."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     g = ckpt(
         docs.select(
             "doc_id", F.explode(F.expr(_GRAM_SQL_SPARK)).alias("gh")
@@ -142,7 +142,7 @@ def vocab_growth_profile(spark, sf_dir):
     matrix — vocab x sources rows after one corpus scan with map-side
     partial aggregation; everything downstream is count arithmetic on
     that tiny frame. Output one row per source at any corpus."""
-    tok = T(spark, sf_dir, "documents").select(
+    tok = spread(T(spark, sf_dir, "documents")).select(
         "source", F.explode(F.split("text", " ")).alias("token")
     )
     cnt = tok.groupBy("source", "token").agg(
@@ -205,7 +205,7 @@ def good_turing_freq_of_freqs(spark, sf_dir):
     (bounded by the max frequency's distinct values — tens of rows at
     any corpus); the r+1 lookup is a self-join of that tiny frame.
     Output ≤ distinct frequencies rows."""
-    tok = T(spark, sf_dir, "documents").select(
+    tok = spread(T(spark, sf_dir, "documents")).select(
         F.explode(F.split("text", " ")).alias("token")
     )
     cnt = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("r"))

@@ -32,17 +32,18 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .helpers import T
+from .helpers import T, spread
 from .registry import query
-from .sketches import _HEX8
+from .sketches import _HEX8, _HEX8_SPARK
 
 _BUCKETS = 1024
 _THRESH = 0  # keep documents with non-negative mean feature weight
 
-# hashed bigram -> bucket id
-_BUCKET = f"({_HEX8} % {_BUCKETS})"
+# hashed bigram -> bucket id (Spark side: conv() twin, bit-equal; the
+# oracle SQL below keeps the portable _HEX8 instr text)
+_BUCKET = f"({_HEX8_SPARK} % {_BUCKETS})"
 # bucket id -> deterministic integer weight in [-500, 500] micro-units
-_WEIGHT = f"(({_HEX8} % 1001) - 500)"
+_WEIGHT = f"(({_HEX8_SPARK} % 1001) - 500)"
 
 
 @query(
@@ -83,7 +84,7 @@ def hashed_linear_classifier_scores(spark, sf_dir):
     and the keep/drop verdict at threshold {_THRESH}. Model weights are
     a broadcast DataFrame equi-joined to the hashed features — the
     model-as-data inference pattern (see module docstring)."""
-    docs = T(spark, sf_dir, "documents").select(
+    docs = spread(T(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("s")
     )
     pairs = (

@@ -430,6 +430,31 @@ def _simhash_bits_sql(src: str, nbits: int = 16) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+def _simhash_bits_spark(nbits: int) -> str:
+    """Spark twin of _simhash_bits_sql/_simhash_bits_sql64 — identical
+    bits via two conv() parses of the md5 prefix plus integer shift/mask
+    sums instead of per-bit string compares (optimization r13, the
+    sketches._HEX8_SPARK idiom). Equivalences: the first 8/16 hex digits
+    parse MSB-first into two 32-bit lanes, so the old "bit (3 − j%4) of
+    nibble (j//4 + 1)" is bit (31 − j) of lane 1 for j < 32 and bit
+    (63 − j) of lane 2 otherwise (16-bit form: the nibble HIGH bit =
+    bit 31 − 4j); and sign(Σ ±1) > 0 ⇔ 2·Σ bit > count(*) exactly in
+    integers. The oracle keeps the portable text."""
+    h1 = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+    h2 = "CAST(conv(substr(md5(shingle), 9, 8), 16, 10) AS BIGINT)"
+    bits = []
+    for j in range(nbits):
+        if nbits == 16:
+            src, k = (h1, 31 - 4 * j) if j < 8 else (h2, 31 - 4 * (j - 8))
+        else:
+            src, k = (h1, 31 - j) if j < 32 else (h2, 63 - j)
+        bits.append(
+            f"CASE WHEN 2 * sum((shiftright({src}, {k}) & 1)) > count(*) "
+            "THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
 @query(
     "simhash_signatures",
     oracle=f"""
@@ -451,7 +476,7 @@ def simhash_signatures(spark, sf_dir):
     """
     docs = T(spark, sf_dir, "documents")
     sh = D.shingles(docs)
-    sigs = sh.groupBy("doc_id").agg(F.expr(_simhash_bits_sql("sh")).alias("simhash"))
+    sigs = sh.groupBy("doc_id").agg(F.expr(_simhash_bits_spark(16)).alias("simhash"))
     from pyspark.sql import Window as W
 
     return (
@@ -1381,7 +1406,7 @@ def simhash_hamming_neighbors(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     sh = D.shingles(docs)
     sigs = sh.groupBy("doc_id").agg(
-        F.expr(_simhash_bits_sql64()).alias("sig")
+        F.expr(_simhash_bits_spark(64)).alias("sig")
     )
     reps = sigs.groupBy("sig").agg(
         F.min("doc_id").alias("exemplar"), F.count("*").alias("n_docs")
@@ -1509,18 +1534,38 @@ def lsh_quality_audit(spark, sf_dir):
         .filter(2 * F.col("n_common") >= F.col("na") + F.col("nb") - F.col("n_common"))
         .select("a", "b")
     )
-    truth = ckpt(truth)
     sig = D.minhash_signature(sh, num_perm=16)
-    cand = ckpt(
-        D.lsh_candidates(sig, bands=4, rows_per_band=4).select("a", "b")
+    cand = D.lsh_candidates(sig, bands=4, rows_per_band=4).select("a", "b")
+    # ONE lazy plan (optimization r13, guide §5 — no driver-side actions
+    # in the query path): both cand and truth are UNIQUE pair sets
+    # (lsh_candidates ends in .distinct(); truth is a groupBy image), so
+    # a single full-outer join classifies every pair as TP (both sides),
+    # FP (candidate only) or FN (truth only) and one aggregation yields
+    # the confusion row. The old form materialized truth and cand via
+    # localCheckpoint and ran THREE sequential count() jobs at
+    # construction (~5 s/rep at sf0.1); this executes as one job.
+    joined = cand.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["a", "b"], "full_outer"
     )
-    tp = cand.join(truth, ["a", "b"]).count()
-    n_cand = cand.count()
-    n_truth = truth.count()
-    fp, fn = n_cand - tp, n_truth - tp
-    prec = (1000000 * tp) // (tp + fp) if tp + fp else 0
-    rec = (1000000 * tp) // (tp + fn) if tp + fn else 0
-    return spark.createDataFrame(
-        [(tp, fp, fn, prec, rec)],
-        "tp bigint, fp bigint, fn bigint, precision_ppm bigint, recall_ppm bigint",
+    conf = joined.agg(
+        F.sum(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).cast("bigint").alias("fn"),
+    )
+    # integer ppm via truncating div — all terms non-negative, so div
+    # matches the old Python // exactly
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN 0"
+            " ELSE (1000000 * tp) div (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN 0"
+            " ELSE (1000000 * tp) div (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
     )

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .helpers import T
+from .helpers import T, spread
 from .registry import query
 
 _N_BUCKETS = 1024
@@ -52,6 +52,14 @@ _BUCKET = (
     " + (instr('0123456789abcdef', substr(md5(concat(w1, ' ', w2)), 2, 1)) - 1) * 16"
     " + (instr('0123456789abcdef', substr(md5(concat(w1, ' ', w2)), 3, 1)) - 1))"
     f" % {_N_BUCKETS}"
+)
+
+# Spark twin: base-16 parse of the same first 3 md5 hex digits via one
+# conv() (bit-equal — the sketches._HEX8_SPARK idiom); oracle keeps the
+# portable instr text above.
+_BUCKET_SPARK = (
+    "(CAST(conv(substr(md5(concat(w1, ' ', w2)), 1, 3), 16, 10) AS BIGINT)"
+    f" % {_N_BUCKETS})"
 )
 
 
@@ -103,7 +111,7 @@ def dsir_importance_selection(spark, sf_dir):
     hashed-bigram feature counts × (target_ppm − source_ppm), summed —
     ``selected`` marks docs more target-like than the corpus average.
     Output: (doc_id, lang, n_feats, score, selected)."""
-    docs = T(spark, sf_dir, "documents").select(
+    docs = spread(T(spark, sf_dir, "documents")).select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
     bg = (
@@ -120,7 +128,9 @@ def dsir_importance_selection(spark, sf_dir):
             F.element_at("w", F.col("i")).alias("w1"),
             F.element_at("w", F.col("i") + 1).alias("w2"),
         )
-        .select("doc_id", "lang", F.expr(f"CAST({_BUCKET} AS BIGINT)").alias("bucket"))
+        .select(
+            "doc_id", "lang", F.expr(f"CAST({_BUCKET_SPARK} AS BIGINT)").alias("bucket")
+        )
     )
     doc_f = bg.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
     # ONE per-bucket aggregation carries both distributions (ct = target

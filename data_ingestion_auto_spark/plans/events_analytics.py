@@ -191,7 +191,7 @@ def order_value_deciles_binned(spark, sf_dir):
     binning bit-for-bit."""
     from ..checkpoints import ckpt
     from ..operators.suffix import _adaptive_np, _dense_rank
-    from .sketches import _HEX8
+    from .sketches import _HEX8_SPARK
 
     od = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     # materialize the sample ONCE (data-sized: n/8 rows -> durable cut):
@@ -201,7 +201,7 @@ def order_value_deciles_binned(spark, sf_dir):
         od.select(
             "o_totalprice",
             "o_orderkey",
-            F.expr(_HEX8.format(v="o_orderkey")).alias("h"),
+            F.expr(_HEX8_SPARK.format(v="o_orderkey")).alias("h"),
         )
         .filter(F.expr("h % 8 = 0"))
         .drop("h")

@@ -498,6 +498,12 @@ def _fold_sql(src: str) -> str:
     return f"({_HEX8.format(v=src)} % {_K_FOLDS})"
 
 
+def _fold_sql_spark(src: str) -> str:
+    """Spark twin of _fold_sql: same value via one conv() (the
+    plans/sketches.py _HEX8_SPARK idiom) instead of eight instr terms."""
+    return f"((CAST(conv(substr(md5({src}), 1, 8), 16, 10) AS BIGINT)) % {_K_FOLDS})"
+
+
 @query(
     "group_aware_kfold",
     oracle=f"""
@@ -540,8 +546,8 @@ def group_aware_kfold(spark, sf_dir):
         .join(comp, "doc_id", "left")
         .withColumn("group_id", F.coalesce("component", "doc_id"))
     )
-    fold = F.expr(f"CAST({_fold_sql('CAST(group_id AS STRING)')} AS BIGINT)")
-    naive = F.expr(f"CAST({_fold_sql('CAST(doc_id AS STRING)')} AS BIGINT)")
+    fold = F.expr(f"CAST({_fold_sql_spark('CAST(group_id AS STRING)')} AS BIGINT)")
+    naive = F.expr(f"CAST({_fold_sql_spark('CAST(doc_id AS STRING)')} AS BIGINT)")
     return grouped.select(
         "doc_id",
         "group_id",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread  # noqa: F401 — spread re-exported
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .helpers import T
+from .helpers import T, spread
 from .registry import query
 
 
@@ -77,7 +77,7 @@ def bigram_lm_quality_ppm(spark, sf_dir):
     avg_cond_ppm / high hapax share marks text far from the corpus
     distribution: the documents a CCNet-style perplexity gate would cut
     or down-weight."""
-    docs = T(spark, sf_dir, "documents").select(
+    docs = spread(T(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("w")
     )
     bigrams = (

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..checkpoints import ckpt
-from .helpers import T
+from .helpers import T, spread
 from .registry import query
 
 # BM25 query term set — a fixed conjunction-free keyword query against the
@@ -97,7 +97,7 @@ def bm25_topk_retrieval(spark, sf_dir):
     final score is one grouped DECIMAL(38,6) sum. Shuffles: postings
     groupBy(doc_id, term) + 3-row idf groupBy + final per-doc groupBy —
     all independent of text size."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("dl"),
@@ -240,7 +240,7 @@ def winnowing_fingerprints(spark, sf_dir):
     compares on bounded-length documents; at 100 TB it is embarrassingly
     parallel and scan-bound."""
     cols = _win_spark_cols()
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.expr(cols["grams"]).alias("h")
     )
@@ -336,7 +336,7 @@ def winnowing_match_pairs(spark, sf_dir):
     cols = _win_spark_cols()
     from pyspark.sql import Window as W
 
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.expr(cols["grams"]).alias("h")
     )
@@ -455,7 +455,7 @@ def winnowing_match_spans(spark, sf_dir):
     from pyspark.sql import Window as W
 
     k, w = _WIN_K, _WIN_W
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.expr(cols["grams"]).alias("h")
     )
@@ -598,7 +598,7 @@ def rrf_retrieval_fusion(spark, sf_dir):
     fuses the bounded top-k lists each system already returns, so the
     window is k-sized per query; the registered query ranks the full
     pool because the oracle tier is exact by contract."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("dl"),
@@ -729,7 +729,7 @@ def ranking_kendall_tau(spark, sf_dir):
     Scale: identical candidate-pool shape to the RRF query; the pair
     comparison lives on the union of two top-{_RRF_K} lists (≤ 2k items,
     ≤ 2k² pairs at ANY corpus) — bounded output, bounded compare."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("dl"),

@@ -59,11 +59,11 @@ def lineitem_hash_sample(spark, sf_dir):
     shard order): (l_orderkey, l_linenumber, l_returnflag,
     l_extendedprice, h). The `partitions` read guard applies — the
     sample is corpus-sized/8 and feeds window shuffles downstream."""
-    from .sketches import _HEX8
+    from .sketches import _HEX8_SPARK
 
     def build():
         li = T(spark, sf_dir, "lineitem")
-        hexpr = _HEX8.format(
+        hexpr = _HEX8_SPARK.format(
             v="concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))"
         )
         return li.select(

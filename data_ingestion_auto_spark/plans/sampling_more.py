@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..checkpoints import ckpt
 from .helpers import T
 from .registry import query
-from .sketches import _HEX8
+from .sketches import _HEX8, _HEX8_SPARK
 
 _K = 32
 
@@ -51,9 +51,11 @@ _K = 32
 # overflow at 2 KB before). Values are bit-identical to the naive form
 # wherever that form didn't overflow (multiplication commutes).
 _H = f"({_HEX8.format(v='doc_id')} + 1)"
+# Spark twin of _H (conv() decode, bit-equal — sketches._HEX8_SPARK idiom)
+_H_SPARK = f"({_HEX8_SPARK.format(v='doc_id')} + 1)"
 _Q = (
-    f"(((n_chars * 4294967296) div {_H}) * 1000000"
-    f" + (((n_chars * 4294967296) % {_H}) * 1000000) div {_H})"
+    f"(((n_chars * 4294967296) div {_H_SPARK}) * 1000000"
+    f" + (((n_chars * 4294967296) % {_H_SPARK}) * 1000000) div {_H_SPARK})"
 )
 _Q_SQL = (
     f"(((n_chars * 4294967296) // {_H}) * 1000000"

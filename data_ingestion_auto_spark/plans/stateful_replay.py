@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .helpers import T
 from .registry import query
-from .timeseries import _DELAY_SEC
+from .timeseries import _DELAY_SEC, _DELAY_SEC_SPARK
 
 
 def _md5_int(prefix: str, ndigits: int) -> str:
@@ -60,10 +60,22 @@ def _md5_int(prefix: str, ndigits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _md5_int_spark(prefix: str, ndigits: int) -> str:
+    """Spark twin of _md5_int: the same value (base-16 parse of the
+    first ``ndigits`` md5 hex digits) via one conv() instead of one
+    instr/substr/multiply term per digit (the sketches._HEX8_SPARK
+    idiom). Oracles keep the portable _md5_int text."""
+    return (
+        f"CAST(conv(substr(md5(concat('{prefix}', CAST(event_id AS STRING))), "
+        f"1, {ndigits}), 16, 10) AS BIGINT)"
+    )
+
+
 # Replay delay: 1 h .. ~49 h after the event — five hex digits (0..1048575)
 # mod 172800 s, plus the 3600 s floor, so the replay always lands in a
 # LATER micro-batch than the event time itself.
 _REPLAY_DELAY_SEC = f"(3600 + ({_md5_int('r:', 5)} % 172800))"
+_REPLAY_DELAY_SEC_SPARK = f"(3600 + ({_md5_int_spark('r:', 5)} % 172800))"
 
 # The dedup KEY is an md5-scrambled image of the event id, not the id
 # itself: raw event ids are assigned in near-event-time order, so a fresh
@@ -73,6 +85,7 @@ _REPLAY_DELAY_SEC = f"(3600 + ({_md5_int('r:', 5)} % 172800))"
 # are below-floor fresh firsts, so the BOUNDED-state semantics genuinely
 # bind at the gate. Both engines compute the identical scramble.
 _SCRAMBLED_KEY = _md5_int("k:", 8)
+_SCRAMBLED_KEY_SPARK = _md5_int_spark("k:", 8)
 
 _RETENTION = 8  # small enough that eviction genuinely binds on ~70-id keys
 
@@ -133,19 +146,35 @@ def stateful_dedup_replay(spark, sf_dir):
     micro-batch on a fixture engineered to hit every verdict class
     (cross-batch dup, within-batch dup, below-floor fresh id)."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    key = F.expr(f"CAST({_SCRAMBLED_KEY} AS BIGINT)").alias("key")
-    a1 = ev.select(
-        "user_id",
-        key,
-        F.expr(f"timestampadd(SECOND, {_DELAY_SEC}, ts)").alias("arr"),
-    )
-    a2 = ev.select(
-        "user_id",
-        key,
-        F.expr(f"timestampadd(SECOND, {_REPLAY_DELAY_SEC}, ts)").alias("arr"),
-    )
-    arr = a1.unionByName(a2).select(
-        "user_id", "key", F.date_trunc("hour", F.col("arr")).alias("batch_h")
+    # ONE scan, ONE wide exchange (optimization r13, guide §2.3/§2.4):
+    # the old two-branch union scanned events twice and recomputed the
+    # 8-digit md5 scramble per branch — and because the occ/firsts
+    # self-join consumers each re-planned that union subtree, the
+    # physical plan scanned events SIX times. Now the scramble is
+    # computed once per event, both deterministic arrivals explode from
+    # the same row, and the single repartition("user_id") below is the
+    # exchange every downstream aggregation and the bounded self-join
+    # reuse (hash(user_id) satisfies their clustering).
+    # repartition the RAW narrow rows first: the md5 scramble and the
+    # arrival explode then run AFTER the exchange on every core, instead
+    # of being fused into the (single-row-group, single-task) scan stage
+    # explicit partition count: AQE would coalesce this exchange to 1
+    # from its tiny PRE-explode byte size (the shingles-operator rule),
+    # serializing the md5/explode work that runs after it
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arr = (
+        ev.repartition(nparts, "user_id")
+        .select(
+            "user_id",
+            F.expr(f"CAST({_SCRAMBLED_KEY_SPARK} AS BIGINT)").alias("key"),
+            F.explode(
+                F.expr(
+                    f"array(timestampadd(SECOND, {_DELAY_SEC_SPARK}, ts),"
+                    f" timestampadd(SECOND, {_REPLAY_DELAY_SEC_SPARK}, ts))"
+                )
+            ).alias("arr"),
+        )
+        .select("user_id", "key", F.date_trunc("hour", F.col("arr")).alias("batch_h"))
     )
     occ = arr.groupBy("user_id", "key", "batch_h").agg(F.count("*").alias("m"))
     firsts = occ.groupBy("user_id", "key").agg(F.min("batch_h").alias("b0"))

@@ -89,6 +89,13 @@ _DELAY_SEC = (
     " + (instr('0123456789abcdef', substr(md5(CAST(event_id AS STRING)), 3, 1)) - 1)) % 3600)"
 )
 
+# Spark twin: same value (base-16 parse of the first 3 md5 hex digits)
+# via one conv() — the sketches._HEX8_SPARK idiom; oracles keep the
+# portable instr text above.
+_DELAY_SEC_SPARK = (
+    "(CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 3), 16, 10) AS BIGINT) % 3600)"
+)
+
 
 @query(
     "watermark_late_drop_replay",
@@ -150,7 +157,9 @@ def watermark_late_drop_replay(spark, sf_dir):
     b = ev.select(
         "event_id",
         "ts",
-        F.date_trunc("hour", F.expr(f"timestampadd(SECOND, {_DELAY_SEC}, ts)")).alias("batch_h"),
+        F.date_trunc("hour", F.expr(f"timestampadd(SECOND, {_DELAY_SEC_SPARK}, ts)")).alias(
+            "batch_h"
+        ),
     )
     bm = b.groupBy("batch_h").agg(F.max("ts").alias("bmax"))
     w = Window.orderBy("batch_h").rowsBetween(Window.unboundedPreceding, -1)

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .helpers import T
+from .helpers import T, spread
 from ..checkpoints import ckpt
 from .registry import query
 
@@ -149,7 +149,7 @@ def bpe_merges_with_r(spark, sf_dir, r_rounds: int):
     round 10) — there is no unrolled plan to outgrow the optimizer,
     because the unroll exists only in the DuckDB gate."""
     words = (
-        T(spark, sf_dir, "documents")
+        spread(T(spark, sf_dir, "documents"))
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -267,7 +267,7 @@ def bpe_encode_token_budget(spark, sf_dir):
     deliberately NOT broadcast-hinted: a web-scale vocab is GBs, and AQE
     should decide (the batch_ngram_novelty rule). The per-lang aggregate
     carries integer sums only; compression is one exact IEEE division."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")

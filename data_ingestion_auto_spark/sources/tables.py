@@ -63,6 +63,59 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a SCAN-STARVED input across the cluster before heavy
+    map-side compute (optimization r13; guide §2.5 "input skew: one huge
+    unsplittable file … otherwise repartition immediately after the
+    read"). Spark fuses per-row work (md5, shingle explodes, array
+    lambdas) into the scan stage, so its parallelism is the SCAN's: the
+    local fixtures are single-row-group parquet files, which no conf can
+    split — every text query was running its whole tokenize/hash phase
+    as ONE task on a 32-core host (measured: winnowing_fingerprints
+    2.9 s → 1.2 s from this alone).
+
+    Scale-adaptive, not a local[32] tune: the estimated scan task count
+    (Σ ceil(file_size / maxPartitionBytes)) is compared against the
+    session's default parallelism, and the repartition only fires when
+    the scan genuinely cannot feed the cluster — at real scale inputs
+    arrive as many files/row groups and this is a no-op. Unknown
+    schemes/sizes (object stores) are treated as "parallel enough".
+    Round-robin repartition is retry-deterministic (Spark sorts before
+    round-robin partitioning, SPARK-23207), and every consumer is
+    input-order-insensitive by construction (each oracled query already
+    hash-matches DuckDB, which aggregates in a different order)."""
+    import math
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if par <= 1:
+        return df
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+        max_split = int(raw.lower().rstrip("b")) or 1
+    except ValueError:
+        max_split = 128 * 1024 * 1024
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — no scan relation (e.g. local rows)
+        return df
+    est_tasks = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df  # remote store: size unknown, assume splittable
+        try:
+            est_tasks += max(
+                1, math.ceil(os.path.getsize(f[len("file:") :]) / max_split)
+            )
+        except OSError:
+            return df
+        if est_tasks >= par:
+            return df
+    if est_tasks >= par or not files:
+        return df
+    return df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
