@@ -74,24 +74,28 @@ def boilerplate_ngram_mass(spark, sf_dir):
     independent of corpus size, hence explicitly broadcast; docs with
     fewer than 3 words report 0/0/0 via the left join."""
     docs = spread(T(spark, sf_dir, "documents"))
-    g = ckpt(
-        docs.select(
-            "doc_id", F.explode(F.expr(_GRAM_SQL_SPARK)).alias("gh")
-        )
-    )
+    g = docs.select("doc_id", F.explode(F.expr(_GRAM_SQL_SPARK)).alias("gh"))
+    # ONE exchange feeds everything (optimization r13, the _doc_ppm
+    # pattern): the per-(doc, gram) count frame is the checkpointed cut;
+    # document frequency is its per-gram row count (no countDistinct
+    # Expand over the instance rows), and the per-doc mass re-derives
+    # via c / c·is_b sums — same values, smaller materialized state.
+    dgc = ckpt(g.groupBy("doc_id", "gh").agg(F.count("*").alias("c")))
     ndocs = docs.groupBy().agg(F.count("*").cast("bigint").alias("n"))
-    df = g.groupBy("gh").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    df = dgc.groupBy("gh").agg(F.count("*").cast("bigint").alias("df"))
     bl = (
         df.crossJoin(F.broadcast(ndocs))
         .filter((F.col("df") * 1000 >= F.col("n") * 5) & (F.col("df") >= 2))
         .select("gh", F.lit(1).alias("is_b"))
     )
     per = (
-        g.join(F.broadcast(bl), "gh", "left")
+        dgc.join(F.broadcast(bl), "gh", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum(F.coalesce("is_b", F.lit(0))).cast("bigint").alias("n_boiler"),
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.coalesce("is_b", F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
         )
     )
     return (

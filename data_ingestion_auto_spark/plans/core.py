@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .helpers import REVENUE, T, dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from .helpers import REVENUE, T, dec_avg, dec_sum, spread, sql_dec_avg, sql_dec_sum
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -59,11 +59,22 @@ def flagship_revenue_anomaly(spark, sf_dir):
     broadcast while it fits (it does at bench scale; the plan pin
     asserts the realized BroadcastHashJoin) and degrades to a shuffle
     join at the scale where a forced broadcast would be the bug. The
-    per-(segment, month-of-year) normals table is structurally tiny
-    (≤ 5×12 rows at any scale) and keeps its hint — the climatology join
-    never shuffles regardless of data volume.
+    per-(segment, month-of-year) climatology normal is a PARTITION
+    WINDOW over the monthly aggregate (optimization r13) — the old
+    groupBy + broadcast self-join re-planned the whole join subtree
+    under both branches (six scans); the window computes the identical
+    dec_avg arithmetic in one pass and is partitioned (≤ 5×12 groups,
+    never a single-partition window).
     """
-    li = T(spark, sf_dir, "lineitem")
+    # lineitem is pruned to the 3 needed columns and scan-spread before
+    # the join (optimization r13: the fixture file is one row group, so
+    # the join + partial aggregation otherwise fuse into a single task;
+    # no-op at real multi-file scale)
+    li = spread(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+    )
     od = T(spark, sf_dir, "orders")
     cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = (
@@ -77,15 +88,30 @@ def flagship_revenue_anomaly(spark, sf_dir):
         )
     )
     monthly = joined.groupBy("mktsegment", "month", "moy").agg(dec_sum("rev", "revenue"))
-    normal = monthly.groupBy("mktsegment", "moy").agg(dec_avg("revenue", "normal_revenue", 2))
+    # Climatology normal as a PARTITION WINDOW over the monthly frame
+    # (optimization r13, guide §2.4): the old groupBy + broadcast-join
+    # form re-planned the whole lineitem⋈orders⋈customer + monthly
+    # subtree under BOTH join branches — six scans for one logical pass.
+    # The window computes dec_avg's EXACT arithmetic (decimal micro-unit
+    # sum, integer round-half-away, one IEEE divide — helpers._avg_sql)
+    # partitioned by (mktsegment, moy): identical values, one subtree,
+    # and never a single-partition window.
+    wspec = "PARTITION BY mktsegment, moy"
+    s = f"CAST(sum(CAST(revenue AS DECIMAL(38,6))) OVER ({wspec}) * 1000000 AS BIGINT)"
+    n = f"count(revenue) OVER ({wspec})"
+    m = 10 ** (6 - 2)
+    sgn = f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
+    mag = f"((2 * abs({s}) + {n} * {m}) div (2 * {n} * {m}))"
+    normal = f"CAST(({sgn} * {mag} * {m}) AS DOUBLE) / 1000000.0"
     return (
-        monthly.join(F.broadcast(normal), ["mktsegment", "moy"])
-        .select(
+        monthly.select(
             "mktsegment",
             "month",
             "revenue",
-            "normal_revenue",
-            F.round(F.col("revenue") - F.col("normal_revenue"), 2).alias("anomaly"),
+            F.expr(normal).alias("normal_revenue"),
+        )
+        .withColumn(
+            "anomaly", F.round(F.col("revenue") - F.col("normal_revenue"), 2)
         )
         .orderBy("mktsegment", "month")
     )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..checkpoints import ckpt
-from .helpers import T
+from .helpers import T, spread
 from .registry import query
 
 # Shared SQL fragments for the oracle side (DuckDB).
@@ -674,7 +674,7 @@ def chunk_minhash_neardup(spark, sf_dir):
     near-dup links connect them. Same linear shuffle structure as
     ``minhash_lsh_candidates``, just on ~len/12× more keys — at 100 TB
     the chunk tier costs one more explode, not a new algorithm."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     chunks = docs.select(
         "doc_id",
         F.posexplode(
@@ -801,6 +801,11 @@ def neardup_levenshtein_confirm(spark, sf_dir):
         .drop("vrk", "n_bands")
         .transform(ckpt)  # docs x 20 rows: data-sized -> durable cut
     )
+    # spread the prefix scans (optimization r13): the banded-Levenshtein
+    # DP below executes in the stage that scans documents — a single
+    # task on the one-row-group fixture — so the whole verify rung was
+    # single-threaded; no-op at real multi-file scale
+    docs = spread(docs)
     da = docs.select(F.col("doc_id").alias("a"), F.substring("text", 1, 200).alias("ta"))
     db = docs.select(F.col("doc_id").alias("b"), F.substring("text", 1, 200).alias("tb"))
     # Banded Levenshtein with threshold 80 = 0.4 × the 200-char prefix —

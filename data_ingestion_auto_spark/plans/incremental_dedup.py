@@ -95,7 +95,14 @@ def incremental_lsh_dedup_assign(spark, sf_dir):
     earlier batch members), or itself if new-unique. See module
     docstring for the production index mapping."""
     docs = T(spark, sf_dir, "documents")
-    banded = D.band_signature(D.minhash_signature(D.shingles(docs, distinct=False)))
+    # band the MEMOIZED canonical signature table (optimization r13):
+    # identical signature definition (char-5-gram shingles,
+    # distinct=False, 16 perms, 4×4 banding), and exactly the module
+    # docstring's production story — the index is a stored per-corpus
+    # artifact, not something an ingest batch recomputes.
+    from .dedup import corpus_minhash_sig
+
+    banded = D.band_signature(corpus_minhash_sig(spark, sf_dir))
     is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1", "2", "3"
     )

@@ -77,6 +77,23 @@ def bigram_lm_quality_ppm(spark, sf_dir):
     avg_cond_ppm / high hapax share marks text far from the corpus
     distribution: the documents a CCNet-style perplexity gate would cut
     or down-weight."""
+    return _doc_ppm(spark, sf_dir).orderBy("doc_id")
+
+
+def _doc_ppm(spark, sf_dir):
+    """The per-document (doc_id, n_bigrams, avg_cond_ppm,
+    n_hapax_bigrams) frame both LM-quality queries share (the oracle's
+    doc_ppm CTE), UNordered — `bigram_lm_quality_ppm` adds its
+    presentation sort; `ccnet_quality_buckets` joins it directly without
+    paying that range exchange.
+
+    Optimization r13 (guide §2.3/§2.4): ONE bigram explode and ONE
+    exchange feed the whole model. The per-(doc, bigram) count frame is
+    checkpointed and every distribution derives from it — the old form
+    re-ran the corpus bigram explode for c2, c1 AND the scoring join
+    (three subtrees) and equi-joined corpus-sized instance rows twice.
+    Exact equivalences: n1 = Σ_w2 n2; per-doc Σ over instances of
+    ppm/hapax = Σ over distinct doc-bigrams of c·ppm / c·hapax."""
     docs = spread(T(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("w")
     )
@@ -93,36 +110,39 @@ def bigram_lm_quality_ppm(spark, sf_dir):
             F.element_at("w", F.col("i") + 1).alias("w2"),
         )
     )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("n1"))
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .select(
-            "doc_id",
-            F.expr("(n2 * 1000000) div n1").alias("ppm"),
-            F.when(F.col("n2") == 1, 1).otherwise(0).alias("hapax"),
-        )
+    from ..checkpoints import ckpt
+
+    doc_bg = ckpt(bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c")))
+    c2 = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    # vocab-sized model; NOT broadcast-hinted — a web-scale bigram vocab
+    # is GBs (the tokenizer rule), AQE decides while it fits
+    model = c2.join(c1, "w1")
+    scored = doc_bg.join(model, ["w1", "w2"]).select(
+        "doc_id",
+        (F.col("c") * F.expr("(n2 * 1000000) div n1")).alias("ppm_sum"),
+        F.col("c").alias("n_inst"),
+        (F.col("c") * F.when(F.col("n2") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("ppm_sum").alias("ppm_sum"),
+        F.sum("n_inst").alias("n_inst"),
+        F.sum("hapax").alias("hapax"),
     )
     return (
         docs.select("doc_id", F.greatest(F.size("w") - 1, F.lit(0)).alias("nb"))
-        .join(scored, "doc_id", "left")
-        .groupBy("doc_id", "nb")
-        .agg(
-            F.expr(
-                "CASE WHEN count(ppm) = 0 THEN 0 ELSE sum(ppm) div count(ppm) END"
-            )
-            .cast("bigint")
-            .alias("avg_cond_ppm"),
-            F.coalesce(F.sum("hapax"), F.lit(0)).cast("bigint").alias("n_hapax_bigrams"),
-        )
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.col("nb").cast("bigint").alias("n_bigrams"),
-            "avg_cond_ppm",
-            "n_hapax_bigrams",
+            F.expr(
+                "CASE WHEN coalesce(n_inst, 0) = 0 THEN 0"
+                " ELSE ppm_sum div n_inst END"
+            )
+            .cast("bigint")
+            .alias("avg_cond_ppm"),
+            F.coalesce(F.col("hapax"), F.lit(0)).cast("bigint").alias("n_hapax_bigrams"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -172,7 +192,7 @@ def ccnet_quality_buckets(spark, sf_dir):
     of corpus size."""
     from pyspark.sql import Window as W
 
-    d = bigram_lm_quality_ppm(spark, sf_dir)
+    d = _doc_ppm(spark, sf_dir)
     meta = T(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",

@@ -173,6 +173,41 @@ def _win_spark_cols() -> dict[str, str]:
     return {"grams": grams, "sel": sel, "fps": fps}
 
 
+def corpus_winnowing_fpp(spark, sf_dir):
+    """MEMOIZED winnowing fingerprint-position table — one row per
+    document: (doc_id, n_grams, fpp: array<struct<f,p>>) where fpp is
+    the DISTINCT (16-char gram-hash prefix, selected position) set (the
+    match-spans frame; a position determines its hash, so distinct
+    (f, p) ≡ distinct selected positions). This is the per-corpus
+    artifact a MOSS-style deployment stores at ingest — the
+    corpus_minhash_sig convention applied to the winnowing tier; the
+    definitional `winnowing_fingerprints` query still computes the
+    pipeline LIVE. Consumers: winnowing_match_pairs (fps =
+    distinct f of fpp), winnowing_match_spans (explodes fpp directly).
+    The ckpt-before-explode rule is inherited structurally: consumers
+    explode a PARQUET scan, so the winnowing lambdas can never be
+    re-evaluated under a Generate (the round-9 O(grams²) pathology)."""
+    from .dedup import _corpus_memo
+
+    def build():
+        cols = _win_spark_cols()
+        docs = spread(T(spark, sf_dir, "documents"))
+        g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+            "doc_id", F.expr(cols["grams"]).alias("h")
+        )
+        s = g.select("doc_id", "h", F.expr(cols["sel"]).alias("sel"))
+        return s.select(
+            "doc_id",
+            F.size("h").cast("bigint").alias("n_grams"),
+            F.expr(
+                "array_distinct(transform(sel, p -> "
+                "named_struct('f', substring(element_at(h, p), 1, 16), 'p', p)))"
+            ).alias("fpp"),
+        )
+
+    return _corpus_memo(spark, sf_dir, "winfp", build)
+
+
 def _win_cte() -> str:
     """The shared winnowing CTE chain ending at `f` (doc_id, n_grams,
     sel, fps) — composed by both the fingerprint query's oracle and the
@@ -333,31 +368,24 @@ def winnowing_match_pairs(spark, sf_dir):
     quadratic; the capped fingerprint table is checkpointed once and
     both join sides read it, so the corpus text is scanned exactly
     once."""
-    cols = _win_spark_cols()
     from pyspark.sql import Window as W
 
-    docs = spread(T(spark, sf_dir, "documents"))
-    g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id", F.expr(cols["grams"]).alias("h")
+    # memoized per-corpus fingerprint table (optimization r13): fps is
+    # the distinct-f image of the stored fpp set — identical to the old
+    # live fps projection; the two construct-time localCheckpoints
+    # (winnowing compute + cap) collapse into one shared memo build.
+    # Exploding a parquet scan keeps the ckpt-before-explode guarantee.
+    fpsets = corpus_winnowing_fpp(spark, sf_dir).select(
+        "doc_id",
+        F.expr("array_sort(array_distinct(transform(fpp, x -> x.f)))").alias("fps"),
     )
-    s = g.select("doc_id", "h", F.expr(cols["sel"]).alias("sel"))
-    # Cut lineage BEFORE the explode: Generate's implicit size(fps)>0
-    # filter otherwise gets pushed through the projection chain to the
-    # scan with every lambda inlined — the grams transform re-evaluated
-    # inside each window slice turns the O(grams·w) projection into
-    # O(grams²) md5 work per document (measured 419 s vs 1.5 s on the
-    # zipf-1x fixture). The fingerprint-set frame is the natural cut:
-    # corpus-sized state both downstream join sides derive from.
-    fpsets = ckpt(s.select("doc_id", F.expr(cols["fps"]).alias("fps")))
     fp = fpsets.select(
         "doc_id",
         F.size("fps").cast("bigint").alias("n_fp"),
         F.explode("fps").alias("f"),
     )
     rn = F.row_number().over(W.partitionBy("f").orderBy("doc_id"))
-    capped = ckpt(
-        fp.withColumn("rn", rn).filter(F.col("rn") <= _MATCH_CAP).drop("rn")
-    )
+    capped = fp.withColumn("rn", rn).filter(F.col("rn") <= _MATCH_CAP).drop("rn")
     c1 = capped.select(F.col("doc_id").alias("a"), F.col("n_fp").alias("na"), "f")
     c2 = capped.select(F.col("doc_id").alias("b"), F.col("n_fp").alias("nb"), "f")
     m = (
@@ -451,33 +479,20 @@ def winnowing_match_spans(spark, sf_dir):
     capped fingerprint-bucket equi-join (dense_rank over docs keeps the
     cap semantics with multiple positions per doc-fingerprint); the
     span fold is two bounded array lambdas per pair-side."""
-    cols = _win_spark_cols()
     from pyspark.sql import Window as W
 
     k, w = _WIN_K, _WIN_W
-    docs = spread(T(spark, sf_dir, "documents"))
-    g = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id", F.expr(cols["grams"]).alias("h")
-    )
-    s = g.select("doc_id", "h", F.expr(cols["sel"]).alias("sel"))
-    # the cut happens on the fully-computed (fingerprint, position)
-    # array — the explode below must never see the winnowing lambdas
-    fppos = ckpt(
-        s.select(
-            "doc_id",
-            F.expr(
-                "array_distinct(transform(sel, p -> "
-                "named_struct('f', substring(element_at(h, p), 1, 16), 'p', p)))"
-            ).alias("fpp"),
-        )
-    )
+    # the memoized (doc_id, n_grams, fpp) table IS this query's cut
+    # frame (optimization r13): exploding a parquet scan keeps the
+    # explode-never-sees-the-winnowing-lambdas guarantee, and both
+    # self-join sides below re-derive from the same memo exchange
+    # (ReusedExchange) instead of two per-construct localCheckpoints
+    fppos = corpus_winnowing_fpp(spark, sf_dir)
     fp = fppos.select("doc_id", F.explode("fpp").alias("u")).select(
         "doc_id", F.col("u.f").alias("f"), F.col("u.p").alias("p")
     )
     rk = F.dense_rank().over(W.partitionBy("f").orderBy("doc_id"))
-    capped = ckpt(
-        fp.withColumn("rk", rk).filter(F.col("rk") <= _MATCH_CAP).drop("rk")
-    )
+    capped = fp.withColumn("rk", rk).filter(F.col("rk") <= _MATCH_CAP).drop("rk")
     c1 = capped.select(F.col("doc_id").alias("a"), "f", F.col("p").alias("pa"))
     c2 = capped.select(F.col("doc_id").alias("b"), "f", F.col("p").alias("pb"))
     sh = (

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .helpers import T
+from .helpers import T, spread
 from .registry import query
 
 _W = 20  # span width in tokens; the paper uses 50 BPE tokens at corpus scale
@@ -110,7 +110,7 @@ def exact_substring_dedup_spans(spark, sf_dir):
     ExactSubstr-cut would remove). Exact by construction; the hash
     aggregation and island merge are the scale path (see module
     docstring)."""
-    docs = T(spark, sf_dir, "documents").select(
+    docs = spread(T(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("w")
     )
     hashed = (
@@ -126,9 +126,21 @@ def exact_substring_dedup_spans(spark, sf_dir):
             F.md5(F.concat_ws(" ", F.slice("w", F.col("i") + 1, _W))).alias("h"),
         )
     )
-    dup = hashed.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    marked = hashed.join(dup, "h").select(
-        "doc_id", "i", (F.col("i") + _W - 1).alias("j")
+    # duplicated spans via ONE count window over the fingerprint
+    # partitioning (optimization r13): the old groupBy+self-join form
+    # shuffled the span-hash frame twice and re-evaluated the corpus
+    # explode+md5 subtree for both branches; the window keeps exactly
+    # the rows whose fingerprint repeats (identical multiset) in one
+    # exchange. The marked frame is the checkpointed cut both the
+    # island fold and the span count read (it was re-derived per
+    # consumer before).
+    from ..checkpoints import ckpt
+
+    wh = Window.partitionBy("h")
+    marked = ckpt(
+        hashed.withColumn("nh", F.count("*").over(wh))
+        .filter(F.col("nh") > 1)
+        .select("doc_id", "i", (F.col("i") + _W - 1).alias("j"))
     )
     prev = (
         Window.partitionBy("doc_id")
@@ -256,7 +268,7 @@ def exact_substring_cut(spark, sf_dir):
     (islands per doc are few and bounded by doc length). Text moves
     once into the reassembly groupBy — the same per-doc shuffle any
     rewrite pays."""
-    docs = T(spark, sf_dir, "documents").select(
+    docs = spread(T(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("w")
     )
     hashed = (

@@ -432,6 +432,10 @@ def q21_lone_returning_supplier(spark, sf_dir):
     suppliers); a qualifying l1 row has returnflag R, n_supp > 1 and
     n_rsupp == 1 — its supplier is then necessarily the lone returner.
     All three joins share the orderkey shuffle partitioning."""
+    # NOT scan-spread (optimization r13, measured): the extra round-robin
+    # exchange of 600k narrow rows cost more than the single-task scan it
+    # parallelized (0.99 s -> 1.75 s) — the countDistinct pair already
+    # forces an orderkey exchange right after the scan.
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
     stats = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

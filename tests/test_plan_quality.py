@@ -43,17 +43,21 @@ def test_q3_all_three_scans_filtered_and_pruned(spark, sf_dir, registry):
 def test_flagship_broadcasts_every_dimension(spark, sf_dir, registry):
     df = registry["flagship_revenue_anomaly"].spark(spark, sf_dir)
     p = _plan(spark, df, "simple")
-    # dims and normals broadcast; the only SortMergeJoin allowed is a
-    # fact-fact join (lineitem ⋈ orders)
-    assert p.count("BroadcastHashJoin") >= 3
-    # ...but the customer broadcast must come from the OPTIMIZER's size
-    # stats (static planner here, AQE at runtime), NOT a forced hint:
-    # customer is SF-proportional (150k×SF rows), and a hint would force
-    # a multi-hundred-MB driver-mediated broadcast at 100×. The only
-    # hint allowed in this plan is the structurally tiny (≤ 5×12 row)
-    # normals side.
+    # dims broadcast; the only SortMergeJoin allowed is a fact-fact join
+    # (lineitem ⋈ orders). Optimization r13: the climatology normal is a
+    # (mktsegment, moy)-partitioned window over the monthly frame, not a
+    # broadcast self-join — the whole join+monthly subtree plans ONCE
+    # (was twice), so the plan has exactly one lineitem scan, no
+    # ResolvedHint at all, and the window is never single-partition.
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("Scan parquet") == 3  # lineitem + orders + customer
+    assert "Window" in p
+    # the customer broadcast must come from the OPTIMIZER's size stats
+    # (static planner here, AQE at runtime), NOT a forced hint: customer
+    # is SF-proportional (150k×SF rows), and a hint would force a
+    # multi-hundred-MB driver-mediated broadcast at 100×.
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 1
+    assert analyzed.count("ResolvedHint") == 0
 
 
 def test_star_join_dims_broadcast_without_sf_hints(spark, sf_dir, registry):
@@ -587,8 +591,16 @@ def test_winnowing_match_pairs_lambdas_never_reach_a_scan(spark, sf_dir, registr
     reads from checkpointed state — no parquet scan, no md5/transform
     lambda anywhere downstream."""
     p = _plan(spark, registry["winnowing_match_pairs"].spark(spark, sf_dir))
-    assert "Scan parquet" not in p  # both sides read the checkpointed frames
-    assert "md5(" not in p and "transform(" not in p
+    # optimization r13: the cut frame is the memoized per-corpus winfp
+    # parquet (corpus_winnowing_fpp) — the only scans allowed are memo
+    # reads, and the winnowing gram/selection lambdas (md5 over sliced
+    # grams) exist nowhere in the plan. The bounded per-row projection
+    # of fps = distinct f of the STORED fpp array rightly remains.
+    import re as _re
+
+    for path in _re.findall(r"Location: \S*\[([^\]]*)\]", p):
+        assert "spark_graft_winfp" in path, path
+    assert "md5(" not in p and "slice(" not in p and "concat_ws(" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -657,7 +669,13 @@ def test_winnowing_match_spans_lambdas_never_reach_a_scan(spark, sf_dir, registr
     filter() lambdas over the bounded per-pair position arrays are the
     span machinery itself and rightly remain.)"""
     p = _plan(spark, registry["winnowing_match_spans"].spark(spark, sf_dir))
-    assert "Scan parquet" not in p
+    # optimization r13: the (fingerprint, position) cut frame is the
+    # memoized winfp parquet — only memo scans allowed, and no md5
+    # winnowing lambda anywhere downstream of the explode.
+    import re as _re
+
+    for path in _re.findall(r"Location: \S*\[([^\]]*)\]", p):
+        assert "spark_graft_winfp" in path, path
     assert "md5(" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
