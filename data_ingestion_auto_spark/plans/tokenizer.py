@@ -97,22 +97,23 @@ _PAIRS = (
 )
 
 
-def _merge_apply(words: DataFrame, best: DataFrame, extra: tuple = ()) -> DataFrame:
+def _merge_apply(words: DataFrame, ls: str, rs: str, extra: tuple = ()) -> DataFrame:
     """Rewrite every vocab word by merging the round's best pair (the
     space-doubling replace; see module docstring). ``extra`` columns
     pass through untouched (the encode query carries the original
-    word alongside)."""
-    b = F.broadcast(best.select(F.col("ls").alias("_bl"), F.col("rs").alias("_br")))
+    word alongside).
+
+    Optimization r13: the best pair arrives as PYTHON STRINGS (one
+    bounded model row per round, collected like the IVF centroids)
+    instead of a 1-row DataFrame — the literal replace removes the
+    per-round crossJoin + broadcast build from every plan."""
     doubled = F.concat(F.lit(" "), F.replace(F.col("sym"), F.lit(" "), F.lit("  ")), F.lit(" "))
-    pat = F.concat(F.lit(" "), F.col("_bl"), F.lit("  "), F.col("_br"), F.lit(" "))
-    rep = F.concat(F.lit(" "), F.col("_bl"), F.col("_br"), F.lit(" "))
-    return (
-        words.crossJoin(b)
-        .select(
-            *extra,
-            F.trim(F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))).alias("sym"),
-            "cnt",
-        )
+    pat = F.lit(f" {ls}  {rs} ")
+    rep = F.lit(f" {ls}{rs} ")
+    return words.select(
+        *extra,
+        F.trim(F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))).alias("sym"),
+        "cnt",
     )
 
 
@@ -172,21 +173,20 @@ def bpe_merges_with_r(spark, sf_dir, r_rounds: int):
             .groupBy("ls", "rs")
             .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
         )
-        best = pair_counts.orderBy(F.desc("pair_count"), "ls", "rs").limit(1).localCheckpoint()
-        merges.append(
-            best.select(
-                F.lit(r).alias("merge_rank"),
-                F.col("ls").alias("left_sym"),
-                F.col("rs").alias("right_sym"),
-                F.concat("ls", "rs").alias("merged"),
-                "pair_count",
-            )
-        )
+        # One bounded model row per round (the argmax), collected like
+        # the IVF centroids; the old 1-row localCheckpoint was an action
+        # too, so the job count per round is unchanged.
+        best = pair_counts.orderBy(F.desc("pair_count"), "ls", "rs").limit(1).collect()
+        if not best:
+            break
+        ls, rs, pc = best[0]["ls"], best[0]["rs"], best[0]["pair_count"]
+        merges.append((r, ls, rs, ls + rs, pc))
         if r < r_rounds:
-            words = ckpt(_merge_apply(words, best))
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
+            words = ckpt(_merge_apply(words, ls, rs))
+    out = spark.createDataFrame(
+        merges,
+        "merge_rank INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
+    )
     return out.orderBy("merge_rank")
 
 
@@ -288,12 +288,10 @@ def bpe_encode_token_budget(spark, sf_dir):
             .groupBy("ls", "rs")
             .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
         )
-        best = (
-            pair_counts.orderBy(F.desc("pair_count"), "ls", "rs")
-            .limit(1)
-            .localCheckpoint()
-        )
-        words = ckpt(_merge_apply(words, best, extra=("word",)))
+        best = pair_counts.orderBy(F.desc("pair_count"), "ls", "rs").limit(1).collect()
+        if not best:
+            break
+        words = ckpt(_merge_apply(words, best[0]["ls"], best[0]["rs"], extra=("word",)))
     vocab = words.select(
         "word", F.size(F.split("sym", " ")).cast("bigint").alias("n_sym")
     )

@@ -452,8 +452,9 @@ def test_ann_recall_and_canonical_keep_no_cartesian(spark, sf_dir, registry):
 def test_bpe_and_countmin_single_corpus_scan(spark, sf_dir, registry):
     """bpe_merge_steps: the corpus feeds exactly one word-frequency
     aggregation which is localCheckpoint-ed — every merge round runs on
-    vocab-sized data and the final plan carries NO parquet scan (the
-    1-row best-pair sides are broadcast, so their cross joins are free).
+    vocab-sized data and the final plan carries NO parquet scan (r13:
+    each round's 1-row best pair is collected as bounded model state and
+    the merge table is a driver-local relation, so no crossJoin remains).
     countmin_heavy_hitters: the token-exact aggregation is checkpointed
     for the same reason (its subtree feeds both the cell aggregation and
     the probe join); the cells join is equi on (r, col). Both corpus
