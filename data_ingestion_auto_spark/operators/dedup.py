@@ -248,14 +248,24 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    hops_per_round: int = 4,
+    jumps_per_round: int = 2,
 ) -> DataFrame:
     """Connected components over a near-dup pair list via min-label
     propagation with pointer jumping: every node starts labeled with
-    itself; each materialized round takes 3 neighbour-minimum HOPS
-    (edge joins — unconditional frontier advance) followed by 3 pointer
-    JUMPS (``label ← label(label)``, labels-only self-joins — chain
-    compression when label chains align, a no-op when they stall on a
-    node that hasn't learned a smaller label yet). The round-2 advisor
+    itself; each materialized round takes ``hops_per_round``
+    neighbour-minimum HOPS (edge joins — unconditional frontier advance)
+    followed by ``jumps_per_round`` pointer JUMPS (``label ←
+    label(label)``, labels-only self-joins — chain compression when
+    label chains align, a no-op when they stall on a node that hasn't
+    learned a smaller label yet). The defaults are the measured optimum
+    of the round-13 sweep (tools/cc_probe.py at sf0.1, label tables
+    verified identical across all shapes): 4:2 ≈ 8 s vs the old 3:3's
+    9.2 s and a pathological 22 s+ at 8:0 — each extra hop doubles the
+    references into the round's lazy subtree (the estimate-compounding
+    hazard in lesson 2 below bounds how deep a round can go), while
+    more rounds pay more parquet round-trips; 4 hops + 2 jumps is the
+    saddle. The round-2 advisor
     was right that the old ``max_iter=10`` hop-only loop silently
     returned split components: measured at sf0.1, the corpus pair
     graph's giant component has eccentricity 18 from its min node, so
@@ -268,10 +278,10 @@ def connected_components(
     per-round job.
 
     Non-convergence within ``max_iter`` RAISES instead of returning
-    wrong labels; the default cap of 20 rounds GUARANTEES diameter ≥60
-    (3 links × 20 rounds, jumps usually reach much further) — beyond any
+    wrong labels; the default cap of 20 rounds GUARANTEES diameter ≥80
+    (4 links × 20 rounds, jumps usually reach much further) — beyond any
     plausible near-dup graph, whose components are dense boilerplate
-    clusters, not 60-link chains.
+    clusters, not 80-link chains.
 
     The canonical-assignment operator the single-pass min-neighbour
     approximation (embedding_neardup_dedup) converges to. Each round is
@@ -365,8 +375,6 @@ def connected_components(
         # (tools/soak.py, SCALE.md) exercises this on a 10× corpus
         # including a near-cap hot bucket: round count stays
         # diameter-bound, independent of data volume.
-        hops_per_round = 3
-        jumps_per_round = 3
         changed = -1
         for rnd in range(max_iter):
             # `prev` carries the round-start label through the hop+jump
@@ -395,8 +403,10 @@ def connected_components(
             # jump references its input twice, so the chain holds 2^jumps
             # references to the hop subtree — materialize hop FIRST so
             # the 8 references scan a small parquet file, not 8
-            # re-executions of the edge join.
-            hop = materialize(hop, f"hop_{rnd}")
+            # re-executions of the edge join. With no jumps there is no
+            # multi-reference, so the round needs only the labels write.
+            if jumps_per_round > 0:
+                hop = materialize(hop, f"hop_{rnd}")
             for _j in range(jumps_per_round):
                 ptr = hop.select(
                     F.col("node").alias("pnode"), F.col("label").alias("plabel")

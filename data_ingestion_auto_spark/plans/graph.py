@@ -408,6 +408,16 @@ def kcore_survivors(pairs, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS):
         )
     )
     surv = edges.select("u").distinct()
+    # Optimization r13 (guide §1.2 — don't compute things you throw
+    # away): peeling is monotone (surv_{r+1} ⊆ surv_r, both joins draw u
+    # and v from the prior survivor set), so an unchanged survivor COUNT
+    # means an unchanged survivor SET and every later round is the
+    # identity — stop there instead of paying the remaining ckpt jobs of
+    # the fixed unroll (the registered R=10 converges at 7 on the sf0.1
+    # graph). The count is one cheap job over the just-checkpointed
+    # frame; the returned fixpoint is bit-identical to the full unroll
+    # (pinned by tests/test_kcore.py's rounds-10-vs-12 equality).
+    prev_n = None
     for _ in range(rounds):
         e = edges.join(surv, "u").join(surv.select(F.col("u").alias("v")), "v")
         surv = ckpt(
@@ -416,6 +426,10 @@ def kcore_survivors(pairs, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS):
             .filter(F.col("deg") >= k)
             .select("u")
         )
+        n = surv.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return edges, surv
 
 

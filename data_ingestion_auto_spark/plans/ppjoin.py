@@ -89,7 +89,12 @@ def _ordered_sets(spark, sf_dir):
 
 
 def _build_ordered_sets(spark, sf_dir):
-    docs_raw = T(spark, sf_dir, "documents")
+    from ..sources.tables import spread
+
+    # spread BEFORE the 3-gram explode (optimization r13): the explode
+    # fuses into the scan stage, and the fixture's one-row-group file
+    # would otherwise run the whole tokenize phase as a single task.
+    docs_raw = spread(T(spark, sf_dir, "documents"))
     w = docs_raw.select("doc_id", F.split("text", " ").alias("w"))
     gram = (
         "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "

@@ -62,7 +62,14 @@ def lineitem_hash_sample(spark, sf_dir):
     from .sketches import _HEX8_SPARK
 
     def build():
-        li = T(spark, sf_dir, "lineitem")
+        from ..sources.tables import spread
+
+        # spread BEFORE the md5 projection (optimization r13, the
+        # single-row-group systemic fix): without it the whole per-row
+        # hash runs inside the one scan task and the memo's
+        # `partitions=` repartition only spreads the already-computed
+        # rows.
+        li = spread(T(spark, sf_dir, "lineitem"))
         hexpr = _HEX8_SPARK.format(
             v="concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))"
         )

@@ -167,6 +167,21 @@ def tile_listing_filter(spark, sf_dir):
     deterministically from orders on both sides.
     """
     od = T(spark, sf_dir, "orders")
+    # Optimization r13 (guide §2.3 — project/filter before the exchange):
+    # the post-split predicates are pure functions of the key columns —
+    # parts[3]='h05v03' <=> orderkey%6=5 AND custkey%6=3; parts[5]='hdf'
+    # with size=5 <=> ext token index orderkey%4 IN (0,3) ('hdf.xml'
+    # splits to 6 parts, 'jpg' fails the ext test); parts[1]='MOD13Q1'
+    # always holds. Applying the implied key filter BEFORE format_string
+    # means only the ~1/72 surviving rows pay the printf + split + the
+    # original (kept, now-redundant) string filter and the distinct
+    # shuffles ~2k rows instead of 150k. Result is identical: the
+    # pre-filter is exactly the key image of the kept string predicate.
+    od = od.filter(
+        (F.col("o_orderkey") % 6 == 5)
+        & (F.col("o_custkey") % 6 == 3)
+        & ((F.col("o_orderkey") % 4).isin(0, 3))
+    )
     listing = od.select(
         F.format_string(
             "MOD13Q1.A%04d%03d.h%02dv%02d.061.%s",

@@ -83,8 +83,27 @@ def q2_min_cost_supplier(spark, sf_dir):
     parts = T(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
     )
+    # Optimization r13 (guide §3.2 — reduce the big side before
+    # shuffling it): the part filter (STANDARD, size<=10, ~1/25 of part)
+    # and the EUROPE supplier slice (~1/5) only ever DROP whole
+    # (partkey, suppkey) groups downstream of the catalog aggregate —
+    # min-per-group is untouched by removing other groups — so both
+    # prune as broadcast semi-joins BEFORE the groupBy: the catalog
+    # exchange carries ~1/125 of lineitem instead of all of it. The
+    # attribute joins below are unchanged (they now match every
+    # surviving row by construction).
     cat = (
         li.filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )

@@ -436,24 +436,48 @@ def q21_lone_returning_supplier(spark, sf_dir):
     # exchange of 600k narrow rows cost more than the single-task scan it
     # parallelized (0.99 s -> 1.75 s) — the countDistinct pair already
     # forces an orderkey exchange right after the scan.
+    #
+    # Optimization r13, second pass (guide §2.3 "aggregate before you
+    # shuffle"): the old plan joined the ROW-LEVEL l1 frame (every R
+    # line) against od and the stats aggregate, so the join stages
+    # carried lineitem-sized inputs. But the only row-level fact the
+    # final count needs is HOW MANY R lines each order has — and in a
+    # qualifying order (n_rsupp == 1) every R line belongs to the same
+    # supplier, so max(suppkey over R lines) IS that lone supplier.
+    # Everything therefore collapses to ONE aggregate over lineitem
+    # (grouped by orderkey, carrying n_supp / n_rsupp / n_r_rows /
+    # r_supp) joined to order-level od and the supplier dim: numwait =
+    # sum of n_r_rows per lone supplier — the identical multiset of
+    # counted rows, proven by the unchanged oracle hash.
+    # Two-level aggregation, NOT countDistinct: mixing two distinct
+    # aggregates with the row counters would plan an Expand×3 (every
+    # lineitem row tripled through the exchange — measured 2.5 s vs the
+    # old 2.1 s). Level 1 collapses to one row per (orderkey, suppkey)
+    # with its R-line count (map-side combinable); level 2 derives all
+    # four order stats from the pair frame: n_supp = pairs per order,
+    # n_rsupp = pairs with any R line, n_r_rows = Σ per-pair R lines,
+    # r_supp = the lone returner (max over the single qualifying pair).
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_rsupp"),
+    is_r = F.col("l_returnflag") == "R"
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("n_r")
+    )
+    has_r = F.col("n_r") > 0
+    stats = per.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(has_r, 1).otherwise(0)).alias("n_rsupp"),
+        F.sum("n_r").alias("n_r_rows"),
+        F.max(F.when(has_r, F.col("l_suppkey"))).alias("r_supp"),
     )
     od = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(od, l1.l_orderkey == od.o_orderkey)
-        .join(stats, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1))
+        stats.filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1))
+        .join(od, stats.l_orderkey == od.o_orderkey)
         # supplier is SF-proportional — no hint, AQE decides.
-        .join(su, l1.l_suppkey == su.s_suppkey)
+        .join(su, F.col("r_supp") == su.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_rows").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
