@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..sources.gribsim import decode_grid_files, encode_message
+from .helpers import sort_small
 from .registry import query
 from .warp import DENSE_CTES, _dense_grid
 
@@ -112,10 +113,11 @@ def binary_grid_decode_roundtrip(spark, sf_dir):
     cfgrib/GDAL is the documented one-function change."""
     base = _ensure_sgb_fixture(spark, sf_dir)
     bins = spark.read.format("binaryFile").option("pathGlobFilter", "*.sgb").load(base)
-    return (
-        decode_grid_files(bins)
-        .select("variable", "y", "x", F.col("value"))
-        .orderBy("variable", "y", "x")
+    # sort_small: orderBy's range sampler would decode every message
+    # twice through the mapInPandas boundary (plans/helpers.py, r13)
+    return sort_small(
+        decode_grid_files(bins).select("variable", "y", "x", F.col("value")),
+        "variable", "y", "x",
     )
 
 
@@ -215,10 +217,11 @@ def grib2_decode_roundtrip(spark, sf_dir):
                     out["value"].append(v)
             yield pd.DataFrame(out)
 
-    return (
-        bins.select("content")
-        .mapInPandas(decode, "variable string, y long, x long, value double")
-        .orderBy("variable", "y", "x")
+    return sort_small(
+        bins.select("content").mapInPandas(
+            decode, "variable string, y long, x long, value double"
+        ),
+        "variable", "y", "x",
     )
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.contour import contour_features
-from .helpers import dec_avg, sql_dec_avg
+from .helpers import dec_avg, sort_small, sql_dec_avg
 from .registry import query
 from .warp import _dense_grid, _NX, _NY
 
@@ -132,9 +132,14 @@ def contour_segments_grid(spark, sf_dir):
         "time", F.lit("2024-01-01 00:00:00").cast("timestamp")
     )
     feats = contour_features(grid, interval=_INT)
-    return feats.select(
-        "variable", "level_value", "geom_type", "geom_wkt", "n_segments"
-    ).orderBy("variable", "level_value", "geom_wkt")
+    # sort_small: orderBy's range sampler would trace the contours twice
+    # through the applyInPandas boundary (plans/helpers.py, r13)
+    return sort_small(
+        feats.select("variable", "level_value", "geom_type", "geom_wkt", "n_segments"),
+        "variable",
+        "level_value",
+        "geom_wkt",
+    )
 
 
 @query(

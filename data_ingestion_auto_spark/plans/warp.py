@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.warp import warp_resample
-from .helpers import T
+from .helpers import T, sort_small
 from .registry import query
 
 # Source raster: 10×12; bilinear upsample to 15×20; nearest downsample to 7×9.
@@ -110,8 +110,10 @@ def warp_resample_grid(spark, sf_dir):
         "kernel", F.lit("bilinear")
     )
     nn = warp_resample(grid, _NY, _NX, 7, 9, "nearest").withColumn("kernel", F.lit("nearest"))
-    return (
-        bl.unionByName(nn)
-        .select("kernel", "variable", "y", "x", "value")
-        .orderBy("kernel", "variable", "y", "x")
+    return sort_small(
+        bl.unionByName(nn).select("kernel", "variable", "y", "x", "value"),
+        "kernel",
+        "variable",
+        "y",
+        "x",
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.warp import kernel_taps, warp_resample
+from .helpers import sort_small
 from .registry import query
 from .warp import DENSE_CTES, _NX, _NY, _dense_grid
 
@@ -92,10 +93,15 @@ ORDER BY variable, y, x
 
 def _run(spark, sf_dir, kernel: str, ny_out: int, nx_out: int):
     grid = _dense_grid(spark, sf_dir)
-    return (
-        warp_resample(grid, _NY, _NX, ny_out, nx_out, kernel)
-        .select("variable", "y", "x", "value")
-        .orderBy("variable", "y", "x")
+    # sort_small: orderBy's range sampler would run the applyInPandas
+    # warp twice (plans/helpers.py, optimization r13)
+    return sort_small(
+        warp_resample(grid, _NY, _NX, ny_out, nx_out, kernel).select(
+            "variable", "y", "x", "value"
+        ),
+        "variable",
+        "y",
+        "x",
     )
 
 
