@@ -58,8 +58,11 @@ def ecmwf_url_generation(spark, sf_dir):
     literals are safe at any scale — the output is the work list itself.
     """
     od = T(spark, sf_dir, "orders")
-    streams = spark.createDataFrame([("oper",), ("enfo",)], "stream string")
-    types = spark.createDataFrame([("fc",)], "type string")
+    # VALUES literals, not local-list createDataFrame: the latter is
+    # Python-RDD-backed and forks Python workers on first use (the
+    # operators/ivf.py::cent_df lesson, optimization r13)
+    streams = spark.sql("SELECT stream FROM (VALUES ('oper'), ('enfo')) AS t(stream)")
+    types = spark.sql("SELECT type FROM (VALUES ('fc')) AS t(type)")
     steps = spark.range(0, 145, 24).select(F.col("id").cast("int").alias("step"))
     dates = (
         od.filter(F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"))
@@ -128,8 +131,10 @@ def byte_range_index_match(spark, sf_dir):
         (F.col("l_orderkey") * 512).alias("offset"),
         (F.col("l_quantity") * 100).cast("bigint").alias("length"),
     )
-    requested = spark.createDataFrame(
-        [("2t", 500, 0), ("u", 250, 24), ("v", 750, 48)], "param string, level int, step int"
+    requested = spark.sql(
+        "SELECT param, CAST(level AS INT) AS level, CAST(step AS INT) AS step "
+        "FROM (VALUES ('2t', 500, 0), ('u', 250, 24), ('v', 750, 48)) "
+        "AS t(param, level, step)"
     )
     return (
         index_lines.join(F.broadcast(requested), ["param", "level", "step"], "left_semi")

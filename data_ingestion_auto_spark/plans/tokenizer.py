@@ -183,9 +183,28 @@ def bpe_merges_with_r(spark, sf_dir, r_rounds: int):
         merges.append((r, ls, rs, ls + rs, pc))
         if r < r_rounds:
             words = ckpt(_merge_apply(words, ls, rs))
-    out = spark.createDataFrame(
-        merges,
-        "merge_rank INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
+    # VALUES literal (LocalTableScan), not a Python-RDD-backed local
+    # list — the latter forks Python workers to serve the scan (the
+    # operators/ivf.py::cent_df lesson, optimization r13). Symbols are
+    # corpus text fragments, so single quotes are escaped by doubling.
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "merge_rank INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
+        )
+
+    def q(s: str) -> str:
+        # backslash first (Spark SQL literals are backslash-escaped),
+        # then quote-doubling
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({r}, {q(ls)}, {q(rs)}, {q(m)}, {pc})" for r, ls, rs, m, pc in merges
+    )
+    out = spark.sql(
+        "SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym, "
+        "merged, CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM (VALUES {vals}) AS t(merge_rank, left_sym, right_sym, merged, pair_count)"
     )
     return out.orderBy("merge_rank")
 

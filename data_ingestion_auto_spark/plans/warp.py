@@ -28,7 +28,8 @@ def _dense_grid(spark, sf_dir):
     ).agg(F.max("value").alias("a"), F.min("value").alias("b"))
     ys = spark.range(_NY).select(F.col("id").alias("y"))
     xs = spark.range(_NX).select(F.col("id").alias("x"))
-    vs = spark.createDataFrame([("a",), ("b",)], "variable string")
+    # VALUES literal (LocalTableScan), not a Python-RDD-backed local list
+    vs = spark.sql("SELECT variable FROM (VALUES ('a'), ('b')) AS t(variable)")
     cells_long = cells.selectExpr("y", "x", "stack(2, 'a', a, 'b', b) AS (variable, mval)")
     return (
         ys.crossJoin(xs)
