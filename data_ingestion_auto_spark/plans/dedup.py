@@ -1343,6 +1343,23 @@ def _hamming_sql(a: str, b: str, nbits: int = 64) -> str:
     )
 
 
+def _hamming_spark(a: str, b: str) -> str:
+    """Spark twin of the 64-bit `_hamming_sql` (optimization r13, the
+    conv() idiom): each 64-char '0'/'1' signature parses as two 32-bit
+    integer lanes; positional inequality count = popcount of the XOR per
+    lane — bit-identical to the 64 substr CASE terms, evaluated as 4
+    conv parses + 2 xor + 2 bit_count instead of 128 substr calls per
+    candidate. The oracle keeps the portable unrolled text."""
+
+    def lane(s: str, lo: int) -> str:
+        return f"CAST(conv(substr({s}, {lo}, 32), 2, 10) AS BIGINT)"
+
+    return (
+        f"(bit_count({lane(a, 1)} ^ {lane(b, 1)})"
+        f" + bit_count({lane(a, 33)} ^ {lane(b, 33)}))"
+    )
+
+
 _SIMHASH_NEIGHBOR_CAP = 1000  # docs admitted per (block, value) bucket
 
 
@@ -1448,7 +1465,7 @@ def simhash_hamming_neighbors(spark, sf_dir):
         .select("sig_a", "exemplar_a", "docs_a", "sig_b", "exemplar_b", "docs_b")
         .distinct()
     )
-    ham = _hamming_sql("sig_a", "sig_b")
+    ham = _hamming_spark("sig_a", "sig_b")
     return (
         cand.withColumn("hamming", F.expr(f"CAST({ham} AS BIGINT)"))
         .filter(F.col("hamming") <= 3)
