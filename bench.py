@@ -224,6 +224,30 @@ def main() -> None:
     # Warm-up: prime JVM, codegen, and the parquet footer caches.
     plans.REGISTRY["q1_pricing_summary"].spark(spark, sf_dir).collect()
 
+    # Concurrent memo prebuild (optimization r13, guide §2.6): the
+    # per-corpus memo chains are independent of each other, so build
+    # them from a thread pool instead of serially on each consumer's
+    # first touch — same plans, same artifacts, same per-memo seconds in
+    # memo_builds; only the idle time between independent builds goes
+    # away (~77 s serial -> critical-path wall). Per-query timings were
+    # already build-free (best-of-3 erases first-touch builds); the
+    # one-time bill stays visible: memo_build_sec keeps the summed
+    # per-memo build seconds, memo_prebuild_wall_sec reports the
+    # overlapped wall this run actually spent.
+    import time as _time
+
+    from data_ingestion_auto_spark.plans.memo_prebuild import prebuild
+
+    _t0 = _time.perf_counter()
+    try:
+        prebuild(spark, sf_dir)
+        prebuild_wall = round(_time.perf_counter() - _t0, 3)
+    except Exception as exc:  # noqa: BLE001 — prebuild is an optimization,
+        # never a correctness gate: fall back to lazy first-touch builds
+        print(f"memo prebuild failed, falling back to lazy builds: {exc!r}",
+              file=sys.stderr)
+        prebuild_wall = None
+
     # Per-query hard watchdog: this host exhibits intermittent scheduler
     # stalls that can wedge a single query for minutes; cancelling the job
     # group bounds the damage so one pathological query cannot consume the
@@ -302,7 +326,12 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    state = {"emitted": False, "truncated": False, "host_factor": None}
+    state = {
+        "emitted": False,
+        "truncated": False,
+        "host_factor": None,
+        "prebuild_wall": prebuild_wall,
+    }
 
     def emit() -> None:
         if state["emitted"]:
@@ -354,6 +383,7 @@ def main() -> None:
             "spread": spread,
             "memo_cold": bool(memo_builds),
             "memo_builds": memo_builds,
+            "memo_prebuild_wall_sec": state.get("prebuild_wall"),
         }
         if errors:
             detail["errors"] = errors
@@ -416,6 +446,7 @@ def main() -> None:
             "host_factor": state["host_factor"],
             "memo_cold": bool(memo_builds),
             "memo_build_sec": round(sum(memo_builds.values()), 3),
+            "memo_prebuild_wall_sec": state.get("prebuild_wall"),
             "queries": shown,
             "detail_file": "BENCH_DETAIL_last.json",
         }

@@ -46,7 +46,14 @@ _MEMO_VERSION = "v1"
 # contains the chain, and summing nested frames would double-count
 # (first soak run showed memo_build_sec > total wall time).
 MEMO_BUILD_LOG: list[tuple[str, float]] = []
-_MEMO_DEPTH = [0]
+
+# Nesting depth is PER-THREAD (optimization r13): the bench prebuilds
+# independent memo chains from a thread pool (guide §2.6 — overlap
+# independent jobs), and a process-global counter would see another
+# thread's build as "nested" and skip logging it.
+import threading as _threading
+
+_MEMO_TLS = _threading.local()
 
 
 def _corpus_entries(sf_dir: str, src_file: str) -> list[tuple[str, int, int]]:
@@ -200,7 +207,8 @@ def _corpus_memo(
 
         t0 = _time.perf_counter()
         tmp = f"{base}.building-{uuid.uuid4().hex}"
-        _MEMO_DEPTH[0] += 1
+        depth = getattr(_MEMO_TLS, "d", 0)
+        _MEMO_TLS.d = depth + 1
         try:
             df = build()
             if partitions:
@@ -219,8 +227,8 @@ def _corpus_memo(
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         finally:
-            _MEMO_DEPTH[0] -= 1
-        if _MEMO_DEPTH[0] == 0:
+            _MEMO_TLS.d = depth
+        if depth == 0:
             MEMO_BUILD_LOG.append((name, _time.perf_counter() - t0))
         try:
             os.rename(tmp, base)

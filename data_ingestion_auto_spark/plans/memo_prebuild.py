@@ -1,0 +1,86 @@
+"""Concurrent prebuild of the per-corpus memo tier (optimization r13).
+
+A cold invocation builds every memoized artifact lazily, serially, on
+each consumer's first touch — ~77 s of wall at sf0.1 whose critical
+path (the sig → pairs → components chain, ~20 s) is a quarter of that.
+The chains are independent of each other, so the guide's §2.6 remedy
+applies directly: submit them from a small thread pool and let Spark's
+FIFO scheduler back-fill executors across jobs. Nothing about any
+single build changes — same plans, same atomic publish (`_corpus_memo`
+already race-safe via private .building dirs + rename), same artifacts,
+same results; only the idle time between independent builds goes away.
+
+Called by bench.py before the timed loop (the build bill was already
+reported out-of-band via memo_build_sec — best-of-3 erases first-touch
+builds from per-query times — so accounting is unchanged: memo_build_sec
+remains the wall the run spent building, now overlapped). Deployments
+call it at ingest, where these artifacts are produced once per corpus
+version.
+
+Thread-safety notes: `_corpus_memo`'s nesting depth is thread-local
+(plans/dedup.py); MEMO_BUILD_LOG appends are GIL-atomic; a lost
+publish race falls back to reading the winner's files.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+
+def prebuild_chains(spark, sf_dir: str):
+    """Return the independent memo chains as (name, thunk) lists, longest
+    critical path first so the pool starts them earliest."""
+    from . import REGISTRY
+    from . import dedup as PD
+    from . import ppjoin as PPJ
+    from . import sample_memo as SM
+    from .retrieval import corpus_winnowing_fpp
+
+    def q(name):
+        # constructing a consumer query materializes its memo tables
+        return lambda: REGISTRY[name].spark(spark, sf_dir)
+
+    return [
+        # sig -> pairs -> banded -> components: the longest chain
+        ("cc_chain", [lambda: PD.corpus_components(spark, sf_dir),
+                      lambda: PD.corpus_lsh_pairs_banded(spark, sf_dir)]),
+        ("sareps_pd", [q("suffix_repeat_spans_unbounded")]),
+        ("ppjoin", [lambda: PPJ._verified_pairs(spark, sf_dir)]),
+        ("sareps_direct", [q("suffix_repeat_spans")]),
+        ("ann_models", [q("semdedup_clusters"), q("semdedup_hier"),
+                        q("hierarchical_kmeans_assign"), q("incremental_ann_assign")]),
+        ("pq_models", [q("pq_adc_topk"), q("ivfpq_adc_topk"), q("ann_ivf_probe")]),
+        ("sampling", [lambda: SM.lineitem_plan_edges(spark, sf_dir, 32),
+                      lambda: SM.lineitem_exact_group_quantiles(spark, sf_dir)]),
+        ("cdc_winnow", [q("cdc_chunk_dedup"),
+                        lambda: corpus_winnowing_fpp(spark, sf_dir)]),
+    ]
+
+
+def prebuild(spark, sf_dir: str, max_workers: int = 4) -> dict[str, float]:
+    """Build every memo chain concurrently; returns per-chain wall
+    seconds (the per-MEMO build seconds still land in MEMO_BUILD_LOG).
+    Exceptions propagate after all chains settle — a failed build must
+    fail loudly, not leave a half-warm tier."""
+    chains = prebuild_chains(spark, sf_dir)
+    walls: dict[str, float] = {}
+
+    def run(name, thunks):
+        t0 = time.perf_counter()
+        sc = spark.sparkContext
+        sc.setJobDescription(f"memo-prebuild:{name}")
+        try:
+            for th in thunks:
+                th()
+        finally:
+            sc.setJobDescription(None)
+        walls[name] = round(time.perf_counter() - t0, 3)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futs = [pool.submit(run, n, ts) for n, ts in chains]
+        errs = [f.exception() for f in futs]
+    for e in errs:
+        if e is not None:
+            raise e
+    return walls

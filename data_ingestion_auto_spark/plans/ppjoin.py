@@ -208,6 +208,17 @@ def _build_verified_pairs(spark, sf_dir):
     ver = (
         cand.join(da, "a")
         .join(db, "b")
+        # PPJoin size filter (optimization r13; Xiao et al.'s length
+        # filter): n_inter <= min(x) and n_union >= max(x), so
+        # jaccard >= t REQUIRES min(x)*den >= max(x)*num — a pure
+        # integer predicate Catalyst evaluates below the intersect
+        # projection, so ~1/3 of candidates never pay the 100-element
+        # set intersection (verify 5.6 -> 3.6 s at sf0.1, identical
+        # surviving rows — the filter is a necessary condition of the
+        # final threshold, proven by the unchanged oracle).
+        .filter(
+            F.least("x_a", "x_b") * _T_DEN >= F.greatest("x_a", "x_b") * _T_NUM
+        )
         .select(
             "a",
             "b",
