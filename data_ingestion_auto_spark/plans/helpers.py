@@ -38,10 +38,24 @@ def sort_small(df: DataFrame, *cols) -> DataFrame:
     runs TWICE — measured on simplify_linestrings_fix: 2.55 s with
     orderBy vs 1.38 s without the sort, on a 1.5k-row result
     (optimization r13; guide §4 — the boundary is the cost, don't pay it
-    for a sampler). Only for outputs that fit one task comfortably
-    (presentation-sized: thousands of rows); data-sized results keep the
-    parallel range sort."""
+    for a sampler). Only for outputs BOUNDED BY CONSTRUCTION (fixed
+    raster dims, segment inventories of a fixed grid) that fit one task
+    comfortably; DATA-SIZED results use ``sort_cut`` below, which keeps
+    the parallel range sort."""
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def sort_cut(df: DataFrame, *cols) -> DataFrame:
+    """Presentation sort for a DATA-SIZED result whose subtree is
+    expensive — same sampler-double-execution hazard as ``sort_small``
+    (see there), different remedy: cut lineage first, so the range
+    sampler and the sort both read the materialized blocks instead of
+    re-running the Python boundary, and the sort stays PARALLEL — the
+    right shape when the output grows with the corpus (per-user,
+    per-doc outputs)."""
+    from ..checkpoints import ckpt_local
+
+    return ckpt_local(df).orderBy(*cols)
 
 
 def _sum_sql(expr: str, alias: str, scale: int) -> str:

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as M
-from .helpers import T, sort_small
+from .helpers import T, sort_cut
 from .registry import query
 
 
@@ -93,9 +93,10 @@ def media_feature_extraction(spark, sf_dir):
     hash match therefore verifies the REAL mapInPandas operator, not a
     SQL restatement."""
     media = M.media_from_documents(T(spark, sf_dir, "documents"))
-    # sort_small: orderBy's range sampler would run the mapInPandas
-    # feature extraction twice (plans/helpers.py, r13)
-    return sort_small(M.extract_features(media), "media_id")
+    # sort_cut: orderBy's range sampler would run the mapInPandas
+    # feature extraction twice; per-media output is data-sized, so cut
+    # lineage and keep the parallel range sort (plans/helpers.py, r13)
+    return sort_cut(M.extract_features(media), "media_id")
 
 
 @query(
@@ -121,4 +122,4 @@ def video_frame_sampling(spark, sf_dir):
     (seek-and-decode happens per selected frame in the real sampler).
     Oracle checks the plan's row space exactly."""
     media = M.media_from_documents(T(spark, sf_dir, "documents"))
-    return sort_small(M.frame_sample_plan(media, every_n=4), "media_id", "frame_idx")
+    return sort_cut(M.frame_sample_plan(media, every_n=4), "media_id", "frame_idx")

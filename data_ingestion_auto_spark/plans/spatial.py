@@ -388,13 +388,13 @@ def simplify_linestrings_fix(spark, sf_dir):
         )
     )
     fixed = simplify_linestrings(lines, "wkt", tolerance=0.001)
-    # sort_small (optimization r13): orderBy's range sampler re-ran the
+    # sort_cut (optimization r13): orderBy's range sampler re-ran the
     # whole mapInPandas DP pass for boundary sampling — 2.55 s with
-    # orderBy vs 1.38 s without; the single-partition sort keeps the
-    # identical global order for ~1.5k rows without the sampling job.
-    from .helpers import sort_small
+    # orderBy vs 1.38 s without. The output is per-user (data-sized at
+    # scale), so cut lineage and keep the PARALLEL range sort.
+    from .helpers import sort_cut
 
-    return sort_small(
+    return sort_cut(
         fixed.select("user_id", "was_simple", "n_points_in", "n_points_out"),
         "user_id",
     )
