@@ -36,6 +36,7 @@ def prebuild_chains(spark, sf_dir: str):
     from . import ppjoin as PPJ
     from . import sample_memo as SM
     from .retrieval import corpus_winnowing_fpp
+    from .tokenizer import corpus_bpe_vocab
 
     def q(name):
         # constructing a consumer query materializes its memo tables
@@ -54,7 +55,8 @@ def prebuild_chains(spark, sf_dir: str):
         ("sampling", [lambda: SM.lineitem_plan_edges(spark, sf_dir, 32),
                       lambda: SM.lineitem_exact_group_quantiles(spark, sf_dir)]),
         ("cdc_winnow", [q("cdc_chunk_dedup"),
-                        lambda: corpus_winnowing_fpp(spark, sf_dir)]),
+                        lambda: corpus_winnowing_fpp(spark, sf_dir),
+                        lambda: corpus_bpe_vocab(spark, sf_dir)]),
     ]
 
 
