@@ -376,16 +376,48 @@ def connected_components(
         # including a near-cap hot bucket: round count stays
         # diameter-bound, independent of data volume.
         changed = -1
+        frontier_true = True  # round 0: every node's initial label is fresh
         for rnd in range(max_iter):
             # `prev` carries the round-start label through the hop+jump
             # chain so convergence detection is a filter over the written
             # parquet, not an extra old⋈new join job per round.
-            cur = labels.select("node", "label", F.col("label").alias("prev"))
+            #
+            # FRONTIER FILTERING (optimization r14, guide §2.3 — shuffle
+            # fewer bytes; semi-naive evaluation of the monotone min
+            # recursion): a hop's neighbour-min only needs the labels
+            # that CHANGED since they were last propagated — an
+            # unchanged neighbour's label was already folded into every
+            # adjacent node's min in the hop after it last changed, and
+            # labels are monotone non-increasing, so re-propagating it
+            # is the identity. `chg` carries the delta: round 0 starts
+            # all-fresh; within a round each hop propagates the previous
+            # hop's changes; across rounds the materialized (label !=
+            # prev) filter re-seeds the frontier (covering last-hop and
+            # jump changes, at worst re-propagating an already-seen
+            # label — redundant, never wrong). Per-round label tables
+            # are bit-identical to the unfiltered loop (pinned by
+            # tests/test_opt_r14.py and the cc_probe sweep); late rounds
+            # — where only a few labels still move — stop paying a full
+            # edges⋈labels join per hop.
+            if frontier_true:
+                cur = labels.select(
+                    "node", "label", F.lit(True).alias("chg")
+                ).withColumn("prev", F.col("label"))
+                frontier_true = False
+            else:
+                cur = labels.select(
+                    "node",
+                    "label",
+                    (F.col("label") != F.col("prev")).alias("chg"),
+                ).withColumn("prev", F.col("label"))
             for _h in range(hops_per_round):
+                frontier = cur.filter(F.col("chg")).select(
+                    F.col("node").alias("fnode"), F.col("label").alias("flabel")
+                )
                 neighbour_min = (
-                    edges.join(cur, edges.dst == cur.node)
+                    edges.join(frontier, edges.dst == F.col("fnode"))
                     .groupBy("src")
-                    .agg(F.min("label").alias("nbr_label"))
+                    .agg(F.min("flabel").alias("nbr_label"))
                 )
                 cur = cur.join(
                     neighbour_min, cur.node == neighbour_min.src, "left"
@@ -395,8 +427,11 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
                     "prev",
+                    F.coalesce(
+                        F.col("nbr_label") < F.col("label"), F.lit(False)
+                    ).alias("chg"),
                 )
-            hop = cur
+            hop = cur.select("node", "label", "prev")
             # Pointer jumping: every label is itself a node id (labels
             # only ever take the min of existing node ids), so
             # label(label) is defined and monotone non-increasing. Each
@@ -408,7 +443,13 @@ def connected_components(
             if jumps_per_round > 0:
                 hop = materialize(hop, f"hop_{rnd}")
             for _j in range(jumps_per_round):
-                ptr = hop.select(
+                # ptr side restricted to non-root nodes: label(label)
+                # differs from label only when the label's own label
+                # moved off itself; a root's (pnode == plabel) row maps
+                # the jump to the identity, which the left-join coalesce
+                # already produces on a miss — identical output, smaller
+                # build side.
+                ptr = hop.filter(F.col("node") != F.col("label")).select(
                     F.col("node").alias("pnode"), F.col("label").alias("plabel")
                 )
                 hop = hop.join(ptr, hop.label == ptr.pnode, "left").select(
@@ -416,7 +457,9 @@ def connected_components(
                 )
             new_labels = materialize(hop, f"labels_{rnd + 1}")
             changed = new_labels.filter(F.col("label") != F.col("prev")).count()
-            labels = new_labels.select("node", "label")
+            # keep `prev` on the carried table: the next round re-seeds
+            # its frontier from (label != prev) over this parquet
+            labels = new_labels
             if changed == 0:
                 # Pin the result in memory so the temp files can be
                 # deleted; the final table is one (node, component) row

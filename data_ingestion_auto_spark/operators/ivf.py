@@ -64,7 +64,12 @@ def cent_df(spark, cent_rows) -> DataFrame:
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """Nearest centroid per vector: broadcast k centroids, map-side dist²,
     deterministic argmin (ties → smallest cluster id; NULL dist² — a
-    non-finite vector — ranks last, never winning the argmin)."""
+    non-finite vector — ranks last, never winning the argmin).
+
+    This is the DataFrame-centroid form (stored centroid tables, frozen
+    models read from parquet). When the centroids are already
+    driver-held rows, `_assign_lit` below produces the identical output
+    with NO join and NO exchange."""
     d = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "dist2", F.expr(_DIST2.format(a="qvec", b="cvec"))
     )
@@ -73,6 +78,46 @@ def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "qvec", "cluster_id", "dist2")
+    )
+
+
+def _assign_lit(vectors: DataFrame, cent_rows, id_col: str) -> DataFrame:
+    """`_assign` for DRIVER-HELD centroids (optimization r14, guide
+    §2.4 — remove shuffles outright): the k×dim model is inlined as
+    literal arrays, so nearest-centroid is one PROJECTION — k dist²
+    expressions folded by least() over (dist2, cluster_id) structs —
+    with no crossJoin, no window, and no exchange on ``id_col``. Every
+    Lloyd iteration and every model-memo write previously paid a
+    row_number window over n×k joined rows to pick each vector's
+    argmin; the projection computes the same argmin map-side.
+
+    Bit-equivalence with `_assign` (pinned by tests/test_opt_r14.py):
+    same _DIST2 integer arithmetic against the same centroid values;
+    struct ordering (dist2 ASC, cluster_id ASC) replays the window's
+    (asc_nulls_last(dist2), cluster_id) because dist² is NULL only when
+    the VECTOR is null-poisoned — the literal cvecs are complete ints —
+    so per row the k dist² values are all-NULL or all-non-NULL: ties
+    and the all-NULL case both resolve to the smallest cluster_id under
+    either ordering."""
+    if not cent_rows:
+        return _assign(
+            vectors, cent_df(vectors.sparkSession, cent_rows), id_col
+        )
+    structs = []
+    for cid, vec in cent_rows:
+        arr = f"array({','.join(str(int(v)) + 'L' for v in vec)})"
+        structs.append(
+            f"named_struct('dist2', {_DIST2.format(a='qvec', b=arr)}, "
+            f"'cluster_id', CAST({int(cid)} AS INT))"
+        )
+    best = f"least({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    return vectors.select(
+        F.col(id_col), "qvec", F.expr(best).alias("_best")
+    ).select(
+        id_col,
+        "qvec",
+        F.col("_best.cluster_id").alias("cluster_id"),
+        F.col("_best.dist2").alias("dist2"),
     )
 
 
@@ -129,12 +174,49 @@ def _route_probe_rank(
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
+def _update(assigned: DataFrame, dim: int | None = None) -> DataFrame:
     """New centroid = per-dimension integer mean of the cluster's member
     vectors. ``sum(v) div count(v)`` stays in BIGINT end-to-end — a DOUBLE
     division then truncation would lose exactness once a cluster's
     per-dimension sum exceeds 2^53, breaking the bit-determinism claim
-    (round-2 advice)."""
+    (round-2 advice).
+
+    With ``dim`` known (the training loops learn it from the collected
+    init rows), the per-dimension means run as ``dim`` WIDE aggregates
+    in ONE groupBy(cluster_id) — map-side partial agg, a single exchange
+    of k×dim partial states — instead of posexplode → n×dim rows →
+    (cluster, pos) exchange → second (cluster) exchange (optimization
+    r14, guide §2.3 "aggregate before you shuffle"). Exact equivalence
+    with the explode path, including degenerate corpora
+    (tests/test_opt_r14.py): try_element_at is NULL exactly where the
+    explode emitted nothing (short vector) or a NULL element, and
+    sum/count skip NULLs, so each mean is identical (an all-NULL
+    dimension yields NULL div 0 = NULL, the same NULL the explode path
+    collects); positions are array prefixes, so the explode path's
+    "skip positions no member reaches" is slice(..., max(size(qvec)));
+    a cluster whose members are ALL null-vectors produced no explode
+    rows at all, hence the isNotNull filter on that max."""
+    if dim is not None:
+        aggs = [
+            F.expr(
+                f"sum(try_element_at(qvec, {i + 1})) "
+                f"div count(try_element_at(qvec, {i + 1}))"
+            ).alias(f"_c{i}")
+            for i in range(dim)
+        ]
+        wide = assigned.groupBy("cluster_id").agg(
+            F.expr("max(size(qvec))").alias("_msz"), *aggs
+        )
+        arr = ",".join(f"_c{i}" for i in range(dim))
+        return (
+            wide.filter(F.col("_msz").isNotNull())
+            .select(
+                "cluster_id",
+                F.expr(
+                    f"slice(array({arr}), 1, least(_msz, {dim}))"
+                ).alias("cvec"),
+            )
+        )
     dims = assigned.select("cluster_id", F.posexplode("qvec").alias("pos", "v"))
     per_dim = dims.groupBy("cluster_id", "pos").agg(
         F.expr("sum(v) div count(v)").alias("cv")
@@ -171,15 +253,19 @@ def kmeans_lite(
         .collect()
     )
     cent_rows = [(i, list(r["qvec"])) for i, r in enumerate(init)]
+    # dim is model state the init collect already holds; it buys the
+    # wide-aggregate _update (one exchange per iteration instead of
+    # explode + two) and the literal-centroid map-side _assign (no
+    # window exchange at all) — optimization r14, same outputs.
+    dim = max((len(v) for _, v in cent_rows if v is not None), default=None)
     for _ in range(iters):
-        centroids = cent_df(spark, cent_rows)
-        assigned = _assign(vectors, centroids, id_col)
+        assigned = _assign_lit(vectors, cent_rows, id_col)
         cent_rows = [
-            (r["cluster_id"], list(r["cvec"])) for r in _update(assigned).collect()
+            (r["cluster_id"], list(r["cvec"]))
+            for r in _update(assigned, dim=dim).collect()
         ]
         cent_rows.sort()
-    centroids = cent_df(spark, cent_rows)
-    return _assign(vectors, centroids, id_col), cent_rows
+    return _assign_lit(vectors, cent_rows, id_col), cent_rows
 
 
 def ivf_topk(
@@ -403,6 +489,7 @@ def kmeans_grouped(
     k_per_group: int,
     iters: int = 2,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Data-parallel k-means WITHIN each group of pre-grouped quantized
     vectors (``group_id``, ``qvec`` columns): the second level of the
@@ -431,21 +518,46 @@ def kmeans_grouped(
     )
     for _ in range(iters):
         assigned = _assign_grouped(vectors, centroids, id_col)
-        dims = assigned.select(
-            "group_id", "fine_id", F.posexplode("qvec").alias("pos", "v")
-        )
-        per_dim = dims.groupBy("group_id", "fine_id", "pos").agg(
-            F.expr("sum(v) div count(v)").alias("cv")
-        )
-        centroids = (
-            per_dim.groupBy("group_id", "fine_id")
-            .agg(
+        if dim is not None:
+            # wide per-dimension means, one exchange (optimization r14 —
+            # same equivalence argument as `_update(dim=...)` above)
+            aggs = [
                 F.expr(
-                    "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
-                ).alias("cvec")
+                    f"sum(try_element_at(qvec, {i + 1})) "
+                    f"div count(try_element_at(qvec, {i + 1}))"
+                ).alias(f"_c{i}")
+                for i in range(dim)
+            ]
+            arr = ",".join(f"_c{i}" for i in range(dim))
+            centroids = (
+                assigned.groupBy("group_id", "fine_id")
+                .agg(F.expr("max(size(qvec))").alias("_msz"), *aggs)
+                .filter(F.col("_msz").isNotNull())
+                .select(
+                    "group_id",
+                    "fine_id",
+                    F.expr(
+                        f"slice(array({arr}), 1, least(_msz, {dim}))"
+                    ).alias("cvec"),
+                )
+                .transform(ckpt)
             )
-            .transform(ckpt)
-        )
+        else:
+            dims = assigned.select(
+                "group_id", "fine_id", F.posexplode("qvec").alias("pos", "v")
+            )
+            per_dim = dims.groupBy("group_id", "fine_id", "pos").agg(
+                F.expr("sum(v) div count(v)").alias("cv")
+            )
+            centroids = (
+                per_dim.groupBy("group_id", "fine_id")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+                    ).alias("cvec")
+                )
+                .transform(ckpt)
+            )
     return _assign_grouped(vectors, centroids, id_col), centroids
 
 
@@ -500,7 +612,10 @@ def kmeans_hierarchical_model(
     grouped = ckpt(coarse.select(
         id_col, F.col("cluster_id").alias("group_id"), "qvec"
     ))
-    fine, fine_cents = kmeans_grouped(grouped, k_per_group=k2, iters=iters, id_col=id_col)
+    dim = max((len(v) for _, v in coarse_cents if v is not None), default=None)
+    fine, fine_cents = kmeans_grouped(
+        grouped, k_per_group=k2, iters=iters, id_col=id_col, dim=dim
+    )
     assign = fine.select(
         id_col,
         "qvec",

@@ -43,10 +43,16 @@ def prebuild_chains(spark, sf_dir: str):
         return lambda: REGISTRY[name].spark(spark, sf_dir)
 
     return [
+        # sareps_pd first (optimization r14, verdict r13 #6): it is the
+        # single longest BUILD and sits near the pool's critical path —
+        # under 4-way concurrency its wall inflated 10 -> 24.5 s in the
+        # driver's run when it started alongside three other heavy
+        # chains. Starting it first lets its early exchange-heavy rounds
+        # run while the pool is least contended.
+        ("sareps_pd", [q("suffix_repeat_spans_unbounded")]),
         # sig -> pairs -> banded -> components: the longest chain
         ("cc_chain", [lambda: PD.corpus_components(spark, sf_dir),
                       lambda: PD.corpus_lsh_pairs_banded(spark, sf_dir)]),
-        ("sareps_pd", [q("suffix_repeat_spans_unbounded")]),
         ("ppjoin", [lambda: PPJ._verified_pairs(spark, sf_dir)]),
         ("sareps_direct", [q("suffix_repeat_spans")]),
         ("ann_models", [q("semdedup_clusters"), q("semdedup_hier"),
@@ -60,29 +66,80 @@ def prebuild_chains(spark, sf_dir: str):
     ]
 
 
-def prebuild(spark, sf_dir: str, max_workers: int = 4) -> dict[str, float]:
+def prebuild(
+    spark, sf_dir: str, max_workers: int = 4, timeout_sec: float | None = None
+) -> dict[str, float]:
     """Build every memo chain concurrently; returns per-chain wall
     seconds (the per-MEMO build seconds still land in MEMO_BUILD_LOG).
     Exceptions propagate after all chains settle — a failed build must
-    fail loudly, not leave a half-warm tier."""
+    fail loudly, not leave a half-warm tier.
+
+    Bounded (optimization r14, ADVICE r13): the prebuild runs BEFORE the
+    bench's per-query watchdog, and this host exhibits scheduler stalls
+    that can wedge a job for minutes — an unbounded f.exception() wait
+    would hang the whole bench. Each chain runs under its own
+    cancellable job group; past the deadline (default
+    $SPARK_GRAFT_PREBUILD_TIMEOUT_SEC or 480 s) unfinished groups are
+    cancelled and their memos fall back to lazy first-touch builds
+    (inside the per-query watchdog) instead of failing the run — a
+    timeout is a host condition, not a build failure, so only REAL
+    build errors still raise."""
+    import os
+
+    if timeout_sec is None:
+        timeout_sec = float(
+            os.environ.get("SPARK_GRAFT_PREBUILD_TIMEOUT_SEC", "480")
+        )
     chains = prebuild_chains(spark, sf_dir)
     walls: dict[str, float] = {}
+    cancelled: set[str] = set()
 
     def run(name, thunks):
         t0 = time.perf_counter()
         sc = spark.sparkContext
-        sc.setJobDescription(f"memo-prebuild:{name}")
+        # job GROUP (not just description): the deadline path cancels by
+        # group id; thread-local, so each chain is independently
+        # cancellable without touching the others.
+        sc.setJobGroup(f"memo-prebuild:{name}", f"memo-prebuild:{name}",
+                       interruptOnCancel=True)
         try:
             for th in thunks:
                 th()
         finally:
-            sc.setJobDescription(None)
+            # clear the thread-local group so a pooled thread reused by
+            # a later chain (or caller) doesn't inherit this group id
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
         walls[name] = round(time.perf_counter() - t0, 3)
 
+    from concurrent.futures import wait as _wait
+
+    deadline = time.monotonic() + timeout_sec
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futs = [pool.submit(run, n, ts) for n, ts in chains]
-        errs = [f.exception() for f in futs]
-    for e in errs:
-        if e is not None:
+        futs = {pool.submit(run, n, ts): n for n, ts in chains}
+        not_done = set(futs)
+        while not_done and time.monotonic() < deadline:
+            done, not_done = _wait(
+                not_done, timeout=min(5.0, max(0.1, deadline - time.monotonic()))
+            )
+        if not_done:
+            for f in not_done:
+                cancelled.add(futs[f])
+            # cancel the wedged groups until their threads give up; an
+            # iterative build keeps submitting jobs, so re-cancel in the
+            # drain loop below (same pattern as bench.py's watchdog)
+            while not_done:
+                for f in not_done:
+                    try:
+                        spark.sparkContext.cancelJobGroup(
+                            f"memo-prebuild:{futs[f]}"
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass
+                done, not_done = _wait(not_done, timeout=5.0)
+    for f, name in futs.items():
+        e = f.exception()
+        if e is not None and name not in cancelled:
             raise e
     return walls

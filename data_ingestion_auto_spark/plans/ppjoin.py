@@ -192,15 +192,80 @@ def _verified_pairs(spark, sf_dir):
 def _build_verified_pairs(spark, sf_dir):
     """The live prefix-filter SSJoin: equi-join on prefix tokens for
     candidates, array_intersect verify on candidates only (see module
-    docstring). Runs once per corpus version inside the memo build."""
+    docstring). Runs once per corpus version inside the memo build.
+
+    Candidate pruning BEFORE the verify joins (optimization r14; the
+    "PP" in PPJoin — Xiao et al.'s positional filter — on top of r13's
+    length filter):
+
+    - the prefix explode carries each token's POSITION, and the
+      candidate aggregate keeps the first match's (i, j). Both arrays
+      follow the same global (df, token) order, so the smallest matched
+      prefix token minimizes i and j simultaneously — min(i)/min(j)
+      name one token. Common tokens below it number at most
+      min(i-1, j-1); itself 1; above it at most min(x_a-i, x_b-j):
+      inter <= min(i-1, j-1) + 1 + min(x_a-i, x_b-j). The final gate
+      inter*DEN >= (x_a+x_b-inter)*NUM is equivalent to
+      inter >= ceil(NUM*(x_a+x_b)/(NUM+DEN)), so any pair whose bound
+      falls short can never verify — dropped before it pays the two
+      docs joins and the ~100-element array_intersect;
+    - the length filter (min(x)*DEN >= max(x)*NUM, a necessary
+      condition of the threshold) now also runs in the candidate
+      aggregate, before the joins, since x rides the prefix rows.
+
+    Both are necessary conditions of the final threshold, which is
+    still applied exactly — the surviving pair table is bit-identical
+    (r14 A/B: sorted-row compare old vs new at sf0.01 and sf0.1;
+    tests/test_opt_r14.py pins the bound's arithmetic)."""
     docs = _ordered_sets(spark, sf_dir)
-    pref = _prefix_tokens(docs)
+    p_sql = f"CAST(x - (({_T_NUM} * x + {_T_DEN - 1}) div {_T_DEN}) + 1 AS INT)"
+    pref = docs.select(
+        "doc_id",
+        "x",
+        F.posexplode(F.expr(f"slice(arr, 1, {p_sql})")).alias("p", "token"),
+    )
+    # required overlap: inter >= ceil(NUM*(x_a+x_b)/(NUM+DEN))
+    alpha = F.expr(
+        f"({_T_NUM} * (x_a + x_b) + {_T_NUM + _T_DEN - 1}) div {_T_NUM + _T_DEN}"
+    )
+    # positional upper bound from the FIRST prefix match (p is 0-based,
+    # so 1-based i = i0 + 1): min(i0, j0) + 1 + min(x_a-i0-1, x_b-j0-1)
+    ub = (
+        F.least("i0", "j0")
+        + 1
+        + F.least(
+            F.col("x_a") - F.col("i0") - 1, F.col("x_b") - F.col("j0") - 1
+        )
+    )
     cand = (
-        pref.select(F.col("doc_id").alias("a"), "token")
-        .join(pref.select(F.col("doc_id").alias("b"), "token"), "token")
+        pref.select(
+            F.col("doc_id").alias("a"),
+            F.col("x").alias("x_a"),
+            F.col("p").alias("pa"),
+            "token",
+        )
+        .join(
+            pref.select(
+                F.col("doc_id").alias("b"),
+                F.col("x").alias("x_b"),
+                F.col("p").alias("pb"),
+                "token",
+            ),
+            "token",
+        )
         .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.min("pa").alias("i0"),
+            F.min("pb").alias("j0"),
+            F.min("x_a").alias("x_a"),
+            F.min("x_b").alias("x_b"),
+        )
+        .filter(
+            (F.least("x_a", "x_b") * _T_DEN >= F.greatest("x_a", "x_b") * _T_NUM)
+            & (ub >= alpha)
+        )
         .select("a", "b")
-        .distinct()
     )
     da = docs.select(F.col("doc_id").alias("a"), F.col("arr").alias("arr_a"), F.col("x").alias("x_a"))
     db = docs.select(F.col("doc_id").alias("b"), F.col("arr").alias("arr_b"), F.col("x").alias("x_b"))
@@ -208,17 +273,6 @@ def _build_verified_pairs(spark, sf_dir):
     ver = (
         cand.join(da, "a")
         .join(db, "b")
-        # PPJoin size filter (optimization r13; Xiao et al.'s length
-        # filter): n_inter <= min(x) and n_union >= max(x), so
-        # jaccard >= t REQUIRES min(x)*den >= max(x)*num — a pure
-        # integer predicate Catalyst evaluates below the intersect
-        # projection, so ~1/3 of candidates never pay the 100-element
-        # set intersection (verify 5.6 -> 3.6 s at sf0.1, identical
-        # surviving rows — the filter is a necessary condition of the
-        # final threshold, proven by the unchanged oracle).
-        .filter(
-            F.least("x_a", "x_b") * _T_DEN >= F.greatest("x_a", "x_b") * _T_NUM
-        )
         .select(
             "a",
             "b",

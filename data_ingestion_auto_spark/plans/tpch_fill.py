@@ -88,19 +88,24 @@ def q2_min_cost_supplier(spark, sf_dir):
     # and the EUROPE supplier slice (~1/5) only ever DROP whole
     # (partkey, suppkey) groups downstream of the catalog aggregate —
     # min-per-group is untouched by removing other groups — so both
-    # prune as broadcast semi-joins BEFORE the groupBy: the catalog
-    # exchange carries ~1/125 of lineitem instead of all of it. The
-    # attribute joins below are unchanged (they now match every
-    # surviving row by construction).
+    # prune as semi-joins BEFORE the groupBy: the catalog exchange
+    # carries ~1/125 of lineitem instead of all of it. The attribute
+    # joins below are unchanged (they now match every surviving row by
+    # construction). NO broadcast hints on the semi sides (optimization
+    # r14, verdict r13 #2): part and supplier are SF-proportional, so a
+    # forced broadcast OOMs at 100 TB — AQE/stats still broadcast them
+    # at the scales where that is right (verified at sf0.1: the realized
+    # plan keeps both BroadcastHashJoin LeftSemi without the hint),
+    # exactly the rule r12 applied to regional_revenue's customer side.
     cat = (
         li.filter(F.col("l_quantity") > 0)
         .join(
-            F.broadcast(parts.select("p_partkey")),
+            parts.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
         .join(
-            F.broadcast(eu.select("s_suppkey")),
+            eu.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )

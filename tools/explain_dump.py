@@ -1,10 +1,10 @@
 """Dump .explain("formatted") for registry queries to plans/r13/.
 
 Usage:
-    python tools/explain_dump.py [--suffix before|after] [name ...]
+    python tools/explain_dump.py [--suffix before|after] [--round rNN] [name ...]
 
 With no names, dumps EVERY registered query. Output lands in
-<repo>/plans/r13/<query>_<suffix>.txt. Also prints a one-line red-flag
+<repo>/plans/<round>/<query>_<suffix>.txt (default round: r14). Also prints a one-line red-flag
 summary per query: counts of Exchange / BatchEvalPython / ArrowEvalPython
 nodes, CartesianProduct, unpartitioned-Window risk, and whether any scan
 shows PushedFilters.
@@ -28,12 +28,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     suffix = "before"
+    rnd = "r14"
     if "--suffix" in args:
         i = args.index("--suffix")
         suffix = args[i + 1]
         del args[i : i + 2]
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1]
+        del args[i : i + 2]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
     from data_ingestion_auto_spark import plans
