@@ -248,8 +248,8 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
-    hops_per_round: int = 4,
-    jumps_per_round: int = 2,
+    hops_per_round: int = 5,
+    jumps_per_round: int = 1,
 ) -> DataFrame:
     """Connected components over a near-dup pair list via min-label
     propagation with pointer jumping: every node starts labeled with
@@ -259,13 +259,16 @@ def connected_components(
     label(label)``, labels-only self-joins — chain compression when
     label chains align, a no-op when they stall on a node that hasn't
     learned a smaller label yet). The defaults are the measured optimum
-    of the round-13 sweep (tools/cc_probe.py at sf0.1, label tables
-    verified identical across all shapes): 4:2 ≈ 8 s vs the old 3:3's
-    9.2 s and a pathological 22 s+ at 8:0 — each extra hop doubles the
-    references into the round's lazy subtree (the estimate-compounding
-    hazard in lesson 2 below bounds how deep a round can go), while
-    more rounds pay more parquet round-trips; 4 hops + 2 jumps is the
-    saddle. The round-2 advisor
+    of the round-14 sweep under the frontier-filtered hop (three
+    tools/cc_probe.py sweeps at sf0.1, label tables verified identical
+    across 4:2/4:3/5:2/5:3/3:2/6:2/5:1/4:1/6:1/5:0): 5:1 ≈ 5.2 s warm
+    vs 7.0 s at r13's 4:2 and 8-16 s at 6 hops — each extra hop doubles
+    the references into the round's lazy subtree (the
+    estimate-compounding hazard in lesson 2 below bounds how deep a
+    round can go; 6 hops = 64 references is past the planning knee),
+    while more rounds pay more parquet round-trips; with frontier
+    filtering making late hops cheap, 5 hops + 1 jump is the saddle.
+    The round-2 advisor
     was right that the old ``max_iter=10`` hop-only loop silently
     returned split components: measured at sf0.1, the corpus pair
     graph's giant component has eccentricity 18 from its min node, so

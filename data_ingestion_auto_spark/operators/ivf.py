@@ -246,7 +246,22 @@ def kmeans_lite(
     # truncation also keeps the per-iteration plan flat. On a real
     # cluster use a reliable checkpoint() dir so executor loss can't
     # drop blocks mid-iteration.
-    vectors = ckpt(quantize(emb, id_col, vec_col))
+    #
+    # The cut is shared PER (session, input frame) within this process
+    # (optimization r14): three model variants train on the identical
+    # embeddings frame, and each paid its own quantize+checkpoint job —
+    # same-invocation amortization only (the cache dies with the
+    # session object; nothing persists across runs), keyed by the
+    # frame's semantic hash so a different corpus/projection misses.
+    cache = getattr(spark, "_graft_quant_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_quant_cache = cache
+    key = (id_col, vec_col, emb.semanticHash())
+    vectors = cache.get(key)
+    if vectors is None:
+        vectors = ckpt(quantize(emb, id_col, vec_col))
+        cache[key] = vectors
     init = (
         vectors.orderBy(id_col)
         .limit(k)
@@ -472,15 +487,40 @@ def _assign_grouped(vectors: DataFrame, centroids: DataFrame, id_col: str) -> Da
     centroids), map-side dist², deterministic argmin. Unlike ``_assign``
     the centroid table is a DataFrame joined by key — nothing is
     collected to the driver, so the total centroid count may scale with
-    the corpus."""
-    d = vectors.join(centroids, "group_id").withColumn(
-        "dist2", F.expr(_DIST2.format(a="qvec", b="cvec"))
+    the corpus.
+
+    The argmin is a partial-aggregable min over
+    struct(dist2 IS NULL, dist2, fine_id, …) — the leading NULL flag
+    replays the old row_number window's asc_nulls_last exactly (a NULL
+    dist² can be per-centroid here when a degenerate fine centroid
+    carries a NULL dimension, so the all-or-none argument of
+    `_assign_lit` does not apply and the flag is load-bearing), and
+    (dist2, fine_id) is unique within a vector's group so trailing
+    payload fields never participate in the ordering. Map-side partial
+    aggregation ships one candidate per vector per task instead of
+    shuffling all n×k joined rows into a window (optimization r14,
+    guide §2.3)."""
+    d = (
+        vectors.join(centroids, "group_id")
+        .withColumn("_d2", F.expr(_DIST2.format(a="qvec", b="cvec")))
+        .select(
+            F.col(id_col),
+            F.struct(
+                F.col("_d2").isNull().alias("isnul"),
+                F.col("_d2").alias("dist2"),
+                F.col("fine_id").alias("fine_id"),
+                F.col("group_id").alias("group_id"),
+                F.col("qvec").alias("qvec"),
+            ).alias("cand"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc_nulls_last("dist2"), "fine_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "group_id", "qvec", "fine_id", "dist2")
+    best = d.groupBy(id_col).agg(F.min("cand").alias("b"))
+    return best.select(
+        id_col,
+        F.col("b.group_id").alias("group_id"),
+        F.col("b.qvec").alias("qvec"),
+        F.col("b.fine_id").alias("fine_id"),
+        F.col("b.dist2").alias("dist2"),
     )
 
 

@@ -492,7 +492,12 @@ def customer_rfm_segments(spark, sf_dir):
     ladder. Output ≤ 27 rows at any corpus."""
     from pyspark.sql import Window as W
 
-    base = (
+    from ..checkpoints import ckpt
+
+    # the per-customer base is read twice (corpus-max scalar + the
+    # feature projection); cut it once so the orders scan + aggregate
+    # don't re-plan under both consumers (optimization r14)
+    base = ckpt(
         T(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(

@@ -101,7 +101,13 @@ def ann_recall_at_k(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("qe"), "bucket"
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
-    retrieved = (
+    from ..checkpoints import ckpt_local
+
+    # O(queries × k) rows — bounded: cut once so the hit join and the
+    # per-query retrieved count read the materialized frame instead of
+    # re-planning the bucket join + ranking window under both consumers
+    # (optimization r14, guide §2.4; 7 exchanges -> 4).
+    retrieved = ckpt_local(
         base.join(F.broadcast(q), ["bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(

@@ -179,19 +179,22 @@ def cdc_doc_dup_ratio(spark, sf_dir):
     never shuffles, and the join side sizes are dup-density-bound, so
     no broadcast hint (AQE decides)."""
     c = _chunk_rows(spark, sf_dir)
-    shared = (
-        c.groupBy("chash")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select(F.col("chash").alias("s_chash"))
+    # shared-ness as a chash-partitioned WINDOW flag (optimization r14,
+    # guide §2.4): a hash lives in >= 2 docs iff min(doc) != max(doc)
+    # over its partition — no countDistinct Expand, no groupBy +
+    # join-back that re-planned the chunk cut under both branches
+    # (4 exchanges -> 2: one on chash, one on doc_id).
+    wc = W.partitionBy("chash")
+    flagged = c.select(
+        "doc_id",
+        (F.min("doc_id").over(wc) != F.max("doc_id").over(wc)).alias("is_shared"),
     )
     return (
-        c.join(shared, c.chash == shared.s_chash, "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_chunks"),
             F.sum(
-                F.when(F.col("s_chash").isNotNull(), 1).otherwise(0)
+                F.when(F.col("is_shared"), 1).otherwise(0)
             ).cast("bigint").alias("n_dup_chunks"),
         )
         .select(
@@ -244,16 +247,37 @@ def source_overlap_matrix(spark, sf_dir):
     any corpus, like lsh_bucket_stats and prefix_bucket_stats."""
     c = _chunk_rows(spark, sf_dir)
     sc = c.select("source", "chash").distinct()
-    tot = sc.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_chunks")
+    # per chunk hash: the sorted set of sources containing it — bounded
+    # by the source domain, so the pair expansion is an in-row
+    # transform, not a chash-keyed SELF-join that re-planned the
+    # distinct cut under both branches (optimization r14, guide §2.4;
+    # 8 exchanges -> 4). The per-chash frame is chunk-hash-sized and
+    # read twice (pairs + totals), hence the cut; totals re-derive from
+    # it by exploding the ≤|sources| arrays, never from a corpus
+    # re-scan.
+    per_chash = ckpt(
+        sc.groupBy("chash").agg(
+            F.expr("array_sort(collect_list(source))").alias("srcs")
+        )
     )
-    a = sc.select(F.col("source").alias("source_a"), "chash")
-    b = sc.select(F.col("source").alias("source_b"), "chash")
     pair = (
-        a.join(b, "chash")
-        .filter(F.col("source_a") < F.col("source_b"))
+        per_chash.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (sa, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), sb -> "
+                    "named_struct('source_a', sa, 'source_b', sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_chunks"))
+    )
+    tot = (
+        per_chash.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_chunks"))
     )
     ta = tot.select(F.col("source").alias("source_a"), F.col("n_chunks").alias("n_chunks_a"))
     tb = tot.select(F.col("source").alias("source_b"), F.col("n_chunks").alias("n_chunks_b"))

@@ -91,13 +91,19 @@ def top_ngram_char_fraction(spark, sf_dir):
         )
     )
     counts = bg.groupBy("doc_id", "n_chars", "bigram").agg(F.count("*").alias("c"))
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy(F.col("c").desc(), "bigram")
+    # top-1 as a partial-aggregable argmin (optimization r14, guide
+    # §2.3): min over struct(-c, bigram, c) replays the old row_number
+    # window's (c DESC, bigram ASC) order exactly, but map-side partial
+    # aggregation ships one candidate per doc per task instead of
+    # shuffling every (doc, bigram) count row into a window.
     top1 = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("bigram").alias("top_bigram"), F.col("c").alias("top_count"))
+        counts.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("c")).alias("negc"), "bigram", "c")).alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.bigram").alias("top_bigram"),
+            F.col("t.c").alias("top_count"),
+        )
     )
     frac = (F.col("top_count") * F.length("top_bigram")).cast("double") / F.col("n_chars")
     return (

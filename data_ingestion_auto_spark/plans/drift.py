@@ -81,8 +81,13 @@ def ks_drift_matrix(spark, sf_dir):
 
     Plan shape: one pruned corpus scan into (source, length) counts;
     the ECDF grid is sources × distinct-lengths (domain-bounded), its
-    cumulative window partitions by source; the pair expansion joins
-    the grid to itself on the length value. Everything after the first
+    cumulative window partitions by source; the pair expansion is an
+    in-row transform over each length's collected per-source ECDF array
+    (optimization r14, guide §2.4 — the old ECDF self-join on x
+    re-planned the grid+window subtree under BOTH branches, 10
+    exchanges for one logical pass; every length row carries all
+    sources by the grid's construction, so per-x pairs are a bounded
+    array expansion, not a join). Everything after the first
     aggregation is constant-sized."""
     from ..checkpoints import ckpt
 
@@ -99,40 +104,39 @@ def ks_drift_matrix(spark, sf_dir):
     n = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     xs = cnt.select("x").distinct()
     grid = (
-        n.select("source")
+        n.select("source", "n")
         .crossJoin(F.broadcast(xs))
         .join(cnt, ["source", "x"], "left")
-        .select("source", "x", F.coalesce("c", F.lit(0)).alias("c"))
+        .select("source", "n", "x", F.coalesce("c", F.lit(0)).alias("c"))
     )
     cum = grid.select(
         "source",
+        "n",
         "x",
         F.sum("c")
         .over(W.partitionBy("source").orderBy("x").rowsBetween(W.unboundedPreceding, 0))
         .cast("bigint")
         .alias("cum"),
     )
-    a = cum.select(F.col("source").alias("source_a"), "x", F.col("cum").alias("cum_a"))
-    b = cum.select(F.col("source").alias("source_b"), "x", F.col("cum").alias("cum_b"))
-    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
-    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
-    gaps = (
-        a.join(b, "x")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_a",
-            "n_b",
-            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
-                "gap_num"
-            ),
-        )
+    # per length: every source's (source, n, cum) — sorted array, then
+    # the i<j pair expansion as a flat in-row transform (sources are
+    # domain-bounded, so the array is fixed-size state)
+    per_x = cum.groupBy("x").agg(
+        F.expr("array_sort(collect_list(struct(source, n, cum)))").alias("ecdf")
     )
+    pairs = per_x.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ecdf, (ea, i) -> "
+                "transform(slice(ecdf, i + 2, size(ecdf)), eb -> named_struct("
+                "'source_a', ea.source, 'source_b', eb.source, "
+                "'n_a', ea.n, 'n_b', eb.n, "
+                "'gap_num', abs(ea.cum * eb.n - eb.cum * ea.n)))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b", "p.n_a", "p.n_b", "p.gap_num")
     return (
-        gaps.groupBy("source_a", "source_b", "n_a", "n_b")
+        pairs.groupBy("source_a", "source_b", "n_a", "n_b")
         .agg(F.max("gap_num").cast("bigint").alias("d_num"))
         .select(
             "source_a",
@@ -196,6 +200,7 @@ def label_centroid_similarity(spark, sf_dir):
     combinable); centroids are labels × dim ints — model state — so the
     pairwise step is a bounded nested-loop over ≤ labels² rows and the
     output ≤ labels²/2 rows at any corpus."""
+    from ..checkpoints import ckpt
     from ..operators.ivf import _QUANT
 
     emb = T(spark, sf_dir, "embeddings").select(
@@ -211,17 +216,22 @@ def label_centroid_similarity(spark, sf_dir):
             "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
         ).alias("cvec")
     )
-    a = cent.select(F.col("label").alias("label_a"), F.col("cvec").alias("ca"))
-    b = cent.select(F.col("label").alias("label_b"), F.col("cvec").alias("cb"))
+    # labels × (dim + 1) ints — model state: cut ONCE so the pairwise
+    # cross join reads the materialized cut instead of re-planning the
+    # centroid derivation (and its three exchanges) under both branches
+    # (optimization r14; 7 exchanges -> the derivation's 3).
+    stats = ckpt(cent.join(n, "label"))
+    a = stats.select(
+        F.col("label").alias("label_a"), F.col("cvec").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = stats.select(
+        F.col("label").alias("label_b"), F.col("cvec").alias("cb"), F.col("n").alias("n_b")
+    )
     dot = "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     nrm = "aggregate({v}, 0L, (acc, x) -> acc + x * x)"
-    na = n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
-    nb = n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("label_a") < F.col("label_b"))
-        .join(F.broadcast(na), "label_a")
-        .join(F.broadcast(nb), "label_b")
         .select(
             "label_a",
             "label_b",
@@ -296,11 +306,12 @@ def unigram_tvd_matrix(spark, sf_dir):
     arithmetic moves to DECIMAL(38,0) unchanged in shape.
 
     Scale: one corpus scan into (source, token) counts — vocabulary x
-    sources rows, checkpointed; the pair expansion is a token-keyed
-    equi-join of that tiny frame with itself (never the corpus), the
-    pair grid is a broadcast sources x sources nested loop
-    (domain-bounded), output sources*(sources-1)/2 rows at any corpus —
-    the drift-matrix observability contract."""
+    sources rows, checkpointed; the pair expansion is an in-row
+    transform over each token's ≤|sources| collected counts (never the
+    corpus, and never a self-join — optimization r14), the pair grid is
+    a broadcast sources x sources nested loop (domain-bounded), output
+    sources*(sources-1)/2 rows at any corpus — the drift-matrix
+    observability contract."""
     from ..checkpoints import ckpt
 
     tok = T(spark, sf_dir, "documents").select(
@@ -316,18 +327,32 @@ def unigram_tvd_matrix(spark, sf_dir):
     ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
     grid = ta.crossJoin(F.broadcast(tb)).filter(F.col("source_a") < F.col("source_b"))
-    ca = cnt.select(F.col("source").alias("source_a"), "token", F.col("c").alias("c_a"))
-    cb = cnt.select(F.col("source").alias("source_b"), "token", F.col("c").alias("c_b"))
+    # shared-word pair masses via an in-row expansion of each token's
+    # collected per-source (source, c, n) array (optimization r14, guide
+    # §2.4): the old token-keyed SELF-join re-planned the count cut and
+    # its exchange under both branches (7 exchanges); the per-token
+    # array is ≤ |sources| entries (domain-bounded), totals ride along
+    # from one broadcast join BEFORE the collect, so the pair rows need
+    # no post-explode joins at all.
+    cnt_n = cnt.join(F.broadcast(tot), "source")
+    per_tok = cnt_n.groupBy("token").agg(
+        F.expr("array_sort(collect_list(struct(source, c, n)))").alias("sc")
+    )
+    pairs = per_tok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sc, (ea, i) -> "
+                "transform(slice(sc, i + 2, size(sc)), eb -> named_struct("
+                "'source_a', ea.source, 'source_b', eb.source, "
+                "'c_a', ea.c, 'c_b', eb.c, "
+                "'gap', abs(ea.c * eb.n - eb.c * ea.n)))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b", "p.c_a", "p.c_b", "p.gap")
     m = (
-        ca.join(cb, "token")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .join(F.broadcast(ta), "source_a")
-        .join(F.broadcast(tb), "source_b")
-        .groupBy("source_a", "source_b")
+        pairs.groupBy("source_a", "source_b")
         .agg(
-            F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))
-            .cast("bigint")
-            .alias("sum_abs"),
+            F.sum("gap").cast("bigint").alias("sum_abs"),
             F.sum("c_a").cast("bigint").alias("m_a"),
             F.sum("c_b").cast("bigint").alias("m_b"),
             F.count("*").cast("bigint").alias("shared_vocab"),

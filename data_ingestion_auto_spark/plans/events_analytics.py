@@ -34,32 +34,45 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 )
 def funnel_view_click_purchase(spark, sf_dir):
     """Ordered-sequence funnel: users whose earliest view precedes a
-    click precedes a purchase. Each stage is one filtered aggregate
-    joined on user_id — all three stages and their joins share the
-    user_id shuffle partitioning, so the funnel is one exchange deep
-    regardless of stage count (no per-user event sorting, no window)."""
+    click precedes a purchase. ONE user_id exchange (optimization r14,
+    guide §2.4): the three stage times are successive min-over-CASE
+    windows on the same user_id partitioning (each stage's condition
+    references the previous stage's window column; a user missing a
+    stage propagates NULL, exactly the old stage join's semantics), the
+    per-user fold reuses the window's clustering with no new exchange,
+    and count() skipping NULLs gives the three stage populations. The
+    old shape planned each stage as a filtered aggregate JOINED on
+    user_id and re-planned every stage's subtree under each of the
+    three count consumers — 5 user_id exchanges for one logical pass,
+    and 3 shuffles of the stage slices where one suffices."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
+    e = ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e = e.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e = e.withColumn("t_purchase", t_purchase)
+    per_user = e.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
     )
 
 
@@ -302,72 +315,76 @@ def funnel_conversion(spark, sf_dir):
     microsecond epochs throughout — the sessionize_events portability
     rule).
 
-    Scale: each step is one equi-join on user_id + a min-aggregate —
-    funnel depth is the number of such joins, never a window over the
-    whole event stream and never a per-user UDF; the three step counts
-    are 1-row broadcast ride-alongs. Skew note: a hot user contributes
-    its events to one join key per step; no pair explosion exists
-    anywhere."""
+    Scale (optimization r14, guide §2.4 — remove shuffles outright):
+    ONE user_id exchange carries the whole funnel — the three
+    horizon-bounded step times are successive min-over-CASE windows on
+    the same user_id partitioning (each condition references the
+    previous window column; NULL propagation reproduces the old stage
+    joins' drop-out semantics exactly), the per-user fold reuses that
+    clustering, count() skips NULLs for the three populations, and the
+    three presentation rows come from ONE inline() over the single
+    counts row instead of a 3-way union that re-planned the whole
+    funnel subtree under every step (the old shape: 14 user_id-family
+    exchanges for one logical pass). Never a per-user UDF; a hot user
+    is one window partition, no pair explosion exists anywhere."""
     ev = T(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
     )
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") > F.col("t1"))
+                & (F.col("us") <= F.col("t1") + _FUNNEL_H_US),
+                F.col("us"),
+            )
+        ).over(w),
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + _FUNNEL_H_US))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t2"))
+                & (F.col("us") <= F.col("t2") + _FUNNEL_H_US),
+                F.col("us"),
+            )
+        ).over(w),
     )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + _FUNNEL_H_US))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
+    per_user = e.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    counts = (
-        s1.agg(F.count("*").cast("bigint").alias("n1"))
-        .crossJoin(F.broadcast(s2.agg(F.count("*").cast("bigint").alias("n2"))))
-        .crossJoin(F.broadcast(s3.agg(F.count("*").cast("bigint").alias("n3"))))
+    counts = per_user.agg(
+        F.count("t1").cast("bigint").alias("n1"),
+        F.count("t2").cast("bigint").alias("n2"),
+        F.count("t3").cast("bigint").alias("n3"),
     )
-    step1 = counts.select(
-        F.lit(1).alias("step"),
-        F.lit("view").alias("step_name"),
-        F.col("n1").alias("n_users"),
-        F.lit(1.0).alias("conv_from_prev"),
-        F.lit(1.0).alias("conv_from_first"),
+    steps = counts.select(
+        F.inline(
+            F.expr(
+                "array("
+                "named_struct('step', 1, 'step_name', 'view', 'n_users', n1, "
+                "  'conv_from_prev', CAST(1.0 AS DOUBLE), "
+                "  'conv_from_first', CAST(1.0 AS DOUBLE)), "
+                "named_struct('step', 2, 'step_name', 'click', 'n_users', n2, "
+                "  'conv_from_prev', CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END, "
+                "  'conv_from_first', CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END), "
+                "named_struct('step', 3, 'step_name', 'purchase', 'n_users', n3, "
+                "  'conv_from_prev', CASE WHEN n2 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n2 END, "
+                "  'conv_from_first', CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n1 END)"
+                ")"
+            )
+        )
     )
-    step2 = counts.select(
-        F.lit(2).alias("step"),
-        F.lit("click").alias("step_name"),
-        F.col("n2").alias("n_users"),
-        F.expr("CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END").alias(
-            "conv_from_prev"
-        ),
-        F.expr("CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END").alias(
-            "conv_from_first"
-        ),
-    )
-    step3 = counts.select(
-        F.lit(3).alias("step"),
-        F.lit("purchase").alias("step_name"),
-        F.col("n3").alias("n_users"),
-        F.expr("CASE WHEN n2 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n2 END").alias(
-            "conv_from_prev"
-        ),
-        F.expr("CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n1 END").alias(
-            "conv_from_first"
-        ),
-    )
-    return step1.unionByName(step2).unionByName(step3).orderBy("step")
+    return steps.orderBy("step")
 
 
 @query(
@@ -404,8 +421,12 @@ def event_markov_transitions(spark, sf_dir):
 
     Scale: one lead() window per user partition (the same
     user_id-partitioned order every sessionize/funnel query uses — no
-    global window), then two event-type-keyed aggregates; output is at
-    most |event_types|² rows at any corpus."""
+    global window), then one (cur, nxt) aggregate; the row total is a
+    SUM WINDOW over the ≤|event_types|²-row transition frame
+    (optimization r14, guide §2.4) — the old groupBy + join-back
+    re-planned the whole window+aggregate subtree under both join
+    branches (6 exchanges for one logical pass); output is at most
+    |event_types|² rows at any corpus."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -416,9 +437,11 @@ def event_markov_transitions(spark, sf_dir):
         .select(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
     )
     c = pairs.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("n"))
-    t = c.groupBy("cur").agg(F.sum("n").cast("bigint").alias("n_total"))
     return (
-        c.join(t, "cur")
+        c.withColumn(
+            "n_total",
+            F.sum("n").over(Window.partitionBy("cur")).cast("bigint"),
+        )
         .select(
             "cur",
             "nxt",
@@ -602,15 +625,23 @@ def event_path_topk(spark, sf_dir):
     paths = seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull()).select(
         F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
     )
-    tot = paths.agg(F.count("*").cast("bigint").alias("total"))
+    from ..checkpoints import ckpt_local
+
+    # the path-count frame is ≤ |event_types|³ rows — bounded: cut it
+    # once so the total and the shares read the same materialized frame
+    # instead of re-planning the window+aggregate subtree under both
+    # consumers (optimization r14; the total is Σn over the counts, the
+    # same number as count(*) over the path rows)
+    c = ckpt_local(
+        paths.groupBy("path").agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
     return (
-        paths.crossJoin(F.broadcast(tot))
-        .groupBy("path")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.expr("CAST((1000000 * count(*)) div max(total) AS BIGINT)").alias(
-                "share_ppm"
-            ),
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            F.expr("CAST((1000000 * n) div total AS BIGINT)").alias("share_ppm"),
         )
         .orderBy(F.desc("n"), "path")
         .limit(20)

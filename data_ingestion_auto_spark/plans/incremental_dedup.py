@@ -198,13 +198,20 @@ def batch_ngram_novelty(spark, sf_dir):
     g = ws.select(
         "doc_id", "is_new", F.explode(F.expr(ng_expr)).alias("ng")
     ).distinct()
-    corpus = g.filter(~F.col("is_new")).select("ng").distinct().withColumn(
-        "seen", F.lit(1)
-    )
+    # corpus membership as an ng-partitioned WINDOW flag (optimization
+    # r14, guide §2.4): an n-gram is "seen" iff ANY old-slice doc has it
+    # — max over the ng partition — so the old corpus-DISTINCT + left
+    # join, which re-planned the distinct n-gram frame under both
+    # branches (4 exchanges, the big distinct twice), folds into one
+    # window on the single frame. seen NULL ⇔ no old doc ⇔ the old
+    # join's miss, so the novelty counts are identical.
+    from pyspark.sql import Window as W
+
+    seen = F.max(F.when(~F.col("is_new"), 1)).over(W.partitionBy("ng"))
     novel = F.count(F.when(F.col("seen").isNull(), 1))
     return (
-        g.filter("is_new")
-        .join(corpus, "ng", "left")
+        g.withColumn("seen", seen)
+        .filter("is_new")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ngrams"),

@@ -177,17 +177,30 @@ def mosaic_overlay(spark, sf_dir):
         .otherwise(F.col("l_quantity"))
         .alias("value"),
     )
-    w = W.partitionBy("y", "x").orderBy("ord_key", "value")
-    nn = (
-        tiles.filter(F.col("value").isNotNull())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("y", "x", "value", F.col("file_order").alias("source_order"))
+    # ONE (y, x) exchange for winner AND candidate count (optimization
+    # r14, guide §2.4): the old nn-window + counts-groupBy + join-back
+    # re-planned the tile projection under both branches (3 exchanges,
+    # 2 scans). Ordering non-null values first ((value IS NULL) ASC,
+    # then the original (ord_key, value)) keeps the winner identical;
+    # a cell whose rn=1 row is NULL-valued has no non-null candidate —
+    # exactly the old left-join miss, so it emits NULL value/source.
+    w = W.partitionBy("y", "x").orderBy(
+        F.col("value").isNull(), "ord_key", "value"
     )
-    counts = tiles.groupBy("y", "x").agg(F.count("*").alias("n_candidates"))
+    wc = W.partitionBy("y", "x")
     return (
-        counts.join(nn, ["y", "x"], "left")
-        .select("y", "x", "value", "source_order", "n_candidates")
+        tiles.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "y",
+            "x",
+            F.when(F.col("value").isNotNull(), F.col("value")).alias("value"),
+            F.when(F.col("value").isNotNull(), F.col("file_order")).alias(
+                "source_order"
+            ),
+            "n_candidates",
+        )
         .orderBy("y", "x")
     )
 

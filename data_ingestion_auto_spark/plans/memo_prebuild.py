@@ -67,12 +67,21 @@ def prebuild_chains(spark, sf_dir: str):
 
 
 def prebuild(
-    spark, sf_dir: str, max_workers: int = 4, timeout_sec: float | None = None
+    spark, sf_dir: str, max_workers: int = 2, timeout_sec: float | None = None
 ) -> dict[str, float]:
     """Build every memo chain concurrently; returns per-chain wall
     seconds (the per-MEMO build seconds still land in MEMO_BUILD_LOG).
     Exceptions propagate after all chains settle — a failed build must
     fail loudly, not leave a half-warm tier.
+
+    max_workers=2 (optimization r14): on a 32-core local master the
+    memo jobs are overhead-bound, so concurrent heavy chains time-slice
+    each other and every build's WALL stretches — measured same-host
+    A/B: workers=4 → prebuild wall 25.9 s but memo_build_sec (summed
+    per-build walls) 91.6 s; workers=2 → wall 39.6 s, summed 74.0 s;
+    serial ≈ summed ≈ the real ~56 s bill. Two workers keep most of the
+    §2.6 overlap win while the per-memo accounting stays close to real
+    cost; deployments with idle clusters can raise it.
 
     Bounded (optimization r14, ADVICE r13): the prebuild runs BEFORE the
     bench's per-query watchdog, and this host exhibits scheduler stalls

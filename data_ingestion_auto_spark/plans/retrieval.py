@@ -386,11 +386,29 @@ def winnowing_match_pairs(spark, sf_dir):
     )
     rn = F.row_number().over(W.partitionBy("f").orderBy("doc_id"))
     capped = fp.withColumn("rn", rn).filter(F.col("rn") <= _MATCH_CAP).drop("rn")
-    c1 = capped.select(F.col("doc_id").alias("a"), F.col("n_fp").alias("na"), "f")
-    c2 = capped.select(F.col("doc_id").alias("b"), F.col("n_fp").alias("nb"), "f")
+    # per-fingerprint pair expansion as an in-row transform over the
+    # bucket's collected (doc, n_fp) members (optimization r14, guide
+    # §2.4): the cap bounds every array at _MATCH_CAP entries, the
+    # groupBy(f) reuses the cap window's own hash(f) exchange, and the
+    # old f-keyed SELF-join — which re-planned the explode + cap window
+    # under both branches (4 exchanges, two executions) — disappears.
+    # row_number's orderBy(doc_id) makes members unique-and-ordered, so
+    # array_sort + i<j replays the a<b filter exactly.
+    buckets = capped.groupBy("f").agg(
+        F.expr("array_sort(collect_list(struct(doc_id, n_fp)))").alias("mem")
+    )
     m = (
-        c1.join(c2, "f")
-        .filter(F.col("a") < F.col("b"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(mem, (ma, i) -> "
+                    "transform(slice(mem, i + 2, size(mem)), mb -> named_struct("
+                    "'a', ma.doc_id, 'b', mb.doc_id, "
+                    "'na', ma.n_fp, 'nb', mb.n_fp))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.na", "p.nb")
         .groupBy("a", "b")
         .agg(
             F.count("*").cast("bigint").alias("n_shared"),

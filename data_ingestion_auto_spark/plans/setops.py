@@ -142,12 +142,39 @@ ORDER BY side, nationkey
     tags=("setops", "O6", "O7", "O8"),
 )
 def except_intersect_nations(spark, sf_dir):
-    """INTERSECT + EXCEPT + UNION ALL in one result (O6-O8)."""
-    cust = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
-    supp = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
-    both_n = cust.intersect(supp).withColumn("side", F.lit("both"))
-    only_cust = cust.exceptAll(supp).withColumn("side", F.lit("customer_only"))
-    return both_n.unionByName(only_cust).select("nationkey", "side").orderBy("side", "nationkey")
+    """INTERSECT + EXCEPT + UNION ALL in one result (O6-O8), folded into
+    ONE membership aggregate (optimization r14, guide §2.3/§2.4): union
+    the two key streams with side flags, max the flags per key, and
+    derive the set-op label — INTERSECT is (c AND s), EXCEPT is (c AND
+    NOT s) over the distinct key sets, so one exchange replaces the five
+    the planner gave the intersect + exceptAll + union shape (each set
+    op re-shuffled both distinct inputs). Both inputs' distincts fold
+    into the same aggregate (max over flag duplicates)."""
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(1).alias("in_c"),
+        F.lit(0).alias("in_s"),
+    )
+    su = T(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit(0).alias("in_c"),
+        F.lit(1).alias("in_s"),
+    )
+    member = (
+        cu.unionByName(su)
+        .groupBy("nationkey")
+        .agg(F.max("in_c").alias("in_c"), F.max("in_s").alias("in_s"))
+    )
+    return (
+        member.filter(F.col("in_c") == 1)
+        .select(
+            "nationkey",
+            F.when(F.col("in_s") == 1, F.lit("both"))
+            .otherwise(F.lit("customer_only"))
+            .alias("side"),
+        )
+        .orderBy("side", "nationkey")
+    )
 
 
 @query(

@@ -195,10 +195,17 @@ def late_data_accounting(spark, sf_dir):
     drop/keep rule (events older than the watermark would be dropped by
     the streaming aggregate; the reference instead retries 404s next tick,
     tamsat :126-133)."""
+    from pyspark.sql import Window as W
+
     ev = T(spark, sf_dir, "events")
-    wm = ev.groupBy("user_id").agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm"))
+    # watermark as a PARTITION WINDOW (optimization r14, guide §2.4):
+    # the old groupBy + broadcast join-back re-planned the events scan
+    # under both branches (3 user_id exchanges); the window computes the
+    # identical per-key max on the one exchange the final aggregate then
+    # reuses.
+    wm = (F.max("ts").over(W.partitionBy("user_id")) - F.expr("INTERVAL 2 HOURS")).alias("wm")
     return (
-        ev.join(F.broadcast(wm), "user_id")
+        ev.select("user_id", "ts", wm)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),

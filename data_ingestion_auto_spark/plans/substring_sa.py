@@ -395,15 +395,18 @@ def _reps_pd(spark, sf_dir):
     # explicit repartition before the in-operator explode (same
     # AQE-coalesce gotcha as the direct variant)
     docs = elig.repartition(_P_SA, "doc_id").select("doc_id", "w")
-    # base_span 16, not 8 (optimization r13, A/B'd with identical output
-    # rows): the base dense-rank sorts 16-token slices directly, saving
-    # one doubling round (one _dense_rank = two exchanges + a ckpt) and
-    # one level of the LCP descent — 12.0 → 10.1 s warm at sf0.1. The
-    # base keys stay bounded (16 tokens per position, vs the direct
-    # variant's whole-suffix materialization); 32 measured marginally
-    # faster still but doubles the base exchange bytes — 16 is the
-    # knee.
-    levels = suffix_rank_levels(docs=docs, base_span=16)
+    # base_span 32 (optimization r14, A/B'd with identical output rows
+    # at sf0.1, warm best 9.23 -> 8.77 s): each widening of the base
+    # saves one doubling round (one _dense_rank = two exchanges + a
+    # ckpt) and one level of the LCP descent — r13 took 8 -> 16 and
+    # deferred 32 on base-exchange bytes; re-measured under the
+    # prebuild's concurrency (verdict r13 #6) the fewer-rounds shape
+    # wins, and 32-token keys per position are still bounded state (vs
+    # the direct variant's whole-suffix materialization), so the
+    # unbounded-documents contract is intact. Past 32 the base keys
+    # stop paying: the ladder above 32 is already mostly arithmetic
+    # combines.
+    levels = suffix_rank_levels(docs=docs, base_span=32)
     ranks = levels[-1][1]
     lengths = elig.select("doc_id", "n_tokens")
     starts = (

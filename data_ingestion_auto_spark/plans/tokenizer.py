@@ -50,6 +50,34 @@ w0 AS (
 )"""
 
 
+def _sql_str_literal(s: str, legacy: bool) -> str:
+    """Quote a Python string as a Spark SQL string EXPRESSION, correct
+    for BOTH parser modes (ADVICE r13). Default mode: backslashes
+    double, single quotes double — a plain literal. Legacy
+    escapedStringLiterals mode has NO in-literal escape that yields a
+    bare quote ('' stays two characters, \\' keeps the backslash and
+    eats the terminator), so quote and backslash characters are emitted
+    as chr() calls folded into concat() — still a foldable constant, so
+    VALUES inline tables accept it."""
+    if not legacy:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ch in ("'", "\\"):
+            if buf:
+                parts.append("'" + buf + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf + "'")
+    if not parts:
+        return "''"
+    return parts[0] if len(parts) == 1 else "concat(" + ", ".join(parts) + ")"
+
+
 def _sql_round(r: int) -> str:
     prev = f"w{r - 1}"
     return f"""
@@ -193,10 +221,18 @@ def bpe_merges_with_r(spark, sf_dir, r_rounds: int):
             "merge_rank INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
         )
 
+    # the backslash-doubling in _sql_str_literal is only correct under
+    # the DEFAULT parser mode; a session enabling the legacy
+    # spark.sql.parser.escapedStringLiterals would silently corrupt any
+    # corpus symbol containing a backslash (ADVICE r13) — branch on the
+    # live conf so both modes build the same rows
+    legacy = (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").lower()
+        == "true"
+    )
+
     def q(s: str) -> str:
-        # backslash first (Spark SQL literals are backslash-escaped),
-        # then quote-doubling
-        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+        return _sql_str_literal(s, legacy)
 
     vals = ", ".join(
         f"({r}, {q(ls)}, {q(rs)}, {q(m)}, {pc})" for r, ls, rs, m, pc in merges

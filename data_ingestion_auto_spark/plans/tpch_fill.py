@@ -207,10 +207,15 @@ def q11_important_parts(spark, sf_dir):
     cross-joined (broadcast) back; the threshold compare runs in DOUBLE
     with identical IEEE evaluation on both engines. One shuffle for the
     per-part aggregate; the scalar pass reuses its result."""
+    from ..checkpoints import ckpt
+
     li = T(spark, sf_dir, "lineitem")
     sup = T(spark, sf_dir, "supplier")
     nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    vals = (
+    # per-part values are read twice (global scalar + the threshold
+    # filter); cut once so the lineitem⋈supplier join + aggregate don't
+    # re-plan and re-execute under both consumers (optimization r14)
+    vals = ckpt(
         # supplier is SF-proportional — no hint, AQE decides; the
         # 1-nation filter keeps its hint (nation is constant-sized).
         li.join(sup, li.l_suppkey == sup.s_suppkey)

@@ -14,6 +14,7 @@ micro-units so both engines decide borderline rows identically.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .helpers import REVENUE, T, dec_sum, sql_dec_sum
@@ -309,11 +310,18 @@ def q15_top_supplier(spark, sf_dir):
     broadcast back (no self-join on the raw fact, no single-partition
     window). Equality compares the convention's bit-identical rounded
     doubles."""
+    from ..checkpoints import ckpt
+
     li = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dec_sum(REVENUE, "total_revenue")
+    # per-supplier revenue is read twice (scalar max + the argmax join);
+    # cut it once so the lineitem scan + aggregate don't re-plan under
+    # both consumers (optimization r14; data-sized → ckpt)
+    rev = ckpt(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dec_sum(REVENUE, "total_revenue")
+        )
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -358,13 +366,22 @@ def q17_small_quantity_revenue(spark, sf_dir):
     brand_li = li.join(pa, li.l_partkey == pa.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    agg = brand_li.groupBy("l_partkey").agg(
-        F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT)").alias("sum_u"),
-        F.count("*").alias("cnt"),
+    # per-part aggregate as a PARTITION WINDOW over the brand slice
+    # (optimization r14, guide §2.4): the old groupBy + join-back on the
+    # same key re-planned the brand slice (scan + broadcast join) under
+    # both branches — one logical pass, two executions and two
+    # l_partkey exchanges; the window computes the identical exact
+    # BIGINT micro-unit sums in one pass on one exchange.
+    wp = Window.partitionBy("l_partkey")
+    sum_u = F.expr(
+        "CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER "
+        "(PARTITION BY l_partkey) * 1000000 AS BIGINT)"
     )
+    cnt = F.count("*").over(wp)
     qty_u = F.expr("CAST(CAST(l_quantity AS DECIMAL(38,6)) * 1000000 AS BIGINT)")
     return (
-        brand_li.join(agg, "l_partkey")
+        brand_li.withColumn("sum_u", sum_u)
+        .withColumn("cnt", cnt)
         .filter(F.lit(5) * qty_u * F.col("cnt") < F.col("sum_u"))
         .agg(F.count("*").alias("n_small"), dec_sum("l_extendedprice", "total_price"))
     )

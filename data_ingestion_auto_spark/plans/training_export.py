@@ -76,6 +76,12 @@ def decontamination_ngram_overlap(spark, sf_dir):
         + ")) ELSE array() END"
     )
     g = ws.select("doc_id", F.explode(F.expr(ng_expr)).alias("ng")).distinct()
+    # The eval side stays a BROADCAST join on purpose (r14 note: an
+    # ng-window fold was tried and reverted — it would shuffle the FULL
+    # corpus n-gram frame by ng at 100 TB, where this broadcast shuffles
+    # nothing; the eval slice's doc_id % filter pushes below the
+    # distinct to the scan, so the second subtree reads ~1/97 of the
+    # corpus. The pin in test_plan_quality enforces exactly this.)
     bench = (
         g.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select("ng")

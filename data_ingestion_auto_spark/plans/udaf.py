@@ -48,16 +48,33 @@ ORDER BY l.l_returnflag
 )
 def udaf_median_abs_deviation(spark, sf_dir):
     """Median absolute deviation of quantity per return flag via a
-    grouped-agg pandas UDF. Scale note: a grouped-agg UDF materializes
+    grouped pandas UDF. Scale note: a grouped pandas pass materializes
     each group's column in one worker — fine for bounded groups (3 flags);
     for high-cardinality groups prefer the two-pass relational form the
-    oracle uses (or approx_percentile)."""
-    li = T(spark, sf_dir, "lineitem")
-    mad = _mad_udf()
-    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
-    # compute the count separately and join (both tiny per-group results)
-    mads = li.groupBy("l_returnflag").agg(mad("l_quantity").alias("mad_qty"))
-    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
-    return mads.join(counts, "l_returnflag").select(
-        "l_returnflag", "mad_qty", "n"
-    ).orderBy("l_returnflag")
+    oracle uses (or approx_percentile).
+
+    One grouped pass computes BOTH the MAD and the count
+    (optimization r14, guide §2.3): grouped-AGG pandas UDFs can't mix
+    with JVM aggregates in one agg, so the old shape ran a second
+    groupBy for the count and joined — two shuffles of lineitem (the
+    pandas one ships every row) for one logical pass. applyInPandas
+    yields (flag, mad, n) from the single full-row shuffle; the pandas
+    median arithmetic is unchanged."""
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    def _mad_n(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_quantity"]
+        med = v.median()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "mad_qty": [round(float((v - med).abs().median()), 6)],
+                "n": [len(v)],
+            }
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(_mad_n, "l_returnflag string, mad_qty double, n bigint")
+        .orderBy("l_returnflag")
+    )

@@ -71,6 +71,10 @@ def test_memo_build_log_is_per_thread(spark, tmp_path):
 
     import os
 
+    # save/restore rather than unconditional del (ADVICE r13): a
+    # surrounding environment that set the memo dir must get its value
+    # back, and later tests in this process must not see ours
+    prior_memo_dir = os.environ.get("SPARK_GRAFT_CC_MEMO_DIR")
     os.environ["SPARK_GRAFT_CC_MEMO_DIR"] = str(tmp_path / "memos")
     before = len(PD.MEMO_BUILD_LOG)
     try:
@@ -94,7 +98,10 @@ def test_memo_build_log_is_per_thread(spark, tmp_path):
         t2 = threading.Thread(target=build, args=("t13b_outer",))
         t1.start(); t2.start(); t1.join(30); t2.join(30)
     finally:
-        del os.environ["SPARK_GRAFT_CC_MEMO_DIR"]
+        if prior_memo_dir is None:
+            del os.environ["SPARK_GRAFT_CC_MEMO_DIR"]
+        else:
+            os.environ["SPARK_GRAFT_CC_MEMO_DIR"] = prior_memo_dir
     logged = dict(PD.MEMO_BUILD_LOG[before:])
     assert "t13a" in logged and "t13b_outer" in logged
     assert "t13b_inner" not in logged
